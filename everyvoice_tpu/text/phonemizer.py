@@ -1,0 +1,96 @@
+"""G2P engine registry (parity: everyvoice/text/phonemizer.py).
+
+Maps ISO language ids to grapheme-to-phoneme callables
+(``Callable[[str], list[str]]``). Engines are created lazily and wrapped in a
+per-token cache. Built-ins:
+
+- ``eng`` — the self-contained rule/lexicon engine in
+  everyvoice_tpu.text.english_g2p (the reference used the `g2p` library here)
+- ``und`` — language-independent: transliterate-to-ascii-ish tokenization
+
+User plugins registered through ``TextConfig.g2p_engines`` override built-ins.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Union
+
+from everyvoice_tpu.logger import logger
+
+G2PCallable = Callable[[str], List[str]]
+
+# Marker for engines we know how to build but haven't instantiated yet.
+DEFERRED_ENGINE = "DEFERRED"
+
+
+class CachingG2PEngine:
+    """Wraps a G2P callable with a per-input-chunk cache
+    (reference phonemizer.py:32-88)."""
+
+    def __init__(self, engine: G2PCallable):
+        self._engine = engine
+        self._cache: Dict[str, tuple] = {}
+
+    def process_one_token(self, input_text: str) -> List[str]:
+        cached = self._cache.get(input_text)
+        if cached is None:
+            result = tuple(self._engine(input_text))
+            self._cache[input_text] = result
+            return list(result)
+        return list(cached)
+
+    def __call__(self, normalized_input_text: str) -> List[str]:
+        # Split on whitespace so the cache hits at word granularity, keeping
+        # spaces as tokens between words.
+        words = normalized_input_text.split()
+        output: List[str] = []
+        for i, word in enumerate(words):
+            if i > 0:
+                output.append(" ")
+            output.extend(self.process_one_token(word))
+        return output
+
+
+def _make_eng_engine() -> CachingG2PEngine:
+    from everyvoice_tpu.text.english_g2p import english_g2p
+
+    return CachingG2PEngine(english_g2p)
+
+
+def _make_und_engine() -> CachingG2PEngine:
+    """Language-independent fallback: keep characters that look like IPA."""
+    from everyvoice_tpu.text.ipa import tokenize_ipa
+
+    def und_g2p(text: str) -> List[str]:
+        return tokenize_ipa(text.lower(), unknown=True)
+
+    return CachingG2PEngine(und_g2p)
+
+
+_BUILTIN_FACTORIES: Dict[str, Callable[[], CachingG2PEngine]] = {
+    "eng": _make_eng_engine,
+    "und": _make_und_engine,
+}
+
+# lang id -> engine instance, DEFERRED marker, or user plugin callable.
+AVAILABLE_G2P_ENGINES: Dict[str, Union[G2PCallable, str]] = {
+    lang: DEFERRED_ENGINE for lang in _BUILTIN_FACTORIES
+}
+
+
+def get_g2p_engine(lang_id: str) -> G2PCallable:
+    """Fetch (lazily instantiating) the G2P engine for a language
+    (reference phonemizer.py:90-111)."""
+    if lang_id not in AVAILABLE_G2P_ENGINES:
+        raise NotImplementedError(
+            f"Sorry, we don't have a grapheme-to-phoneme engine available for "
+            f"{lang_id}. Please follow the docs to implement one yourself, or "
+            "register a plugin via the text config's g2p_engines field."
+        )
+    engine = AVAILABLE_G2P_ENGINES[lang_id]
+    if engine == DEFERRED_ENGINE:
+        logger.info(f"Initializing G2P engine for {lang_id}; this only happens once.")
+        engine = _BUILTIN_FACTORIES[lang_id]()
+        AVAILABLE_G2P_ENGINES[lang_id] = engine
+    assert callable(engine), f"G2P engine for {lang_id} is not callable"
+    return engine

@@ -1,0 +1,190 @@
+"""Text frontend tests (model: reference everyvoice/tests/test_text.py)."""
+
+import numpy as np
+import pytest
+
+from everyvoice_tpu.config import TextConfig
+from everyvoice_tpu.config.text_config import Symbols
+from everyvoice_tpu.exceptions import OutOfVocabularySymbolError
+from everyvoice_tpu.text import PAD_SYMBOL, TextProcessor
+from everyvoice_tpu.text.arpabet import arpabet_to_ipa
+from everyvoice_tpu.text.features import (
+    N_PHONOLOGICAL_FEATURES,
+    PhonologicalFeatureCalculator,
+)
+from everyvoice_tpu.text.ipa import segment_features, tokenize_ipa
+from everyvoice_tpu.text.lookups import build_lookup, lookuptables_from_data
+from everyvoice_tpu.text.textsplit import chunk_text
+from everyvoice_tpu.text.utils import (
+    guess_graphemes_in_text,
+    guess_ipa_phones_in_text,
+    symbol_sorter,
+)
+
+
+@pytest.fixture
+def base_tp():
+    return TextProcessor(TextConfig())
+
+
+@pytest.fixture
+def ipa_tp():
+    return TextProcessor(
+        TextConfig(symbols=Symbols(ipa=["a", "h", "ʌ", "l", "o", "ʊ", "ɛ"]))
+    )
+
+
+class TestSymbolLayout:
+    def test_pad_is_id_zero_space_is_one(self, base_tp):
+        assert base_tp.symbols[0] == PAD_SYMBOL
+        assert base_tp.symbols[1] == " "
+        assert base_tp._symbol_to_id[PAD_SYMBOL] == 0
+        assert base_tp._symbol_to_id[" "] == 1
+
+    def test_longest_first_sorting(self):
+        assert symbol_sorter(["a", "bb", "c"], ["\x80", " "]) == [
+            "\x80", " ", "bb", "a", "c",
+        ]
+
+    def test_internal_punctuation_tokens_present(self, base_tp):
+        for tok in ("<EXCL>", "<QINT>", "<PERIOD>", "<COMMA>", "<SIL>"):
+            assert tok in base_tp._symbol_to_id
+
+
+class TestTokenization:
+    def test_roundtrip(self, ipa_tp):
+        ids = ipa_tp.encode_text("hallo", quiet=True)
+        assert ipa_tp.decode_tokens(ids) == "h/a/l/l/o"
+
+    def test_missing_symbols_counted(self, base_tp):
+        base_tp.apply_tokenization("abc &", quiet=True)
+        assert base_tp.missing_symbols["abc"] == 1
+        assert base_tp.missing_symbols["&"] == 1
+
+    def test_punctuation_internalization(self, base_tp):
+        toks = base_tp.apply_punctuation_rules(["h", "!", "?", ".", ","])
+        assert toks == ["h", "<EXCL>", "<QINT>", "<PERIOD>", "<COMMA>"]
+
+    def test_slash_escape_roundtrip(self, base_tp):
+        seq = base_tp.decode_tokens([0, 1, 0])
+        assert base_tp.split_tokens(seq) == [PAD_SYMBOL, " ", PAD_SYMBOL]
+
+    def test_oov_raises(self, base_tp):
+        with pytest.raises(OutOfVocabularySymbolError):
+            base_tp.encode_string_tokens(["not-a-symbol"])
+
+
+class TestG2P:
+    def test_eng_g2p(self, ipa_tp):
+        assert ipa_tp.apply_g2p_and_tokenization("hello", "eng") == [
+            "h", "ʌ", "l", "o", "ʊ",
+        ]
+
+    def test_unknown_lang_raises(self, ipa_tp):
+        with pytest.raises(ValueError, match="boop"):
+            ipa_tp.encode_text("x", apply_g2p=True, lang_id="boop")
+
+    def test_pfs_requires_g2p(self, ipa_tp):
+        with pytest.raises(ValueError, match="apply_g2p"):
+            ipa_tp.encode_text("x", encode_as_phonological_features=True)
+
+    def test_custom_engine_registration(self):
+        TextConfig(g2p_engines={"tst": "tests.g2p_engines.valid_g2p"})
+        from everyvoice_tpu.text.phonemizer import AVAILABLE_G2P_ENGINES
+
+        assert "tst" in AVAILABLE_G2P_ENGINES
+
+    def test_invalid_engine_signature_rejected(self):
+        with pytest.raises(Exception):
+            TextConfig(g2p_engines={"bad": "tests.g2p_engines.wrong_sig_g2p"})
+
+
+class TestPhonologicalFeatures:
+    def test_dimension_is_43(self, ipa_tp):
+        feats = ipa_tp.encode_text(
+            "hello!", apply_g2p=True, lang_id="eng",
+            encode_as_phonological_features=True, quiet=True,
+        )
+        assert feats.shape[1] == N_PHONOLOGICAL_FEATURES == 43
+
+    def test_diphthong_averaging(self):
+        ai = np.array(segment_features("aɪ"))
+        a = np.array(segment_features("a"))
+        i = np.array(segment_features("ɪ"))
+        agree = a == i
+        assert np.all(ai[agree] == a[agree])
+        # hi and lo disagree between components -> zeroed
+        assert ai[15] == 0.0 and ai[16] == 0.0
+
+    def test_special_tokens(self):
+        pf = PhonologicalFeatureCalculator(TextConfig())
+        pad = pf.pad_token()
+        assert pad.shape == (43,)
+        assert pad[38] == 1.0  # [PAD] one-hot in the special block
+        assert not np.any(pad[:38])
+
+    def test_stress_and_punct_blocks(self):
+        pf = PhonologicalFeatureCalculator(TextConfig())
+        feats = pf.get_features(["ˈ", "<EXCL>", " ", "<SIL>"])
+        assert feats[0][24] == 1.0  # primary stress
+        assert feats[1][26 + 10] == 1.0  # excl slot
+        assert feats[2][26 + 0] == 1.0  # space slot
+        assert feats[3][26 + 11] == 1.0  # silence slot
+
+
+class TestIPA:
+    def test_affricate_tie(self):
+        assert tokenize_ipa("t͡ʃa") == ["t͡ʃ", "a"]
+
+    def test_length_and_diacritics_attach(self):
+        assert tokenize_ipa("aːbʰ") == ["aː", "bʰ"]
+
+    def test_non_ipa_dropped_when_unknown_false(self):
+        assert tokenize_ipa("ʃin1[}!]", unknown=False) == ["ʃ", "i", "n"]
+
+    def test_guessers(self):
+        assert sorted(guess_graphemes_in_text("g̱an")) == ["a", "g̱", "n"]
+        assert sorted(guess_ipa_phones_in_text("ʃin1!")) == ["i", "n", "ʃ"]
+
+
+class TestArpabet:
+    def test_basic(self):
+        assert arpabet_to_ipa("HH AH0 L OW1") == "hʌlˈoʊ"
+
+    def test_stress_placement(self):
+        assert arpabet_to_ipa("AY1") == "ˈaɪ"
+        assert arpabet_to_ipa("AY2") == "ˌaɪ"
+
+
+class TestChunking:
+    def test_short_text_single_chunk(self):
+        assert chunk_text("Short sentence.") == ["Short sentence."]
+
+    def test_splits_on_strong_boundaries(self):
+        text = "First sentence here. " * 10
+        chunks = chunk_text(text, desired_length=50, max_length=100)
+        assert all(len(c) <= 100 for c in chunks)
+        assert all(c.endswith(".") for c in chunks)
+
+    def test_quote_awareness(self):
+        text = '"A quoted. Sentence stays." Another part comes after that here.'
+        chunks = chunk_text(text, desired_length=10, max_length=45)
+        joined = " ".join(chunks)
+        assert "A quoted. Sentence stays." in joined
+
+    def test_non_lexical_chunks_filtered(self):
+        assert chunk_text("...") == []
+
+
+class TestLookups:
+    def test_sorted_tables(self):
+        data = [
+            [{"language": "b", "speaker": "s2"}, {"language": "a", "speaker": "s1"}],
+        ]
+        lang2id, speaker2id = lookuptables_from_data(data)
+        assert lang2id == {"a": 0, "b": 1}
+        assert speaker2id == {"s1": 0, "s2": 1}
+
+    def test_build_lookup_order_preserving(self):
+        items = [{"k": "z"}, {"k": "a"}, {"k": "z"}]
+        assert build_lookup(items, "k") == {"z": 0, "a": 1}

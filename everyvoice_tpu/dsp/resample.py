@@ -1,0 +1,74 @@
+"""Polyphase sinc resampling as an XLA convolution.
+
+Replaces torchaudio.functional.resample (used by the reference at
+everyvoice/preprocessor/preprocessor.py:177 for input/output-rate
+conversion). The Kaiser-windowed sinc filter is built host-side in numpy and
+applied with lax.conv_general_dilated using input dilation = upsample factor,
+stride = downsample factor — the textbook polyphase structure expressed as a
+single XLA op, which Mosaic lowers to MXU-friendly convolutions on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def _sinc_kernel(
+    up: int, down: int, lowpass_filter_width: int = 6, rolloff: float = 0.99,
+    beta: float = 14.769656459379492,
+) -> np.ndarray:
+    """Kaiser-windowed sinc anti-aliasing/interpolation kernel for a rational
+    rate change, designed at the intermediate rate ``orig·up``.
+
+    The cutoff sits at ``rolloff · min(orig, new)/2`` Hz, i.e. a normalized
+    frequency of ``rolloff / (2·max(up, down))`` cycles/sample at the
+    intermediate rate."""
+    f_c = rolloff / (2.0 * max(up, down))
+    half_width = int(np.ceil(lowpass_filter_width / (2.0 * f_c)))
+    t = np.arange(-half_width, half_width + 1, dtype=np.float64)
+    sinc = 2.0 * f_c * np.sinc(2.0 * f_c * t)
+    window_arg = t / half_width
+    window = np.i0(beta * np.sqrt(np.clip(1 - window_arg**2, 0, None))) / np.i0(beta)
+    return (sinc * window).astype(np.float32)
+
+
+def resample(
+    audio: jnp.ndarray, orig_freq: int, new_freq: int,
+    lowpass_filter_width: int = 6, rolloff: float = 0.99,
+) -> jnp.ndarray:
+    """Resample (..., T) audio from orig_freq to new_freq.
+
+    Output length is ceil(T * new / orig), matching torchaudio."""
+    if orig_freq == new_freq:
+        return audio
+    g = gcd(int(orig_freq), int(new_freq))
+    up = new_freq // g
+    down = orig_freq // g
+    kernel = _sinc_kernel(up, down, lowpass_filter_width, rolloff) * up
+    half = (len(kernel) - 1) // 2
+
+    batch_shape = audio.shape[:-1]
+    t_in = audio.shape[-1]
+    x = audio.reshape((-1, 1, t_in))  # NCW
+
+    out_len = -(-t_in * up // down)  # ceil
+    # lax.conv with lhs_dilation=up implements zero-stuffed upsampling; the
+    # kernel then interpolates, and window_strides=down decimates.
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(kernel).reshape(1, 1, -1),
+        window_strides=(down,),
+        padding=[(half, half + down)],
+        lhs_dilation=(up,),
+        rhs_dilation=(1,),
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = y[..., :out_len]
+    return y.reshape(batch_shape + (y.shape[-1],))

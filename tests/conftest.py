@@ -1,25 +1,28 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax loads.
+"""Test configuration: route jax compute to an 8-device virtual CPU mesh.
 
-Multi-chip sharding is validated on host platform devices
-(xla_force_host_platform_device_count), the TPU-parity analog of the
+This container pre-imports jax with the TPU ('axon') backend via
+sitecustomize, so JAX_PLATFORMS cannot be overridden here. Instead the CPU
+backend (lazily initialized) is forced to expose 8 virtual devices and made
+the default device, which keeps unit tests fast (no 20-40s TPU compiles) and
+lets multi-chip sharding be validated on a CPU mesh — the analog of the
 reference's CPU-only CI (reference .github/workflows/test.yml:17).
 """
 
 import os
 
-# Must run before any jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     return jax.devices("cpu")

@@ -1,0 +1,259 @@
+"""DSP core tests: golden comparisons against float64 numpy/scipy references
+(model: reference everyvoice/tests/test_preprocessing.py spectral parts)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from everyvoice_tpu.dsp import (
+    BetaBinomialInterpolator,
+    apply_sox_effects,
+    beta_binomial_prior_distribution,
+    compute_energy,
+    dynamic_range_compression,
+    estimate_f0,
+    get_segment,
+    get_segments_batched,
+    get_spectral_transform,
+    integrated_loudness,
+    istft,
+    librosa_mel_basis,
+    read_wav,
+    resample,
+    stft_power,
+    stft_real_imag,
+    write_wav,
+)
+from everyvoice_tpu.dsp.spectral import hann_window
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def noise():
+    return np.random.default_rng(0).standard_normal(SR).astype(np.float32) * 0.3
+
+
+@pytest.fixture(scope="module")
+def tone():
+    t = np.arange(SR * 2) / SR
+    return (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+
+
+def _stft_f64(x, n_fft, hop):
+    w = hann_window(n_fft).astype(np.float64)
+    xp = np.pad(x.astype(np.float64), (n_fft // 2, n_fft // 2), mode="reflect")
+    n_frames = 1 + (len(xp) - n_fft) // hop
+    frames = np.stack([xp[i * hop : i * hop + n_fft] for i in range(n_frames)])
+    return np.fft.rfft(frames * w, axis=-1).T
+
+
+class TestSTFT:
+    def test_power_matches_f64(self, noise):
+        ref = np.abs(_stft_f64(noise, 1024, 256)) ** 2
+        got = np.asarray(stft_power(jnp.asarray(noise), 1024, 1024, 256))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() / ref.max() < 1e-5
+
+    def test_frame_count_contract(self, noise):
+        # center=True -> T//hop + 1 frames, aligning with the reference's
+        # "frames = samples // hop" after its hop-truncation (+1 for center).
+        got = np.asarray(stft_power(jnp.asarray(noise[: 256 * 40]), 1024, 1024, 256))
+        assert got.shape[-1] == 40 + 1
+
+    def test_istft_roundtrip(self, noise):
+        r, i = stft_real_imag(jnp.asarray(noise), 1024, 1024, 256)
+        back = np.asarray(istft(r, i, 1024, 1024, 256, length=len(noise)))
+        assert np.abs(back[:-1024] - noise[:-1024]).max() < 1e-4
+
+    def test_istft_small_config_for_istftnet(self):
+        x = np.random.default_rng(1).standard_normal((2, 4096)).astype(np.float32)
+        r, i = stft_real_imag(jnp.asarray(x), 16, 16, 4)
+        back = np.asarray(istft(r, i, 16, 16, 4, length=4096))
+        assert np.abs(back[:, :-32] - x[:, :-32]).max() < 1e-4
+
+    def test_batched(self, noise):
+        x = np.stack([noise, noise * 0.5])
+        got = np.asarray(stft_power(jnp.asarray(x), 1024, 1024, 256))
+        assert got.shape[0] == 2
+        assert np.allclose(got[1], got[0] * 0.25, rtol=1e-4, atol=1e-4)
+
+
+class TestMel:
+    def test_slaney_basis_properties(self):
+        basis = librosa_mel_basis(SR, 1024, 80, 0.0, 8000.0)
+        assert basis.shape == (80, 513)
+        # Each filter is a normalized triangle with a single peak.
+        assert (basis >= 0).all()
+        peaks = basis.argmax(axis=1)
+        assert (np.diff(peaks) > 0).all()
+        # Slaney normalization: equal area per filter (2/bandwidth weighting)
+        assert basis.sum(axis=1).std() / basis.sum(axis=1).mean() < 0.25
+
+    def test_mel_librosa_transform_pipeline(self, tone):
+        mel_fn = get_spectral_transform("mel-librosa", 1024, 1024, 256, SR, 80, 0, 8000)
+        mel = np.asarray(dynamic_range_compression(mel_fn(jnp.asarray(tone))))
+        assert mel.shape[0] == 80
+        # A 220 Hz tone concentrates energy in the lowest mel bands.
+        band_energy = mel.mean(axis=1)
+        assert band_energy[:10].max() > band_energy[40:].max()
+
+    def test_energy_is_l2_over_freq(self, noise):
+        spec_fn = get_spectral_transform("mel-librosa", 1024, 1024, 256, SR, 80, 0, 8000)
+        spec = spec_fn(jnp.asarray(noise))
+        e = np.asarray(compute_energy(spec))
+        ref = np.linalg.norm(np.asarray(spec), axis=0)
+        assert np.allclose(e, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestResample:
+    def test_tone_preserved(self, tone):
+        out = np.asarray(resample(jnp.asarray(tone), SR, 16000))
+        assert out.shape[-1] == int(np.ceil(len(tone) * 16000 / SR))
+        # Frequency preserved: zero-crossing count scales with duration.
+        zc_in = np.sum(np.abs(np.diff(np.sign(tone)))) / 2
+        zc_out = np.sum(np.abs(np.diff(np.sign(out)))) / 2
+        assert abs(zc_out - zc_in) < 8
+
+    def test_identity(self, noise):
+        out = np.asarray(resample(jnp.asarray(noise), SR, SR))
+        assert np.array_equal(out, noise)
+
+    def test_energy_preserved(self, tone):
+        out = np.asarray(resample(jnp.asarray(tone), SR, 44100))
+        rms_in = np.sqrt((tone[1000:-1000] ** 2).mean())
+        rms_out = np.sqrt((out[2000:-2000] ** 2).mean())
+        assert abs(rms_in - rms_out) / rms_in < 0.02
+
+
+class TestLoudness:
+    def test_sine_loudness_close_to_theory(self):
+        # A full-scale 997 Hz sine measures about -3.01 LKFS per BS.1770.
+        t = np.arange(SR * 3) / SR
+        x = np.sin(2 * np.pi * 997.0 * t).astype(np.float32)
+        lufs = float(integrated_loudness(jnp.asarray(x), SR))
+        assert abs(lufs - (-3.01)) < 0.3
+
+    def test_quiet_audio_below_threshold(self):
+        t = np.arange(SR * 2) / SR
+        x = (0.001 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        lufs = float(integrated_loudness(jnp.asarray(x), SR))
+        assert lufs < -36.0
+
+    def test_silence_is_minus_inf(self):
+        x = np.zeros(SR, dtype=np.float32)
+        assert np.isinf(float(integrated_loudness(jnp.asarray(x), SR)))
+
+
+class TestPitch:
+    def test_steady_tone(self):
+        t = np.arange(SR * 1) / SR
+        x = np.sin(2 * np.pi * 180.0 * t).astype(np.float32)
+        f0 = np.asarray(estimate_f0(jnp.asarray(x), SR, 256))
+        assert f0.shape[-1] == len(x) // 256 + 1
+        mid = f0[5:-5]
+        assert np.abs(np.median(mid) - 180.0) < 2.0
+
+    def test_silence_zero(self):
+        x = np.zeros(SR, dtype=np.float32)
+        f0 = np.asarray(estimate_f0(jnp.asarray(x), SR, 256))
+        assert np.allclose(f0, 0.0)
+
+    def test_unvoiced_interpolated(self):
+        t = np.arange(SR) / SR
+        x = np.sin(2 * np.pi * 150.0 * t).astype(np.float32)
+        x[8000:12000] = 0.0
+        f0 = np.asarray(estimate_f0(jnp.asarray(x), SR, 256))
+        gap = f0[8000 // 256 + 2 : 12000 // 256 - 2]
+        assert (gap > 100).all() and (gap < 200).all()
+
+
+class TestPrior:
+    def test_matches_scipy(self):
+        from scipy.stats import betabinom
+
+        P, M = 30, 80
+        mine = beta_binomial_prior_distribution(P, M)
+        ref = np.array(
+            [betabinom(P, i, M + 1 - i).pmf(np.arange(P)) for i in range(1, M + 1)]
+        )
+        assert np.abs(mine - ref).max() < 1e-6
+
+    def test_interpolator_shape(self):
+        prior = BetaBinomialInterpolator()(870, 57)
+        assert prior.shape == (870, 57)
+        assert prior.dtype == np.float32
+
+
+class TestSegments:
+    def test_exact_slice(self):
+        import jax
+
+        x = jnp.arange(100, dtype=jnp.float32).reshape(1, 100)
+        seg, start = get_segment(x, 10, key=jax.random.PRNGKey(0))
+        seg, start = np.asarray(seg), int(start)
+        assert seg.shape == (1, 10)
+        assert np.array_equal(seg[0], np.arange(start, start + 10))
+
+    def test_pad_when_short(self):
+        x = jnp.ones((1, 5), dtype=jnp.float32)
+        seg, start = get_segment(x, 10)
+        assert int(start) == 0
+        assert np.array_equal(np.asarray(seg)[0], [1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+
+    def test_batched_respects_lengths(self):
+        import jax
+
+        batch = jnp.ones((2, 100))
+        lengths = jnp.asarray([100, 20])
+        segs, starts = get_segments_batched(batch, lengths, 50, jax.random.PRNGKey(1))
+        segs = np.asarray(segs)
+        assert segs.shape == (2, 50)
+        # Second row only has 20 valid samples; starts must be 0 and the
+        # rest masked to zero.
+        assert int(starts[1]) == 0
+        assert np.array_equal(segs[1, 20:], np.zeros(30))
+
+
+class TestSox:
+    def test_channel_mixdown(self):
+        x = jnp.stack([jnp.ones(100), jnp.zeros(100)])
+        out, sr = apply_sox_effects(x, SR, [["channels", "1"]])
+        assert out.shape == (1, 100)
+        assert np.allclose(np.asarray(out), 0.5)
+
+    def test_gain_and_norm(self):
+        x = jnp.ones((1, 10)) * 0.5
+        out, _ = apply_sox_effects(x, SR, [["gain", "-6"]])
+        assert abs(float(out[0, 0]) - 0.5 * 10 ** (-6 / 20)) < 1e-6
+        out2, _ = apply_sox_effects(x, SR, [["norm"]])
+        assert abs(float(np.abs(np.asarray(out2)).max()) - 1.0) < 1e-6
+
+    def test_rate(self):
+        x = jnp.ones((1, SR))
+        out, sr = apply_sox_effects(x, SR, [["rate", "16000"]])
+        assert sr == 16000
+        assert out.shape[-1] == int(np.ceil(SR * 16000 / SR))
+
+    def test_unsupported_raises(self):
+        with pytest.raises(Exception, match="not implemented"):
+            apply_sox_effects(jnp.ones((1, 10)), SR, [["flanger"]])
+
+
+class TestAudioIO:
+    def test_wav_roundtrip_16bit(self, tmp_path, tone):
+        p = tmp_path / "t.wav"
+        write_wav(p, tone, SR, bit_depth=16)
+        audio, sr = read_wav(p)
+        assert sr == SR
+        assert audio.shape == (1, len(tone))
+        assert np.abs(audio[0] - tone).max() < 1.0 / 32000
+
+    def test_stereo_roundtrip(self, tmp_path):
+        x = np.stack([np.ones(100) * 0.25, -np.ones(100) * 0.5]).astype(np.float32)
+        p = tmp_path / "s.wav"
+        write_wav(p, x, 16000)
+        audio, sr = read_wav(p)
+        assert audio.shape == (2, 100)
+        assert np.abs(audio - x).max() < 1e-3

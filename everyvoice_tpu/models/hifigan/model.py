@@ -1,0 +1,252 @@
+"""HiFiGAN generator and discriminators in flax, plus the iSTFTNet variant
+(architecture parity: the reference's hfgl submodule — HiFi-GAN paper
+arXiv:2010.05646 with the config knobs in
+everyvoice-spec-to-wav-0.5.json; iSTFTNet head per arXiv:2203.02395).
+
+TPU design notes:
+- 1-D convolutions run in (B, T, C) layout so XLA maps them onto the MXU
+  as implicit GEMMs; transposed convs use lax.conv_transpose via
+  nn.ConvTranspose.
+- Weight normalization (flax.linen.WeightNorm) mirrors the reference's
+  weight_norm-wrapped convs, which matters for GAN stability.
+- The iSTFT head reuses the framework's matmul-based iSTFT
+  (everyvoice_tpu.dsp.spectral.istft), so the whole vocoder is one fused
+  XLA program with no host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from everyvoice_tpu.dsp.spectral import istft
+from everyvoice_tpu.models.hifigan.config import HiFiGANConfig
+
+LRELU_SLOPE = 0.1
+
+
+def _wn_conv(features, kernel_size, **kwargs):
+    return nn.WeightNorm(nn.Conv(features, kernel_size=kernel_size, **kwargs))
+
+
+class ResBlock1(nn.Module):
+    """MRF resblock type '1': two convs per dilation with residual joins."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            y = nn.leaky_relu(x, LRELU_SLOPE)
+            y = _wn_conv(
+                self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                padding="SAME",
+            )(y)
+            y = nn.leaky_relu(y, LRELU_SLOPE)
+            y = _wn_conv(
+                self.channels, (self.kernel_size,), kernel_dilation=(1,),
+                padding="SAME",
+            )(y)
+            x = x + y
+        return x
+
+
+class ResBlock2(nn.Module):
+    """MRF resblock type '2': one conv per dilation."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            y = nn.leaky_relu(x, LRELU_SLOPE)
+            y = _wn_conv(
+                self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                padding="SAME",
+            )(y)
+            x = x + y
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """Mel (B, T, n_mels) → waveform (B, T·hop) (or mag/phase for iSTFT)."""
+
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    istft_layer: bool = False
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+
+    @classmethod
+    def from_config(cls, config: HiFiGANConfig) -> "HiFiGANGenerator":
+        m = config.model
+        istft_hop = 4
+        istft_n_fft = 16
+        if m.istft_layer:
+            import math
+
+            istft_hop = config.preprocessing.audio.fft_hop_size // math.prod(
+                m.upsample_rates
+            )
+            istft_n_fft = istft_hop * 4
+        return cls(
+            upsample_rates=tuple(m.upsample_rates),
+            upsample_kernel_sizes=tuple(m.upsample_kernel_sizes),
+            upsample_initial_channel=m.upsample_initial_channel,
+            resblock=m.resblock.value,
+            resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in m.resblock_dilation_sizes
+            ),
+            istft_layer=m.istft_layer,
+            istft_n_fft=istft_n_fft,
+            istft_hop=istft_hop,
+        )
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        block = ResBlock1 if self.resblock == "1" else ResBlock2
+        x = _wn_conv(self.upsample_initial_channel, (7,), padding="SAME")(mel)
+        ch = self.upsample_initial_channel
+        for i, (rate, kernel) in enumerate(
+            zip(self.upsample_rates, self.upsample_kernel_sizes)
+        ):
+            ch = ch // 2
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            # padding="SAME" yields exactly T·rate output frames.
+            x = nn.WeightNorm(
+                nn.ConvTranspose(
+                    ch, kernel_size=(kernel,), strides=(rate,), padding="SAME",
+                )
+            )(x)
+            # Multi-receptive-field fusion: mean over parallel resblocks.
+            acc = None
+            for k, ds in zip(
+                self.resblock_kernel_sizes, self.resblock_dilation_sizes
+            ):
+                y = block(ch, k, tuple(ds))(x)
+                acc = y if acc is None else acc + y
+            x = acc / len(self.resblock_kernel_sizes)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        if self.istft_layer:
+            n_bins = self.istft_n_fft // 2 + 1
+            x = _wn_conv(2 * n_bins, (7,), padding="SAME")(x)
+            mag = jnp.exp(jnp.clip(x[..., :n_bins], -10.0, 8.0))
+            phase = jnp.pi * jnp.sin(x[..., n_bins:])
+            real = mag * jnp.cos(phase)
+            imag = mag * jnp.sin(phase)
+            # (B, T, bins) -> (B, bins, T) for the iSTFT; pin the output to
+            # exactly mel_frames · total_upsample samples.
+            import math
+
+            expected = (
+                mel.shape[1] * math.prod(self.upsample_rates) * self.istft_hop
+            )
+            wav = istft(
+                jnp.swapaxes(real, 1, 2),
+                jnp.swapaxes(imag, 1, 2),
+                self.istft_n_fft,
+                self.istft_n_fft,
+                self.istft_hop,
+                center=True,
+                length=expected,
+            )
+            return wav
+        x = _wn_conv(1, (7,), padding="SAME")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+class PeriodDiscriminator(nn.Module):
+    period: int
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> tuple:
+        # wav: (B, T) → fold into (B, T//p, p) "2D" view
+        b, t = wav.shape
+        pad = (-t) % self.period
+        x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect" if t > 1 else "constant")
+        x = x.reshape(b, -1, self.period, 1)  # (B, T/p, p, 1)
+        feats = []
+        for ch in (32, 128, 512, 1024):
+            x = nn.WeightNorm(
+                nn.Conv(ch, kernel_size=(5, 1), strides=(3, 1), padding=((2, 2), (0, 0)))
+            )(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            feats.append(x)
+        x = nn.WeightNorm(
+            nn.Conv(1024, kernel_size=(5, 1), padding=((2, 2), (0, 0)))
+        )(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        feats.append(x)
+        x = nn.WeightNorm(nn.Conv(1, kernel_size=(3, 1), padding=((1, 1), (0, 0))))(x)
+        feats.append(x)
+        return x.reshape(b, -1), feats
+
+
+class ScaleDiscriminator(nn.Module):
+    use_spectral_norm: bool = False  # first scale uses raw audio stats
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> tuple:
+        x = wav[..., None]  # (B, T, 1)
+        feats = []
+        specs = [
+            (128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
+            (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
+            (1024, 5, 1, 1),
+        ]
+        for ch, k, stride, groups in specs:
+            x = nn.WeightNorm(
+                nn.Conv(
+                    ch, kernel_size=(k,), strides=(stride,),
+                    feature_group_count=groups, padding="SAME",
+                )
+            )(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            feats.append(x)
+        x = nn.WeightNorm(nn.Conv(1, kernel_size=(3,), padding="SAME"))(x)
+        feats.append(x)
+        return x.reshape(wav.shape[0], -1), feats
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> tuple:
+        scores, feats = [], []
+        for p in self.periods:
+            s, f = PeriodDiscriminator(p)(wav)
+            scores.append(s)
+            feats.append(f)
+        return scores, feats
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> tuple:
+        scores, feats = [], []
+        x = wav
+        for i in range(self.n_scales):
+            if i > 0:
+                # stride-2 average pooling between scales
+                x = nn.avg_pool(
+                    x[..., None], window_shape=(4,), strides=(2,), padding="SAME"
+                )[..., 0]
+            s, f = ScaleDiscriminator(use_spectral_norm=(i == 0))(x)
+            scores.append(s)
+            feats.append(f)
+        return scores, feats

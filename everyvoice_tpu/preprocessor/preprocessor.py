@@ -1,0 +1,632 @@
+"""Batched on-device preprocessing pipeline
+(behavioral parity: everyvoice/preprocessor/preprocessor.py:67-1321; see
+SURVEY.md §2.2 for the step-by-step contract).
+
+Where the reference runs a joblib process pool with one CPU pass per file,
+this pipeline:
+
+1. loads and validates audio on host (constraints: ≤2 channels,
+   0.4–11 s, ≥−36 LUFS — loudness itself computed on device),
+2. buckets utterances by length, pads each bucket to a static shape, and
+3. runs ONE jitted XLA program per bucket that computes the log-mel
+   spectrogram, frame energy, and F0 for the whole batch at once —
+   the MXU does in microseconds per utterance what pyworld did in
+   hundreds of milliseconds.
+
+Artifact layout and filenames match the reference
+(`{save_dir}/{audio,spec,attn,energy,pitch,pfs,duration}/` with
+`basename--speaker--language--<feature>` names, sep `--`,
+preprocessor.py:502-508) with `.npy` tensors instead of torch `.pt`.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from everyvoice_tpu.config.type_definitions import DatasetTextRepresentation
+from everyvoice_tpu.logger import logger
+from everyvoice_tpu.preprocessor.helpers import (
+    Counters,
+    Scaler,
+    read_config_lock,
+    write_config_lock,
+)
+from everyvoice_tpu.utils import n_times, write_filelist
+
+PROCESSING_ORDER = ("audio", "text", "pfs", "spec", "attn", "energy", "pitch")
+FILENAME_SEP = "--"
+# Pad audio lengths up to multiples of this many frames so XLA compiles a
+# bounded number of bucket shapes.
+BUCKET_FRAMES = 128
+BATCH_PAD = 8  # pad batch dim to a multiple of this
+
+
+class Preprocessor:
+    def __init__(self, config):
+        # Accepts FastSpeech2Config / HiFiGANConfig / any config exposing
+        # .preprocessing (and optionally .text).
+        self.config = config
+        self.preprocessing_config = config.preprocessing
+        self.audio_config = config.preprocessing.audio
+        self.datasets = config.preprocessing.source_data
+        self.save_dir = Path(config.preprocessing.save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.counters = Counters()
+        self.missing_files_list: list = []
+        self.multichannel_files_list: list = []
+        self.overwrite = False
+        self.input_sampling_rate = self.audio_config.input_sampling_rate
+        self.output_sampling_rate = self.audio_config.output_sampling_rate
+        self.sampling_rate_change = (
+            self.output_sampling_rate // self.input_sampling_rate
+        )
+        self.output_hop_size = (
+            self.sampling_rate_change * self.audio_config.fft_hop_size
+        )
+        text_config = getattr(config, "text", None)
+        if text_config is not None:
+            from everyvoice_tpu.text import TextProcessor
+
+            self.text_processor: Optional[TextProcessor] = TextProcessor(text_config)
+        else:
+            self.text_processor = None
+
+    # ------------------------------------------------------------------
+    # paths
+
+    def create_path(self, item: dict, folder: str, fn: str) -> Path:
+        return (
+            self.save_dir
+            / folder
+            / FILENAME_SEP.join(
+                [item["basename"], item["speaker"], item["language"], fn]
+            )
+        )
+
+    @staticmethod
+    def get_speaker_and_language(item: dict) -> dict:
+        out = dict(item)
+        if not out.get("speaker"):
+            out["speaker"] = "default"
+        if not out.get("language"):
+            out["language"] = "default"
+        return out
+
+    def load_filelist(self, path: Path) -> list:
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        return generic_psv_filelist_reader(path)
+
+    # ------------------------------------------------------------------
+    # audio
+
+    def process_audio(
+        self,
+        wav_path: Path,
+        normalize: bool = True,
+        resample_rate: Optional[int] = None,
+        sox_effects: Optional[list] = None,
+        hop_size: Optional[int] = None,
+        update_counters: bool = True,
+    ):
+        """Load + validate + condition one audio file
+        (constraints per reference preprocessor.py:131-218).
+        Returns (audio float32 (T,), sr) or (None, None) if rejected."""
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import (
+            apply_sox_effects,
+            integrated_loudness,
+            read_wav,
+            resample,
+        )
+
+        try:
+            audio, sr = read_wav(wav_path)
+        except FileNotFoundError:
+            return None, None
+        if audio.shape[0] > 2:
+            logger.warning(
+                f"Audio file '{wav_path}' has {audio.shape[0]} channels; only "
+                "mono/stereo are supported — skipping."
+            )
+            if update_counters:
+                self.counters.increment("multichannel")
+            self.multichannel_files_list.append(str(wav_path))
+            return None, None
+        seconds = audio.shape[1] / sr
+        if seconds > self.audio_config.max_audio_length:
+            logger.warning(f"Audio too long: {wav_path} ({seconds:.2f} s) — skipping")
+            if update_counters:
+                self.counters.increment("audio_too_long")
+            return None, None
+        if seconds < self.audio_config.min_audio_length:
+            logger.warning(f"Audio too short: {wav_path} ({seconds:.2f} s) — skipping")
+            if update_counters:
+                self.counters.increment("audio_too_short")
+            return None, None
+
+        lufs = float(integrated_loudness(jnp.asarray(audio), sr))
+        if np.isnan(lufs) or lufs < -36.0:
+            logger.warning(f"Audio empty (loudness {lufs:.1f}): {wav_path} — skipping")
+            if update_counters:
+                self.counters.increment("audio_empty")
+            return None, None
+
+        x = jnp.asarray(audio)
+        if sox_effects:
+            try:
+                x, sr = apply_sox_effects(x, sr, sox_effects)
+            except Exception as e:
+                logger.warning(f"Audio-effect error on {wav_path}: {e}")
+                if update_counters:
+                    self.counters.increment("skipped_processes")
+                return None, None
+        if resample_rate is not None and resample_rate != sr:
+            x = resample(x, sr, resample_rate)
+            sr = resample_rate
+        if x.shape[0] > 1:  # effects may not have mixed down; do it here
+            x = jnp.mean(x, axis=0, keepdims=True)
+        if normalize:
+            x = x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-9) * 0.95
+        if update_counters:
+            self.counters.increment("duration", seconds)
+        if hop_size is None:
+            raise ValueError("hop size required: sample counts must divide evenly")
+        x = np.asarray(x[0], dtype=np.float32)
+        max_samples = (x.shape[0] // hop_size) * hop_size
+        return x[:max_samples], sr
+
+    def process_one_audio(
+        self, item: dict, data_dir: Path, sox_effects: list, dataset_label: str
+    ) -> Optional[dict]:
+        from everyvoice_tpu.dsp import write_wav
+
+        extension = "" if item["basename"].endswith(".wav") else ".wav"
+        audio_path = Path(data_dir) / (item["basename"] + extension)
+        if not audio_path.exists():
+            logger.warning(f"File '{audio_path}' is missing; not processed.")
+            self.counters.increment("missing_files")
+            self.missing_files_list.append(str(audio_path))
+            return None
+        item = self.get_speaker_and_language(item)
+        item["label"] = dataset_label
+        input_path = self.create_path(
+            item, "audio", f"audio-{self.input_sampling_rate}.wav"
+        )
+        output_path = self.create_path(
+            item, "audio", f"audio-{self.output_sampling_rate}.wav"
+        )
+        if input_path.exists() and output_path.exists() and not self.overwrite:
+            return item
+        if not input_path.exists() or self.overwrite:
+            audio, sr = self.process_audio(
+                audio_path,
+                resample_rate=self.input_sampling_rate,
+                sox_effects=sox_effects,
+                hop_size=self.audio_config.fft_hop_size,
+            )
+            if audio is None:
+                return None
+            write_wav(input_path, audio, sr, self.audio_config.target_bit_depth)
+        if self.input_sampling_rate != self.output_sampling_rate and (
+            not output_path.exists() or self.overwrite
+        ):
+            audio, sr = self.process_audio(
+                audio_path,
+                resample_rate=self.output_sampling_rate,
+                sox_effects=sox_effects,
+                hop_size=self.output_hop_size,
+                update_counters=False,
+            )
+            if audio is not None:
+                write_wav(output_path, audio, sr, self.audio_config.target_bit_depth)
+        return item
+
+    def process_all_audio(self) -> list:
+        filtered: list = []
+        (self.save_dir / "audio").mkdir(parents=True, exist_ok=True)
+        for dataset in self.datasets:
+            filelist = dataset.filelist_loader(dataset.filelist)
+            for item in filelist:
+                result = self.process_one_audio(
+                    item, dataset.data_dir, dataset.sox_effects, dataset.label
+                )
+                if result is not None:
+                    filtered.append(
+                        {
+                            k: v
+                            for k, v in result.items()
+                            if k
+                            in (
+                                "basename", "language", "speaker", "characters",
+                                "character_tokens", "phones", "phone_tokens",
+                                "label",
+                            )
+                        }
+                    )
+        return filtered
+
+    # ------------------------------------------------------------------
+    # text
+
+    def process_text(self, item: dict, use_pfs: bool = False):
+        """Tokenize characters and/or phones (applying arpabet→IPA and G2P as
+        needed), mirroring reference preprocessor.py:742-868. Returns
+        (character_tokens | None, phone_tokens | None, pfs | None)."""
+        assert self.text_processor is not None
+        from everyvoice_tpu.text import CHARACTER_JOINER, JOINER_SUBSTITUTION
+        from everyvoice_tpu.text.phonemizer import AVAILABLE_G2P_ENGINES
+
+        characters = phones = pfs = None
+        dataset_label = item.get("label")
+        lang = item.get("language") or None
+
+        def join(tokens):
+            return CHARACTER_JOINER.join(
+                t.replace(CHARACTER_JOINER, JOINER_SUBSTITUTION) for t in tokens
+            )
+
+        if item.get("arpabet"):
+            from everyvoice_tpu.text.arpabet import arpabet_to_ipa
+
+            item = dict(item)
+            item["phones"] = arpabet_to_ipa(item["arpabet"])
+        if item.get("characters"):
+            norm = self.text_processor.normalize_text(
+                item["characters"], dataset_label=dataset_label, lang_id=lang
+            )
+            char_tokens = self.text_processor.apply_tokenization(
+                norm, quiet=True
+            )
+            characters = join(char_tokens)
+            # G2P from characters when the dataset has no phones column.
+            if (
+                not item.get("phones")
+                and lang is not None
+                and lang in AVAILABLE_G2P_ENGINES
+            ):
+                phone_tokens = self.text_processor.apply_g2p_and_tokenization(
+                    norm, lang, quiet=True
+                )
+                phones = join(phone_tokens)
+        if item.get("phones"):
+            norm = self.text_processor.normalize_text(
+                item["phones"], dataset_label=dataset_label, lang_id=lang
+            )
+            phone_tokens = self.text_processor.apply_tokenization(norm, quiet=True)
+            phones = join(phone_tokens)
+        if use_pfs and phones:
+            tokens = self.text_processor.split_tokens(phones)
+            pfs = self.text_processor.calculate_phonological_features(tokens)
+        return characters, phones, pfs
+
+    # ------------------------------------------------------------------
+    # batched device features
+
+    def _load_processed_audio(self, item: dict) -> Optional[np.ndarray]:
+        from everyvoice_tpu.dsp import read_wav
+
+        path = self.create_path(item, "audio", f"audio-{self.input_sampling_rate}.wav")
+        if not path.exists():
+            return None
+        audio, _ = read_wav(path)
+        return audio[0]
+
+    def _feature_program(self, n_samples: int):
+        """Jitted program computing (log-mel, energy, f0) for a (B, T) batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import compute_energy, get_spectral_transform
+        from everyvoice_tpu.dsp.pitch import estimate_f0
+        from everyvoice_tpu.dsp.spectral import dynamic_range_compression
+
+        spec_fn = get_spectral_transform(
+            str(
+                self.audio_config.spec_type.value
+                if hasattr(self.audio_config.spec_type, "value")
+                else self.audio_config.spec_type
+            ),
+            self.audio_config.n_fft,
+            self.audio_config.fft_window_size,
+            self.audio_config.fft_hop_size,
+            self.input_sampling_rate,
+            self.audio_config.n_mels,
+            self.audio_config.f_min,
+            self.audio_config.f_max,
+        )
+
+        @jax.jit
+        def program(batch):
+            spec = dynamic_range_compression(spec_fn(batch))
+            energy = compute_energy(spec)
+            f0 = estimate_f0(
+                batch, self.input_sampling_rate, self.audio_config.fft_hop_size
+            )
+            return spec, energy, f0
+
+        return program
+
+    def process_features_batched(
+        self,
+        filelist: list,
+        want: Sequence[str] = ("spec", "energy", "pitch"),
+        batch_size: int = 16,
+    ) -> None:
+        """The hot path: bucket → pad → one XLA call per batch → write
+        per-item artifacts trimmed to their true frame counts."""
+        hop = self.audio_config.fft_hop_size
+        bucket_samples = BUCKET_FRAMES * hop
+
+        todo = []
+        for item in filelist:
+            item = self.get_speaker_and_language(item)
+            audio = self._load_processed_audio(item)
+            if audio is None:
+                self.counters.increment("missing_files")
+                continue
+            todo.append((item, audio))
+        if not todo:
+            return
+        # Sort by length so buckets are dense.
+        todo.sort(key=lambda pair: len(pair[1]))
+
+        program_cache: dict = {}
+        i = 0
+        while i < len(todo):
+            chunk = todo[i : i + batch_size]
+            i += batch_size
+            max_len = max(len(a) for _, a in chunk)
+            padded_len = -(-max_len // bucket_samples) * bucket_samples
+            b_pad = -(-len(chunk) // BATCH_PAD) * BATCH_PAD
+            batch = np.zeros((b_pad, padded_len), dtype=np.float32)
+            for j, (_, a) in enumerate(chunk):
+                batch[j, : len(a)] = a
+            if padded_len not in program_cache:
+                program_cache[padded_len] = self._feature_program(padded_len)
+            spec, energy, f0 = program_cache[padded_len](batch)
+            spec, energy, f0 = (
+                np.asarray(spec), np.asarray(energy), np.asarray(f0),
+            )
+            for j, (item, a) in enumerate(chunk):
+                n_frames = len(a) // hop  # drop the center-pad extra frame to
+                # keep the reference's frames == samples//hop contract
+                if "spec" in want:
+                    path = self.create_path(
+                        item,
+                        "spec",
+                        f"spec-{self.input_sampling_rate}-"
+                        f"{self.audio_config.spec_type if isinstance(self.audio_config.spec_type, str) else self.audio_config.spec_type.value}.npy",
+                    )
+                    if self.overwrite or not path.exists():
+                        np.save(path, spec[j, :, :n_frames], allow_pickle=False)
+                if "energy" in want:
+                    path = self.create_path(item, "energy", "energy.npy")
+                    if self.overwrite or not path.exists():
+                        np.save(path, energy[j, :n_frames], allow_pickle=False)
+                if "pitch" in want:
+                    path = self.create_path(item, "pitch", "pitch.npy")
+                    if self.overwrite or not path.exists():
+                        np.save(path, f0[j, :n_frames], allow_pickle=False)
+
+    # ------------------------------------------------------------------
+    # attention priors
+
+    def process_attn_prior(self, item: dict) -> None:
+        from everyvoice_tpu.dsp import BetaBinomialInterpolator
+
+        assert self.text_processor is not None
+        item = self.get_speaker_and_language(item)
+        interp = BetaBinomialInterpolator()
+        spec_type = (
+            self.audio_config.spec_type
+            if isinstance(self.audio_config.spec_type, str)
+            else self.audio_config.spec_type.value
+        )
+        spec_path = self.create_path(
+            item, "spec", f"spec-{self.input_sampling_rate}-{spec_type}.npy"
+        )
+        if not spec_path.exists():
+            return
+        n_frames = np.load(spec_path, mmap_mode="r").shape[1]
+        for column, rep in (
+            ("character_tokens", DatasetTextRepresentation.characters.value),
+            ("phone_tokens", DatasetTextRepresentation.ipa_phones.value),
+        ):
+            tokens_joined = item.get(column)
+            if not tokens_joined:
+                continue
+            n_tokens = len(
+                [
+                    t
+                    for t in self.text_processor.split_tokens(tokens_joined)
+                    if t
+                ]
+            )
+            if not n_tokens:
+                continue
+            path = self.create_path(item, "attn", f"{rep}-attn-prior.npy")
+            if path.exists() and not self.overwrite:
+                continue
+            np.save(path, interp(n_frames, n_tokens), allow_pickle=False)
+
+    # ------------------------------------------------------------------
+    # stats
+
+    def compute_stats(self, energy: bool = True, pitch: bool = True):
+        energy_scaler = Scaler() if energy else None
+        pitch_scaler = Scaler() if pitch else None
+        if energy_scaler is not None:
+            for path in sorted((self.save_dir / "energy").glob("*energy*")):
+                energy_scaler.append(np.load(path))
+        if pitch_scaler is not None:
+            for path in sorted((self.save_dir / "pitch").glob("*pitch*")):
+                pitch_scaler.append(np.load(path))
+        return energy_scaler, pitch_scaler
+
+    def normalize_stats(self, energy_scaler, pitch_scaler) -> dict:
+        stats = {}
+        if energy_scaler and len(energy_scaler):
+            stats["energy"] = energy_scaler.calculate_stats()
+            for path in sorted((self.save_dir / "energy").glob("*energy*")):
+                np.save(path, energy_scaler.normalize(np.load(path)))
+        if pitch_scaler and len(pitch_scaler):
+            stats["pitch"] = pitch_scaler.calculate_stats()
+            for path in sorted((self.save_dir / "pitch").glob("*pitch*")):
+                np.save(path, pitch_scaler.normalize(np.load(path)))
+        return stats
+
+    # ------------------------------------------------------------------
+    # lock
+
+    def _config_summary(self) -> dict:
+        return {
+            "audio": self.config.preprocessing.audio.model_checkpoint_dump(),
+            "dataset": self.config.preprocessing.dataset,
+        }
+
+    def config_lock_has_conflicts(self) -> bool:
+        lock = read_config_lock(self.save_dir)
+        if lock is None:
+            return False
+        if lock.get("status") == "in progress":
+            return True
+        return lock.get("config") != self._config_summary()
+
+    def save_config_lock(self, in_progress: bool) -> None:
+        write_config_lock(
+            self.save_dir,
+            self._config_summary(),
+            "in progress" if in_progress else "completed",
+        )
+
+    # ------------------------------------------------------------------
+    # orchestration
+
+    def preprocess(
+        self,
+        output_path: str = "filelist.psv",
+        cpus: int = 1,
+        to_process: Sequence[str] = (),
+        overwrite: bool = False,
+        debug: bool = False,
+    ) -> None:
+        self.overwrite = overwrite
+        if not overwrite and self.config_lock_has_conflicts():
+            raise RuntimeError(
+                "Config lock mismatch: these files were preprocessed with a "
+                "different configuration. Use overwrite to reprocess."
+            )
+        self.save_config_lock(in_progress=True)
+        random.seed(self.preprocessing_config.dataset_split_seed)
+        processed_filelist = self.save_dir / Path(output_path).name
+
+        for process in PROCESSING_ORDER:
+            if process not in to_process:
+                continue
+            if process != "text":
+                (self.save_dir / process).mkdir(parents=True, exist_ok=True)
+            if process == "audio":
+                filelist = self.process_all_audio()
+                if not filelist:
+                    raise RuntimeError(
+                        "Your filtered audio filelist is empty; nothing to process."
+                    )
+                write_filelist(filelist, processed_filelist)
+                with open(self.save_dir / "summary.txt", "w", encoding="utf8") as f:
+                    json.dump(self.counters.as_dict(), f, indent=1)
+                if self.missing_files_list:
+                    with open(
+                        self.save_dir / "missing_files.txt", "w", encoding="utf8"
+                    ) as f:
+                        f.write("\n".join(self.missing_files_list))
+            elif process in ("text", "pfs"):
+                filelist = self.load_filelist(processed_filelist)
+                assert self.text_processor is not None
+                from collections import Counter
+
+                before = Counter(self.text_processor.missing_symbols)
+                for i, item in enumerate(filelist):
+                    characters, phones, pfs = self.process_text(
+                        item, use_pfs=(process == "pfs")
+                    )
+                    if characters is not None:
+                        filelist[i]["character_tokens"] = characters
+                    if phones is not None:
+                        filelist[i]["phone_tokens"] = phones
+                    if pfs is not None:
+                        np.save(
+                            self.create_path(
+                                self.get_speaker_and_language(item), "pfs", "pfs.npy"
+                            ),
+                            pfs,
+                            allow_pickle=False,
+                        )
+                write_filelist(filelist, processed_filelist)
+                new_missing = self.text_processor.missing_symbols - before
+                for symbol, count in new_missing.items():
+                    logger.warning(
+                        f"Symbol '{symbol}' occurs {n_times(count)} but was not "
+                        "declared in your configuration so it is being ignored."
+                    )
+            elif process == "attn":
+                filelist = self.load_filelist(processed_filelist)
+                for item in filelist:
+                    self.process_attn_prior(item)
+            elif process in ("spec", "energy", "pitch"):
+                # One batched pass computes all three; run it only once.
+                wanted = tuple(
+                    p for p in ("spec", "energy", "pitch") if p in to_process
+                )
+                if process != wanted[0]:
+                    continue
+                for w in wanted:
+                    (self.save_dir / w).mkdir(parents=True, exist_ok=True)
+                filelist = self.load_filelist(processed_filelist)
+                self.process_features_batched(filelist, want=wanted)
+
+        # stats + normalization
+        if "energy" in to_process or "pitch" in to_process:
+            energy_scaler, pitch_scaler = self.compute_stats(
+                energy="energy" in to_process, pitch="pitch" in to_process
+            )
+            stats = self.normalize_stats(energy_scaler, pitch_scaler)
+            existing = {}
+            stats_path = self.save_dir / "stats.json"
+            if stats_path.exists():
+                existing = json.loads(stats_path.read_text(encoding="utf8"))
+            existing.update(stats)
+            stats_path.write_text(
+                json.dumps(existing, indent=1), encoding="utf8"
+            )
+
+        # split
+        filelist = self.load_filelist(processed_filelist)
+        random.shuffle(filelist)
+        train_split = int(len(filelist) * self.preprocessing_config.train_split)
+        name = Path(output_path).name
+        write_filelist(filelist[:train_split], self.save_dir / f"training_{name}")
+        write_filelist(filelist[train_split:], self.save_dir / f"validation_{name}")
+        self.save_config_lock(in_progress=False)
+        logger.info(
+            f"Finished preprocessing: {', '.join(to_process)}. "
+            f"Files are at {self.save_dir.absolute()}."
+        )
+
+    # ------------------------------------------------------------------
+    # OOD text for StyleTTS2 SLM-adversarial training
+    # (reference preprocessor.py:1242-1321)
+
+    def preprocess_ood(self, ood_texts_by_lang: dict) -> None:
+        ood_dir = self.save_dir / "ood"
+        ood_dir.mkdir(parents=True, exist_ok=True)
+        for lang, lines in ood_texts_by_lang.items():
+            rows = [{"text": line} for line in lines if line.strip()]
+            write_filelist(rows, ood_dir / f"{lang}.psv")

@@ -1,0 +1,222 @@
+"""Preprocessor tests over the LJSpeech micro-corpus
+(model: reference everyvoice/tests/test_preprocessing.py +
+tests/preprocessed_audio_fixture.py)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from everyvoice_tpu.config import PreprocessingConfig, TextConfig
+from everyvoice_tpu.config.preprocessing_config import Dataset
+from everyvoice_tpu.config.shared_types import ContactInformation
+from everyvoice_tpu.dsp import write_wav
+from everyvoice_tpu.models.fs2 import FastSpeech2Config
+from everyvoice_tpu.preprocessor import Preprocessor
+from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+LJ_DATA = Path("/root/reference/everyvoice/tests/data")
+LJ_WAVS = LJ_DATA / "lj" / "wavs"
+
+CONTACT = {"contact_name": "Test Runner", "contact_email": "info@everyvoice.ca"}
+
+
+def make_config(tmp_path: Path, filelist: Path, data_dir: Path) -> FastSpeech2Config:
+    return FastSpeech2Config(
+        contact=CONTACT,
+        preprocessing=PreprocessingConfig(
+            save_dir=tmp_path / "preprocessed",
+            source_data=[
+                Dataset(
+                    label="LJ_TEST",
+                    permissions_obtained=True,
+                    data_dir=data_dir,
+                    filelist=filelist,
+                )
+            ],
+        ),
+        text=TextConfig(
+            symbols={
+                "letters": list("abcdefghijklmnopqrstuvwxyz"),
+                "ipa": list("ðʌɛʃɜ˞æɑɔɹɪʊəɡʒŋθaeioubcdfghjklmnpqrstvwxyz"),
+            }
+        ),
+    )
+
+
+@pytest.fixture(scope="session")
+def lj_preprocessed(tmp_path_factory):
+    """Preprocess the 10-file LJ snippet once per session
+    (analog of the reference's PreprocessedAudioFixture)."""
+    tmp_path = tmp_path_factory.mktemp("lj")
+    config = make_config(tmp_path, LJ_DATA / "metadata.psv", LJ_WAVS)
+    preprocessor = Preprocessor(config)
+    preprocessor.preprocess(
+        to_process=("audio", "text", "spec", "attn", "energy", "pitch"),
+        overwrite=True,
+    )
+    return preprocessor, config
+
+
+pytestmark = pytest.mark.skipif(
+    not LJ_WAVS.exists(), reason="LJ fixture data unavailable"
+)
+
+
+class TestEndToEndPreprocessing:
+    def test_artifacts_exist_with_reference_layout(self, lj_preprocessed):
+        pre, config = lj_preprocessed
+        save_dir = Path(config.preprocessing.save_dir)
+        for folder in ("audio", "spec", "attn", "energy", "pitch"):
+            assert (save_dir / folder).is_dir()
+        specs = list((save_dir / "spec").glob("*--*--*--spec-22050-mel-librosa.npy"))
+        assert len(specs) == 5  # the LJ micro-fixture has 5 wavs
+        wavs = list((save_dir / "audio").glob("*--*--*--audio-22050.wav"))
+        assert len(wavs) == len(specs)
+
+    def test_frame_alignment_contract(self, lj_preprocessed):
+        """spec/energy/pitch must have frames == samples // hop."""
+        pre, config = lj_preprocessed
+        save_dir = Path(config.preprocessing.save_dir)
+        from everyvoice_tpu.dsp import read_wav
+
+        for spec_path in (save_dir / "spec").glob("*.npy"):
+            base = spec_path.name.rsplit("--", 1)[0]
+            audio, _ = read_wav(save_dir / "audio" / f"{base}--audio-22050.wav")
+            n_frames = audio.shape[1] // 256
+            spec = np.load(spec_path)
+            assert spec.shape == (80, n_frames)
+            energy = np.load(save_dir / "energy" / f"{base}--energy.npy")
+            pitch = np.load(save_dir / "pitch" / f"{base}--pitch.npy")
+            assert energy.shape == (n_frames,)
+            assert pitch.shape == (n_frames,)
+
+    def test_stats_normalized(self, lj_preprocessed):
+        pre, config = lj_preprocessed
+        save_dir = Path(config.preprocessing.save_dir)
+        stats = json.loads((save_dir / "stats.json").read_text())
+        assert "pitch" in stats and "energy" in stats
+        assert stats["pitch"]["std"] > 0
+        # After normalization the corpus-wide values are ~zero-mean/unit-var.
+        all_pitch = np.concatenate(
+            [np.load(p) for p in (save_dir / "pitch").glob("*.npy")]
+        )
+        assert abs(all_pitch.mean()) < 0.1
+        assert abs(all_pitch.std() - 1.0) < 0.1
+
+    def test_pitch_values_plausible_for_lj(self, lj_preprocessed):
+        """LJ is a female speaker (~170-260 Hz median F0); check the raw
+        stats captured before normalization."""
+        pre, config = lj_preprocessed
+        stats = json.loads(
+            (Path(config.preprocessing.save_dir) / "stats.json").read_text()
+        )
+        assert 120 < stats["pitch"]["mean"] < 320
+
+    def test_split_filelists_written(self, lj_preprocessed):
+        pre, config = lj_preprocessed
+        save_dir = Path(config.preprocessing.save_dir)
+        train = generic_psv_filelist_reader(save_dir / "training_filelist.psv")
+        val = generic_psv_filelist_reader(save_dir / "validation_filelist.psv")
+        assert len(train) > 0 and len(val) > 0
+        assert "character_tokens" in train[0]
+        assert "phone_tokens" in train[0]
+
+    def test_attn_prior_shapes(self, lj_preprocessed):
+        pre, config = lj_preprocessed
+        save_dir = Path(config.preprocessing.save_dir)
+        priors = list((save_dir / "attn").glob("*characters-attn-prior.npy"))
+        assert priors
+        for p in priors[:2]:
+            prior = np.load(p)
+            assert prior.ndim == 2
+            # rows = mel frames (hundreds), cols = text tokens (dozens)
+            assert prior.shape[0] > prior.shape[1]
+            assert (prior >= 0).all()
+            # The prior is diagonal-ish: the most likely text position is
+            # non-decreasing over mel frames.
+            assert (np.diff(prior.argmax(axis=1)) >= 0).all()
+
+    def test_config_lock_completed(self, lj_preprocessed):
+        pre, config = lj_preprocessed
+        lock = json.loads(
+            (Path(config.preprocessing.save_dir) / ".config-lock").read_text()
+        )
+        assert lock["status"] == "completed"
+
+    def test_conflicting_lock_detected(self, lj_preprocessed, tmp_path):
+        pre, config = lj_preprocessed
+        config2 = make_config(
+            Path(config.preprocessing.save_dir).parent,
+            LJ_DATA / "metadata.psv",
+            LJ_WAVS,
+        )
+        config2.preprocessing.audio.n_mels = 96  # incompatible change
+        pre2 = Preprocessor(config2)
+        pre2.save_dir = Path(config.preprocessing.save_dir)
+        assert pre2.config_lock_has_conflicts()
+
+
+class TestRejections:
+    def _run_audio(self, tmp_path, wav_name, wav_data, sr=22050):
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        write_wav(data_dir / f"{wav_name}.wav", wav_data, sr)
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text(
+            f"basename|characters|language|speaker\n{wav_name}|hello|eng|default\n"
+        )
+        config = make_config(tmp_path, filelist, data_dir)
+        pre = Preprocessor(config)
+        result = pre.process_all_audio()
+        return pre, result
+
+    def test_too_short_rejected(self, tmp_path):
+        pre, result = self._run_audio(
+            tmp_path, "short", np.ones(2000, dtype=np.float32) * 0.5
+        )
+        assert result == []
+        assert pre.counters.value("audio_too_short") == 1
+
+    def test_too_long_rejected(self, tmp_path):
+        pre, result = self._run_audio(
+            tmp_path, "long",
+            np.random.default_rng(0).standard_normal(22050 * 12).astype(np.float32) * 0.3,
+        )
+        assert result == []
+        assert pre.counters.value("audio_too_long") == 1
+
+    def test_quiet_rejected(self, tmp_path):
+        t = np.arange(22050) / 22050
+        quiet = (0.0005 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        pre, result = self._run_audio(tmp_path, "quiet", quiet)
+        assert result == []
+        assert pre.counters.value("audio_empty") == 1
+
+    def test_missing_file_counted(self, tmp_path):
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text("basename|characters\nnot_there|hello\n")
+        config = make_config(tmp_path, filelist, data_dir)
+        pre = Preprocessor(config)
+        assert pre.process_all_audio() == []
+        assert pre.counters.value("missing_files") == 1
+        assert (
+            "not_there" in pre.missing_files_list[0]
+        )
+
+    def test_good_audio_accepted_and_normalized(self, tmp_path):
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        pre, result = self._run_audio(tmp_path, "good", tone)
+        assert len(result) == 1
+        from everyvoice_tpu.dsp import read_wav
+
+        saved, sr = read_wav(
+            Path(pre.save_dir) / "audio" / "good--default--eng--audio-22050.wav"
+        )
+        assert sr == 22050
+        assert saved.shape[1] % 256 == 0  # truncated to hop multiple
+        assert abs(np.abs(saved).max() - 0.95) < 0.01  # peak normalized

@@ -1,0 +1,87 @@
+"""Benchmark: batched text→wav synthesis throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures real-time factor (seconds of synthesized audio per wall-clock
+second per chip) for the flagship serving path — FastSpeech2 (default
+4-layer/256-dim Conformer config) + HiFiGAN V1 — at 22.05 kHz.
+The reference publishes no numbers (BASELINE.md); the north-star target is
+≥10× real time per chip, so vs_baseline = value / 10.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from everyvoice_tpu.models.fs2.model import FastSpeech2
+    from everyvoice_tpu.models.hifigan.model import HiFiGANGenerator
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_text = 128
+    max_frames = 1000  # the reference's max_length (≈11.6 s of audio)
+    sample_rate = 22050
+    hop = 256
+
+    fs2 = FastSpeech2(n_symbols=100, max_frames=max_frames)
+    gen = HiFiGANGenerator()
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.randint(rng, (batch, n_text), 2, 100)
+    lengths = jnp.full((batch,), n_text, jnp.int32)
+    fs2_params = fs2.init({"params": rng, "dropout": rng}, text, lengths)
+    gen_params = gen.init(rng, jnp.zeros((1, max_frames, 80)))
+
+    # Bias the duration head so the synthesized length is realistic
+    # (~7.8 frames/token ≈ full 1000-frame utterances).
+    import flax
+
+    fs2_params = flax.core.unfreeze(fs2_params)
+    bias = fs2_params["params"]["duration_predictor"]["Dense_0"]["bias"]
+    fs2_params["params"]["duration_predictor"]["Dense_0"]["bias"] = bias + 2.1
+
+    @jax.jit
+    def synthesize(text, lengths):
+        out = fs2.apply(fs2_params, text, lengths)
+        wav = gen.apply(gen_params, out["postnet_mel"])
+        return wav, out["predicted_frame_lengths"]
+
+    # Warmup/compile
+    wav, frames = synthesize(text, lengths)
+    wav.block_until_ready()
+    frames_per_utt = np.minimum(np.asarray(frames), max_frames)
+    audio_seconds = float(frames_per_utt.sum() * hop / sample_rate)
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        wav, frames = synthesize(text, lengths)
+    wav.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    rtf = audio_seconds * iters / elapsed
+    result = {
+        "metric": "synthesized audio sec/sec/chip (RTF), FastSpeech2+HiFiGAN batched text-to-wav",
+        "value": round(rtf, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 10.0, 3),
+        "detail": {
+            "batch": batch,
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "wall_seconds_per_batch": round(elapsed / iters, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

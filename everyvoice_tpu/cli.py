@@ -1,0 +1,479 @@
+"""The `everyvoice-tpu` command line interface
+(surface parity: everyvoice/cli.py — new-project / preprocess / train /
+synthesize / demo / export / segment / evaluate / check / checkpoint /
+fetch-pretrained / g2p / update-schemas).
+
+Heavy imports are deferred inside the command bodies so `--help` stays fast —
+the same discipline the reference enforces in CI
+(reference tests/test_cli.py:399 test_expensive_imports_are_tucked_away).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import click
+
+MODEL_CONFIGS = {
+    "text-to-spec": "everyvoice_tpu.models.fs2.config:FastSpeech2Config",
+    "spec-to-wav": "everyvoice_tpu.models.hifigan.config:HiFiGANConfig",
+    "text-to-wav": "everyvoice_tpu.models.styletts2.config:StyleTTS2Config",
+}
+
+
+def _load_config(model_kind: str, config_path: Path, overrides):
+    import importlib
+
+    module_name, _, class_name = MODEL_CONFIGS[model_kind].partition(":")
+    config_cls = getattr(importlib.import_module(module_name), class_name)
+    config = config_cls.load_config_from_path(config_path)
+    if overrides:
+        from everyvoice_tpu.utils import update_config_from_cli_args
+
+        update_config_from_cli_args(list(overrides), config)
+    return config
+
+
+@click.group(name="everyvoice-tpu")
+@click.version_option(package_name=None, version=_version
+                      if (_version := None) else "0.1.0")
+def main():
+    """EveryVoice-TPU: a TPU-native text-to-speech framework."""
+
+
+# ---------------------------------------------------------------------------
+# new-project (wizard)
+
+
+@main.command("new-project")
+@click.option("--resume-from", type=click.Path(path_type=Path), default=None,
+              help="Resume a saved wizard session.")
+def new_project(resume_from):
+    """Create a new project with a guided wizard."""
+    from everyvoice_tpu.wizard.main_tour import get_main_wizard_tour
+
+    tour = get_main_wizard_tour()
+    tour.run(resume_from=resume_from)
+
+
+# ---------------------------------------------------------------------------
+# preprocess
+
+
+@main.command()
+@click.argument("model_kind", type=click.Choice(list(MODEL_CONFIGS)))
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+@click.option("-s", "--steps", multiple=True,
+              type=click.Choice(["audio", "text", "pfs", "spec", "attn",
+                                 "energy", "pitch"]),
+              help="Steps to run (default: all relevant for the model kind).")
+@click.option("-O", "--overwrite", is_flag=True)
+@click.option("--cpus", default=1, help="Host workers for audio IO.")
+@click.option("-c", "--config-args", multiple=True,
+              help="key.path=value config overrides")
+def preprocess(model_kind, config_path, steps, overwrite, cpus, config_args):
+    """Preprocess a dataset (batched, on-device DSP)."""
+    from everyvoice_tpu.preprocessor import Preprocessor
+
+    config = _load_config(model_kind, config_path, config_args)
+    if not steps:
+        if model_kind == "spec-to-wav":
+            steps = ("audio", "spec")
+        else:
+            steps = ("audio", "text", "spec", "attn", "energy", "pitch")
+    Preprocessor(config).preprocess(
+        to_process=tuple(steps), overwrite=overwrite, cpus=cpus
+    )
+
+
+# ---------------------------------------------------------------------------
+# train
+
+
+@main.group()
+def train():
+    """Train a model."""
+
+
+def _common_train_options(fn):
+    fn = click.option("-c", "--config-args", multiple=True)(fn)
+    fn = click.option("-a", "--accelerator", default="auto",
+                      type=click.Choice(["auto", "tpu", "cpu", "gpu"]))(fn)
+    fn = click.option("-d", "--devices", default="auto")(fn)
+    fn = click.option("-n", "--nodes", default=1)(fn)
+    fn = click.option("-s", "--strategy", default="ddp",
+                      help="Kept for CLI parity; maps onto the device mesh.")(fn)
+    fn = click.option("--gradient-clip-val", default=None, type=float)(fn)
+    return fn
+
+
+@train.command("text-to-spec")
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+@_common_train_options
+def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
+                       strategy, gradient_clip_val):
+    """Train a FastSpeech2 feature-prediction model."""
+    from everyvoice_tpu.dataloader import FastSpeech2Dataset
+    from everyvoice_tpu.parallel import make_mesh, resolve_devices
+    from everyvoice_tpu.text.lookups import lookuptables_from_data
+    from everyvoice_tpu.train import FastSpeech2Trainer
+
+    config = _load_config("text-to-spec", config_path, config_args)
+    train_list = config.training.filelist_loader(config.training.training_filelist)
+    val_list = config.training.filelist_loader(config.training.validation_filelist)
+    lang2id, speaker2id = lookuptables_from_data((train_list, val_list))
+    ds = FastSpeech2Dataset(train_list, config, lang2id, speaker2id)
+    vds = FastSpeech2Dataset(
+        val_list, config, lang2id, speaker2id, text_processor=ds.text_processor
+    )
+    mesh = make_mesh(resolve_devices(accelerator, devices))
+    stats_path = Path(config.preprocessing.save_dir) / "stats.json"
+    stats = json.loads(stats_path.read_text()) if stats_path.exists() else {}
+    trainer = FastSpeech2Trainer(
+        config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh
+    )
+    trainer.fit()
+    click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
+
+
+@train.command("spec-to-wav")
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+@_common_train_options
+def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
+                      strategy, gradient_clip_val):
+    """Train a HiFiGAN (or iSTFTNet) vocoder."""
+    from everyvoice_tpu.dataloader import HiFiGANDataset
+    from everyvoice_tpu.parallel import make_mesh, resolve_devices
+    from everyvoice_tpu.train import HiFiGANTrainer
+
+    config = _load_config("spec-to-wav", config_path, config_args)
+    train_list = config.training.filelist_loader(config.training.training_filelist)
+    val_list = config.training.filelist_loader(config.training.validation_filelist)
+    ds = HiFiGANDataset(train_list, config, finetune=config.training.finetune)
+    vds = HiFiGANDataset(val_list, config, finetune=config.training.finetune)
+    mesh = make_mesh(resolve_devices(accelerator, devices))
+    trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh)
+    trainer.fit()
+    click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
+
+
+@train.command("text-to-wav")
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+@click.option("--mode", type=click.Choice(["first", "second"]), default="first")
+@_common_train_options
+def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
+                      nodes, strategy, gradient_clip_val):
+    """Train a StyleTTS2-class end-to-end model (two stages)."""
+    raise click.ClickException(
+        "StyleTTS2 training is not implemented yet in everyvoice_tpu; "
+        "train text-to-spec + spec-to-wav for the two-stage pipeline."
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthesize
+
+
+@main.group()
+def synthesize():
+    """Synthesize speech from text or spectrograms."""
+
+
+@synthesize.command("from-text")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("-t", "--text", multiple=True, help="Text(s) to synthesize.")
+@click.option("-f", "--filelist", type=click.Path(exists=True, path_type=Path),
+              default=None, help="Filelist with texts to synthesize.")
+@click.option("-l", "--language", default=None)
+@click.option("-s", "--speaker", default=None)
+@click.option("-D", "--duration-control", default=1.0)
+@click.option("-O", "--output-type", "output_types", multiple=True,
+              type=click.Choice(["wav", "spec", "textgrid", "readalong-xml",
+                                 "readalong-html"]),
+              default=("wav",))
+@click.option("--vocoder-path", "--model", "vocoder_path",
+              type=click.Path(exists=True, path_type=Path), default=None)
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              default=Path("synthesis_output"))
+@click.option("--teacher-forcing-directory", type=click.Path(path_type=Path),
+              default=None)
+def synthesize_from_text(model_path, text, filelist, language, speaker,
+                         duration_control, output_types, vocoder_path,
+                         output_dir, teacher_forcing_directory):
+    """Text → mel (→ wav with a vocoder)."""
+    from everyvoice_tpu.models.fs2.synthesize import Synthesizer
+
+    texts = list(text)
+    basenames = None
+    if filelist is not None:
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        rows = generic_psv_filelist_reader(filelist)
+        texts += [r.get("characters") or r.get("text") or "" for r in rows]
+        basenames = [r.get("basename") for r in rows]
+    if not texts:
+        raise click.ClickException("Provide --text or --filelist")
+    synth = Synthesizer(model_path, vocoder_checkpoint=vocoder_path)
+    if "wav" in output_types and vocoder_path is None:
+        raise click.ClickException(
+            "wav output requires --vocoder-path (or synthesize spec first)"
+        )
+    results = synth.synthesize(
+        texts, language=language, speaker=speaker,
+        duration_control=duration_control,
+    )
+    written = synth.write_outputs(
+        results, output_dir, output_types, language=language, speaker=speaker,
+        basenames=basenames,
+    )
+    for path in written:
+        click.echo(str(path))
+
+
+@synthesize.command("from-spec")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("-i", "--input-dir", type=click.Path(exists=True, path_type=Path),
+              default=Path("synthesis_output/synthesized_spec"))
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              default=Path("synthesis_output"))
+def synthesize_from_spec(model_path, input_dir, output_dir):
+    """Copy synthesis: mel spectrogram files → wav (vocoder only)."""
+    import numpy as np
+
+    from everyvoice_tpu.dsp import write_wav
+    from everyvoice_tpu.models.fs2.synthesize import load_vocoder_from_checkpoint
+
+    generator, params, config = load_vocoder_from_checkpoint(model_path)
+    sr = config.preprocessing.audio.output_sampling_rate
+    out = Path(output_dir) / "wav"
+    out.mkdir(parents=True, exist_ok=True)
+    import jax.numpy as jnp
+
+    count = 0
+    for spec_path in sorted(Path(input_dir).glob("*.npy")):
+        mel = np.load(spec_path).T[None, ...]  # (1, T, M)
+        wav = np.asarray(generator.apply(params, jnp.asarray(mel)))[0]
+        stem = spec_path.stem.replace("--spec-pred", "")
+        write_wav(out / f"{stem}.wav", wav, sr)
+        count += 1
+        click.echo(str(out / f"{stem}.wav"))
+    if count == 0:
+        raise click.ClickException(f"No .npy spectrograms found in {input_dir}")
+
+
+# ---------------------------------------------------------------------------
+# export
+
+
+@main.group()
+def export():
+    """Export models for serving."""
+
+
+@export.command("spec-to-wav")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.argument("output_path", type=click.Path(path_type=Path))
+def export_spec_to_wav(model_path, output_path):
+    """Strip discriminators/optimizer state from a vocoder checkpoint."""
+    from everyvoice_tpu.models.fs2.synthesize import export_generator
+
+    path = export_generator(model_path, output_path)
+    click.echo(f"Exported generator to {path}")
+
+
+# ---------------------------------------------------------------------------
+# checkpoint inspection
+
+
+@main.group()
+def checkpoint():
+    """Inspect or edit checkpoints."""
+
+
+@checkpoint.command()
+@click.argument("checkpoint_path", type=click.Path(exists=True, path_type=Path))
+@click.option("--show-config/--no-show-config", default=True)
+@click.option("--show-architecture", is_flag=True)
+def inspect(checkpoint_path, show_config, show_architecture):
+    """Print checkpoint metadata, config, and parameter counts."""
+    from everyvoice_tpu.train.checkpoint import inspect_checkpoint
+
+    click.echo(inspect_checkpoint(checkpoint_path, show_config, show_architecture))
+
+
+@checkpoint.command("rename-speaker")
+@click.argument("checkpoint_path", type=click.Path(exists=True, path_type=Path))
+@click.argument("old_name")
+@click.argument("new_name")
+@click.argument("output_path", type=click.Path(path_type=Path))
+def rename_speaker_cmd(checkpoint_path, old_name, new_name, output_path):
+    """Rename a speaker in a checkpoint's speaker2id table."""
+    from everyvoice_tpu.train.checkpoint import rename_speaker
+
+    rename_speaker(checkpoint_path, old_name, new_name, output_path)
+    click.echo(f"Wrote {output_path}")
+
+
+# ---------------------------------------------------------------------------
+# g2p
+
+
+@main.command()
+@click.argument("lang_id")
+@click.argument("text")
+def g2p(lang_id, text):
+    """Convert text to phones with the G2P engine for LANG_ID."""
+    from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+    engine = get_g2p_engine(lang_id)
+    click.echo(" ".join(engine(text)))
+
+
+# ---------------------------------------------------------------------------
+# check
+
+
+@main.group()
+def check():
+    """Data and configuration checks."""
+
+
+@check.command("text-config")
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+@click.option("-f", "--filelist", type=click.Path(exists=True, path_type=Path),
+              required=True)
+def check_text_config(config_path, filelist):
+    """Report symbols found in the data but missing from the config."""
+    from collections import Counter
+
+    from everyvoice_tpu.config import TextConfig
+    from everyvoice_tpu.text import TextProcessor
+    from everyvoice_tpu.utils import generic_psv_filelist_reader, load_config_file
+
+    data = load_config_file(config_path)
+    config = TextConfig(**data)
+    tp = TextProcessor(config)
+    missing: Counter = Counter()
+    for row in generic_psv_filelist_reader(filelist):
+        text = row.get("characters") or row.get("text") or ""
+        normalized = tp.normalize_text(text)
+        for sym in tp.get_missing_symbols(normalized, quiet=True):
+            missing[sym] += 1
+    if not missing:
+        click.echo("No missing symbols — your configuration covers the data.")
+    else:
+        click.echo("Missing symbols (symbol: count):")
+        for sym, count in missing.most_common():
+            click.echo(f"  {sym!r}: {count}")
+        sys.exit(1)
+
+
+@check.command("data")
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+def check_data(config_path):
+    """Check each preprocessed item's losses with a briefly-trained model."""
+    raise click.ClickException(
+        "check data requires a trained checkpoint; not implemented yet."
+    )
+
+
+# ---------------------------------------------------------------------------
+# update-schemas
+
+
+@main.command("update-schemas")
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              default=Path("everyvoice_tpu/.schema"))
+def update_schemas(output_dir):
+    """Export versioned JSON schemas for every config type."""
+    from everyvoice_tpu import CONFIG_SCHEMA_VERSION
+    from everyvoice_tpu.config import PreprocessingConfig, TextConfig
+    from everyvoice_tpu.models.fs2.config import FastSpeech2Config
+    from everyvoice_tpu.models.hifigan.config import HiFiGANConfig
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    schemas = {
+        "everyvoice-shared-data": PreprocessingConfig,
+        "everyvoice-shared-text": TextConfig,
+        "everyvoice-text-to-spec": FastSpeech2Config,
+        "everyvoice-spec-to-wav": HiFiGANConfig,
+    }
+    for name, cls in schemas.items():
+        path = output_dir / f"{name}-{CONFIG_SCHEMA_VERSION}.json"
+        path.write_text(
+            json.dumps(cls.model_json_schema(), indent=2, ensure_ascii=False)
+            + "\n",
+            encoding="utf8",
+        )
+        click.echo(str(path))
+
+
+# ---------------------------------------------------------------------------
+# demo / evaluate / segment / fetch-pretrained
+
+
+@main.command()
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("--vocoder-path", type=click.Path(exists=True, path_type=Path),
+              default=None)
+@click.option("--port", default=7860)
+@click.option("--server-name", default="0.0.0.0")
+@click.option("--allowlist", type=click.Path(path_type=Path), default=None)
+@click.option("--denylist", type=click.Path(path_type=Path), default=None)
+def demo(model_path, vocoder_path, port, server_name, allowlist, denylist):
+    """Serve an interactive synthesis demo over HTTP."""
+    from everyvoice_tpu.demo.app import create_demo_app
+
+    app = create_demo_app(
+        model_path, vocoder_path, allowlist=allowlist, denylist=denylist
+    )
+    click.echo(f"Serving demo at http://{server_name}:{port}")
+    app.serve(host=server_name, port=port)
+
+
+@main.command()
+@click.argument("wav_dir", type=click.Path(exists=True, path_type=Path))
+@click.option("-o", "--output", type=click.Path(path_type=Path),
+              default=Path("evaluation.json"))
+def evaluate(wav_dir, output):
+    """Objective evaluation (SQUIM STOI/PESQ/SI-SDR) of synthesized wavs."""
+    from everyvoice_tpu.evaluation import evaluate_directory
+
+    results = evaluate_directory(wav_dir)
+    Path(output).write_text(json.dumps(results, indent=1), encoding="utf8")
+    click.echo(f"Wrote {output}")
+
+
+@main.group()
+def segment():
+    """Align and segment long audio with a CTC aligner."""
+
+
+@segment.command("align")
+@click.argument("audio", type=click.Path(exists=True, path_type=Path))
+@click.argument("transcript", type=click.Path(exists=True, path_type=Path))
+@click.option("-o", "--output", type=click.Path(path_type=Path),
+              default=Path("alignment.TextGrid"))
+def segment_align(audio, transcript, output):
+    """CTC-align a transcript against long audio, producing a TextGrid."""
+    from everyvoice_tpu.models.aligner.segment import align_long_audio
+
+    align_long_audio(audio, transcript, output)
+    click.echo(f"Wrote {output}")
+
+
+@main.command("fetch-pretrained")
+@click.argument("model_kind", type=click.Choice(list(MODEL_CONFIGS)))
+def fetch_pretrained(model_kind):
+    """Download pretrained components (requires network access)."""
+    raise click.ClickException(
+        "This environment has no network egress; place pretrained "
+        "checkpoints manually and reference them from your config."
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Host-side data pipeline feeding padded, static-shape numpy batches to the
+jitted training steps (parity: everyvoice/dataloader/__init__.py +
+imbalanced_sampler.py, re-designed for XLA's static-shape model: every batch
+of an epoch has identical shapes, so one compilation serves the whole run).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from everyvoice_tpu.config.type_definitions import TargetTrainingTextRepresentationLevel
+from everyvoice_tpu.logger import logger
+from everyvoice_tpu.preprocessor.preprocessor import FILENAME_SEP
+from everyvoice_tpu.text import TextProcessor
+from everyvoice_tpu.text.lookups import lookuptables_from_data
+
+
+def imbalanced_sample_weights(
+    labels: Sequence[str],
+) -> np.ndarray:
+    """Inverse-label-frequency weights for oversampling under-represented
+    speakers/languages (reference dataloader/imbalanced_sampler.py:14-68)."""
+    labels = list(labels)
+    counts: dict = {}
+    for label in labels:
+        counts[label] = counts.get(label, 0) + 1
+    weights = np.asarray([1.0 / counts[label] for label in labels], np.float64)
+    return weights / weights.sum()
+
+
+class FastSpeech2Dataset:
+    """Loads preprocessed artifacts for the feature-prediction model."""
+
+    def __init__(
+        self,
+        filelist: list,
+        config,
+        lang2id: dict,
+        speaker2id: dict,
+        text_processor: Optional[TextProcessor] = None,
+    ):
+        self.config = config
+        self.save_dir = Path(config.preprocessing.save_dir)
+        self.audio_config = config.preprocessing.audio
+        self.lang2id = lang2id
+        self.speaker2id = speaker2id
+        self.text_processor = text_processor or TextProcessor(config.text)
+        self.level = config.model.target_text_representation_level
+        self.learn_alignment = config.model.learn_alignment
+        self.max_frames = config.model.max_length
+        self.items = [it for it in filelist if self._usable(it)]
+        if len(self.items) < len(filelist):
+            logger.warning(
+                f"Dropped {len(filelist) - len(self.items)} filelist rows with "
+                "missing artifacts or tokens."
+            )
+        self.max_text_len = max(
+            (len(self._token_ids(it)) for it in self.items), default=1
+        )
+
+    # -- helpers -------------------------------------------------------
+    def _token_column(self) -> str:
+        if self.level == TargetTrainingTextRepresentationLevel.characters:
+            return "character_tokens"
+        return "phone_tokens"
+
+    def _token_ids(self, item: dict) -> list:
+        cached = item.get("_token_ids")
+        if cached is None:
+            joined = item.get(self._token_column()) or ""
+            cached = self.text_processor.encode_escaped_string_sequence(joined)
+            item["_token_ids"] = cached
+        return cached
+
+    def _path(self, item: dict, folder: str, fn: str) -> Path:
+        speaker = item.get("speaker") or "default"
+        language = item.get("language") or "default"
+        return (
+            self.save_dir
+            / folder
+            / FILENAME_SEP.join([item["basename"], speaker, language, fn])
+        )
+
+    def _spec_name(self) -> str:
+        spec_type = self.audio_config.spec_type
+        if not isinstance(spec_type, str):
+            spec_type = spec_type.value
+        return f"spec-{self.audio_config.input_sampling_rate}-{spec_type}.npy"
+
+    def _usable(self, item: dict) -> bool:
+        if not item.get(self._token_column()):
+            return False
+        return self._path(item, "spec", self._spec_name()).exists()
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    # -- item assembly --------------------------------------------------
+    def load_item(self, idx: int) -> dict:
+        item = self.items[idx]
+        ids = self._token_ids(item)
+        spec = np.load(self._path(item, "spec", self._spec_name()))  # (M, T)
+        mel = spec.T.astype(np.float32)  # (T, M)
+        pitch = np.load(self._path(item, "pitch", "pitch.npy")).astype(np.float32)
+        energy = np.load(self._path(item, "energy", "energy.npy")).astype(np.float32)
+        out = {
+            "basename": item["basename"],
+            "text": np.asarray(ids, np.int32),
+            "mel": mel,
+            "pitch": pitch,
+            "energy": energy,
+            "speaker_id": self.speaker2id.get(item.get("speaker") or "default", 0),
+            "language_id": self.lang2id.get(item.get("language") or "default", 0),
+        }
+        if self.learn_alignment:
+            rep = (
+                "characters"
+                if self.level == TargetTrainingTextRepresentationLevel.characters
+                else "phones"
+            )
+            prior_path = self._path(item, "attn", f"{rep}-attn-prior.npy")
+            if prior_path.exists():
+                out["attn_prior"] = np.load(prior_path).astype(np.float32)
+        else:
+            dur_path = self._path(item, "duration", "duration.npy")
+            if dur_path.exists():
+                out["durations"] = np.load(dur_path).astype(np.int32)
+        return out
+
+    # -- batching -------------------------------------------------------
+    def pad_batch(self, items: list, max_text: int, max_frames: int) -> dict:
+        b = len(items)
+        batch = {
+            "text": np.zeros((b, max_text), np.int32),
+            "text_lengths": np.zeros((b,), np.int32),
+            "mel": np.zeros((b, max_frames, items[0]["mel"].shape[1]), np.float32),
+            "mel_lengths": np.zeros((b,), np.int32),
+            "pitch": np.zeros((b, max_frames), np.float32),
+            "energy": np.zeros((b, max_frames), np.float32),
+            "speaker_id": np.zeros((b,), np.int32),
+            "language_id": np.zeros((b,), np.int32),
+            "basenames": [it["basename"] for it in items],
+        }
+        if self.learn_alignment:
+            batch["attn_prior"] = np.zeros((b, max_frames, max_text), np.float32)
+        else:
+            batch["durations"] = np.zeros((b, max_text), np.int32)
+        for i, it in enumerate(items):
+            n = min(len(it["text"]), max_text)
+            t = min(it["mel"].shape[0], max_frames)
+            batch["text"][i, :n] = it["text"][:n]
+            batch["text_lengths"][i] = n
+            batch["mel"][i, :t] = it["mel"][:t]
+            batch["mel_lengths"][i] = t
+            batch["pitch"][i, :t] = it["pitch"][:t]
+            batch["energy"][i, :t] = it["energy"][:t]
+            batch["speaker_id"][i] = it["speaker_id"]
+            batch["language_id"][i] = it["language_id"]
+            if self.learn_alignment and "attn_prior" in it:
+                batch["attn_prior"][i, :t, :n] = it["attn_prior"][:t, :n]
+            elif not self.learn_alignment and "durations" in it:
+                d = it["durations"][:n]
+                batch["durations"][i, : len(d)] = d
+        return batch
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        weights: Optional[np.ndarray] = None,
+    ) -> Iterator[dict]:
+        """Yield padded batches; every batch of an epoch has the same static
+        shape so XLA compiles the train step exactly once."""
+        n = len(self.items)
+        rng = np.random.default_rng(seed)
+        if weights is not None:
+            order = rng.choice(n, size=n, replace=True, p=weights)
+        elif shuffle:
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        max_text = self.max_text_len
+        # The model's frame axis is static (config.model.max_length), so pad
+        # every batch to it — one compilation serves the entire run.
+        max_frames = self.max_frames
+        n_batches = (
+            n // batch_size if drop_last else math.ceil(n / batch_size)
+        )
+        for bi in range(n_batches):
+            idxs = order[bi * batch_size : (bi + 1) * batch_size]
+            items = [self.load_item(int(i)) for i in idxs]
+            while len(items) < batch_size:  # pad the ragged final batch
+                items.append(items[-1])
+            yield self.pad_batch(items, max_text, max_frames)
+
+
+def it_mel_frames(dataset: FastSpeech2Dataset, idx: int) -> int:
+    item = dataset.items[idx]
+    path = dataset._path(item, "spec", dataset._spec_name())
+    return int(np.load(path, mmap_mode="r").shape[1])
+
+
+class HiFiGANDataset:
+    """Loads (mel, waveform) pairs for vocoder training. Random fixed-size
+    segment sampling happens on device inside the train step, so items are
+    padded to the epoch's max length here."""
+
+    def __init__(self, filelist: list, config, finetune: bool = False):
+        self.config = config
+        self.save_dir = Path(config.preprocessing.save_dir)
+        self.audio_config = config.preprocessing.audio
+        self.finetune = finetune
+        self.output_sr = self.audio_config.output_sampling_rate
+        self.input_sr = self.audio_config.input_sampling_rate
+        self.items = [it for it in filelist if self._usable(it)]
+
+    def _path(self, item: dict, folder: str, fn: str) -> Path:
+        speaker = item.get("speaker") or "default"
+        language = item.get("language") or "default"
+        return (
+            self.save_dir
+            / folder
+            / FILENAME_SEP.join([item["basename"], speaker, language, fn])
+        )
+
+    def _spec_name(self) -> str:
+        spec_type = self.audio_config.spec_type
+        if not isinstance(spec_type, str):
+            spec_type = spec_type.value
+        folder_prefix = "synthesized_spec" if self.finetune else "spec"
+        del folder_prefix  # finetune uses a different folder, same name
+        return f"spec-{self.input_sr}-{spec_type}.npy"
+
+    def _spec_folder(self) -> str:
+        return "synthesized_spec" if self.finetune else "spec"
+
+    def _usable(self, item: dict) -> bool:
+        return (
+            self._path(item, self._spec_folder(), self._spec_name()).exists()
+            and self._path(item, "audio", f"audio-{self.output_sr}.wav").exists()
+        )
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def load_item(self, idx: int) -> dict:
+        from everyvoice_tpu.dsp import read_wav
+
+        item = self.items[idx]
+        spec = np.load(self._path(item, self._spec_folder(), self._spec_name()))
+        audio, _ = read_wav(self._path(item, "audio", f"audio-{self.output_sr}.wav"))
+        return {
+            "basename": item["basename"],
+            "mel": spec.T.astype(np.float32),  # (T, M)
+            "audio": audio[0].astype(np.float32),
+        }
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0,
+        drop_last: bool = False,
+    ) -> Iterator[dict]:
+        n = len(self.items)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        hop = self.audio_config.fft_hop_size
+        max_frames = 0
+        for i in range(n):
+            spec = np.load(
+                self._path(self.items[i], self._spec_folder(), self._spec_name()),
+                mmap_mode="r",
+            )
+            max_frames = max(max_frames, spec.shape[1])
+        max_samples = max_frames * hop * (self.output_sr // self.input_sr)
+        n_batches = n // batch_size if drop_last else math.ceil(n / batch_size)
+        for bi in range(n_batches):
+            idxs = order[bi * batch_size : (bi + 1) * batch_size]
+            items = [self.load_item(int(i)) for i in idxs]
+            while len(items) < batch_size:
+                items.append(items[-1])
+            b = len(items)
+            batch = {
+                "mel": np.zeros((b, max_frames, items[0]["mel"].shape[1]), np.float32),
+                "mel_lengths": np.zeros((b,), np.int32),
+                "audio": np.zeros((b, max_samples), np.float32),
+                "audio_lengths": np.zeros((b,), np.int32),
+                "basenames": [it["basename"] for it in items],
+            }
+            for i, it in enumerate(items):
+                t = min(it["mel"].shape[0], max_frames)
+                s = min(len(it["audio"]), max_samples)
+                batch["mel"][i, :t] = it["mel"][:t]
+                batch["mel_lengths"][i] = t
+                batch["audio"][i, :s] = it["audio"][:s]
+                batch["audio_lengths"][i] = s
+            yield batch
+
+
+def build_lookups_from_config(config) -> tuple:
+    train = config.training.filelist_loader(config.training.training_filelist)
+    val = config.training.filelist_loader(config.training.validation_filelist)
+    return lookuptables_from_data((train, val)), (train, val)

@@ -40,21 +40,27 @@ def get_segments_batched(
     lengths: jnp.ndarray,
     segment_size: int,
     key: jax.Array,
+    axis: int = 1,
+    starts: jnp.ndarray | None = None,
 ) -> tuple:
-    """Sample one segment per batch row from (B, ..., T) padded tensors,
-    respecting each row's true length. Returns (segments (B, ..., S), starts)."""
+    """Sample one segment per batch row from padded tensors, slicing along
+    `axis` (the time axis of the batched array; default 1, i.e. (B, T, ...)),
+    respecting each row's true length. Returns (segments, starts)."""
     b = batch.shape[0]
     keys = jax.random.split(key, b)
+    row_axis = axis - 1  # time axis within one row
 
-    def one(row, length, k):
+    def one(row, length, k, given_start):
         max_start = jnp.maximum(length - segment_size, 0)
-        start = jax.random.randint(k, (), 0, jnp.maximum(max_start, 1))
-        seg = jax.lax.dynamic_slice_in_dim(
-            row, start, segment_size, axis=row.ndim - 1
-        )
+        random_start = jax.random.randint(k, (), 0, jnp.maximum(max_start, 1))
+        start = random_start if given_start is None else given_start
+        seg = jax.lax.dynamic_slice_in_dim(row, start, segment_size, axis=row_axis)
         # Zero out any padding the slice may have captured for short rows.
         valid = jnp.arange(segment_size) < jnp.maximum(length - start, 0)
-        shape = [1] * (row.ndim - 1) + [segment_size]
+        shape = [1] * row.ndim
+        shape[row_axis] = segment_size
         return seg * valid.reshape(shape), start
 
-    return jax.vmap(one)(batch, lengths, keys)
+    if starts is None:
+        return jax.vmap(lambda r, l, k: one(r, l, k, None))(batch, lengths, keys)
+    return jax.vmap(lambda r, l, s: one(r, l, keys[0], s))(batch, lengths, starts)

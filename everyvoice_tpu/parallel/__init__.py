@@ -1,0 +1,11 @@
+from everyvoice_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_devices,
+    replicate_tree,
+    replicated,
+    resolve_devices,
+    shard_batch,
+)

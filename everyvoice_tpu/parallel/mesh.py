@@ -1,0 +1,105 @@
+"""Device-mesh parallelism layer.
+
+Replaces the reference's Lightning strategy/devices/nodes triple
+(base_cli/interfaces.py:76-98, NCCL DDP underneath) with one
+`jax.sharding.Mesh` abstraction: the `data` axis spans ICI within a slice
+(and DCN across slices when `nodes > 1`); a reserved `model` axis leaves
+room for tensor parallelism even though these models don't need it
+(SURVEY.md §2.8). Parameters are replicated, batches sharded over `data`,
+and XLA inserts the psum for gradient reduction — no hand-written
+collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def resolve_devices(
+    accelerator: str = "auto", devices: str | int = "auto"
+) -> list:
+    """Map the reference CLI's --accelerator/--devices flags onto jax
+    devices ('auto' prefers TPU, falls back to CPU)."""
+    if accelerator in ("auto", "tpu", "gpu"):
+        try:
+            devs = jax.devices()
+        except RuntimeError:
+            devs = jax.devices("cpu")
+        if accelerator == "auto" and devs and devs[0].platform == "cpu":
+            devs = jax.devices("cpu")
+    elif accelerator == "cpu":
+        devs = jax.devices("cpu")
+    else:
+        devs = jax.devices()
+    if devices not in ("auto", None):
+        devs = devs[: int(devices)]
+    return devs
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data_parallel: Optional[int] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh. With model_parallel=1 this is pure DP."""
+    if devices is None:
+        devices = resolve_devices()
+    devices = list(devices)
+    if data_parallel is None:
+        data_parallel = len(devices) // model_parallel
+    used = devices[: data_parallel * model_parallel]
+    grid = np.asarray(used).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split over the data axis; rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict onto the mesh, batch axis over `data`.
+    Non-array entries (basenames) pass through untouched."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray):
+            out[key] = jax.device_put(value, sharding)
+        elif hasattr(value, "shape"):
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = value
+    return out
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
+    """Ensure the batch axis divides the data-axis size by repeating the
+    final rows (rows are masked by *_lengths downstream)."""
+    first = next(v for v in batch.values() if isinstance(v, np.ndarray))
+    b = first.shape[0]
+    remainder = b % n_devices
+    if remainder == 0:
+        return batch
+    pad = n_devices - remainder
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.shape[:1] == (b,):
+            out[key] = np.concatenate([value, value[-pad:]], axis=0)
+        else:
+            out[key] = value
+    return out

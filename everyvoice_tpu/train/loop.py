@@ -1,0 +1,537 @@
+"""Training harness: jitted data-parallel train loops for the model zoo
+(role parity: everyvoice/base_cli/helpers.py:173 train_base_command +
+Lightning Trainer, rebuilt as explicit functional JAX loops).
+
+Shared mechanics: mesh data parallelism (params replicated, batch sharded,
+XLA-inserted gradient psum), checkpoint-last + top-k-monitored retention,
+metrics JSONL + hparams.yaml in the reference's
+`<save_dir>/<name>/<version>/<sub_dir>` layout, and three-way resume
+semantics (fresh / finetune weights-only / full state).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from everyvoice_tpu.logger import logger
+from everyvoice_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate_tree,
+    shard_batch,
+)
+from everyvoice_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from everyvoice_tpu.train.optim import build_optimizer
+
+
+class TrainerBase:
+    model_name = "Base"
+    monitor = "validation/total"
+
+    def __init__(self, config, mesh=None, run_dir: Optional[Path] = None):
+        self.config = config
+        self.training_config = config.training
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        if run_dir is None:
+            lc = config.training.logger
+            run_dir = Path(lc.save_dir) / lc.name / lc.version / lc.sub_dir
+        self.run_dir = Path(run_dir)
+        self.ckpt_dir = self.run_dir / "checkpoints"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.metrics_path = self.run_dir / "metrics.jsonl"
+        self.global_step = 0
+        self.epoch = 0
+        self._topk: list = []  # (metric_value, path)
+        self.save_hparams()
+
+    # -- bookkeeping -----------------------------------------------------
+    def save_hparams(self):
+        import yaml
+
+        with open(self.run_dir / "hparams.yaml", "w", encoding="utf8") as f:
+            yaml.safe_dump(self.config.model_checkpoint_dump(), f, allow_unicode=True)
+
+    def log_metrics(self, metrics: dict, step: int):
+        record = {"step": step, "epoch": self.epoch, "time": time.time()}
+        record.update(
+            {k: float(v) for k, v in metrics.items() if np.isscalar(v) or hasattr(v, "item")}
+        )
+        with open(self.metrics_path, "a", encoding="utf8") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def maybe_checkpoint(self, metric_value: float, params, opt_state, extra=None):
+        keep = self.training_config.save_top_k_ckpts
+        last_path = self.ckpt_dir / "last.ckpt"
+        self._save(last_path, params, opt_state, extra)
+        if keep <= 0:
+            return
+        tagged = self.ckpt_dir / (
+            f"epoch={self.epoch}-step={self.global_step}-"
+            f"loss={metric_value:.4f}.ckpt"
+        )
+        self._save(tagged, params, opt_state, extra)
+        self._topk.append((metric_value, tagged))
+        self._topk.sort(key=lambda pair: pair[0])
+        while len(self._topk) > keep:
+            _, worst = self._topk.pop()
+            worst.unlink(missing_ok=True)
+
+    def _save(self, path, params, opt_state, extra=None):
+        save_checkpoint(
+            path,
+            self.model_name,
+            self.config,
+            params,
+            step=self.global_step,
+            epoch=self.epoch,
+            opt_state=opt_state,
+            lang2id=getattr(self, "lang2id", None),
+            speaker2id=getattr(self, "speaker2id", None),
+            stats=getattr(self, "stats", None),
+            extra=extra,
+        )
+
+    def load_finetune_checkpoint(self, params):
+        """Weights-only restore from training.finetune_checkpoint
+        (the reference's config-diff-gated resume, base_cli/helpers.py:278)."""
+        path = self.training_config.finetune_checkpoint
+        if path is None:
+            return params, None
+        ckpt = load_checkpoint(path)
+        if ckpt["model_info"]["name"] != self.model_name:
+            raise ValueError(
+                f"Checkpoint is a {ckpt['model_info']['name']}; expected "
+                f"{self.model_name}"
+            )
+        self.global_step = ckpt.get("global_step", 0)
+        self.epoch = ckpt.get("epoch", 0)
+        return ckpt["state_dict"], ckpt.get("optimizer_states")
+
+
+class FastSpeech2Trainer(TrainerBase):
+    model_name = "FastSpeech2"
+
+    def __init__(self, config, dataset, val_dataset, lang2id, speaker2id,
+                 stats=None, mesh=None, run_dir=None):
+        super().__init__(config, mesh=mesh, run_dir=run_dir)
+        from everyvoice_tpu.models.fs2.model import FastSpeech2
+
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.lang2id = lang2id
+        self.speaker2id = speaker2id
+        self.stats = stats or {}
+        self.model = FastSpeech2.from_config(
+            config,
+            n_symbols=len(dataset.text_processor.symbols),
+            n_speakers=max(len(speaker2id), 1),
+            n_langs=max(len(lang2id), 1),
+        )
+        self.optimizer = build_optimizer(config.training.optimizer, self.model.dim)
+        self._train_step = None
+        self._eval_step = None
+
+    # -- jitted steps -----------------------------------------------------
+    def _loss_weights(self) -> dict:
+        t = self.training_config
+        return {
+            "mel": t.mel_loss_weight,
+            "postnet": t.postnet_loss_weight,
+            "pitch": t.pitch_loss_weight,
+            "energy": t.energy_loss_weight,
+            "duration": t.duration_loss_weight,
+            "attn_ctc": t.attn_ctc_loss_weight,
+            "attn_bin": t.attn_bin_loss_weight,
+        }
+
+    def _model_kwargs(self, batch: dict) -> dict:
+        kwargs = dict(
+            mel=batch["mel"],
+            mel_lengths=batch["mel_lengths"],
+            pitch=batch["pitch"],
+            energy=batch["energy"],
+            speaker_id=batch["speaker_id"],
+            language_id=batch["language_id"],
+        )
+        if "attn_prior" in batch:
+            kwargs["attn_prior"] = batch["attn_prior"]
+        if "durations" in batch:
+            kwargs["durations"] = batch["durations"]
+        return kwargs
+
+    def build_steps(self):
+        from everyvoice_tpu.models.fs2.loss import compute_fs2_losses
+
+        model = self.model
+        optimizer = self.optimizer
+        weights = self._loss_weights()
+        learn_alignment = self.config.model.learn_alignment
+        mel_kind = self.config.model.mel_loss.value
+        model_kwargs = self._model_kwargs
+
+        def loss_fn(params, batch, rng, bin_ramp, deterministic):
+            out = model.apply(
+                params,
+                batch["text"],
+                batch["text_lengths"],
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": rng},
+                **model_kwargs(batch),
+            )
+            losses = compute_fs2_losses(
+                out, batch, weights, mel_loss_kind=mel_kind,
+                learn_alignment=learn_alignment, bin_loss_ramp=bin_ramp,
+            )
+            return losses["total"], losses
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng, bin_ramp):
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng, bin_ramp, False
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        @jax.jit
+        def eval_step(params, batch):
+            _, losses = loss_fn(params, batch, jax.random.PRNGKey(0), 1.0, True)
+            return losses
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def init_params(self, rng=None):
+        rng = rng or jax.random.PRNGKey(0)
+        batch = next(self.dataset.batches(2, shuffle=False))
+        params = self.model.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(batch["text"]),
+            jnp.asarray(batch["text_lengths"]),
+            **{
+                k: jnp.asarray(v)
+                for k, v in self._model_kwargs(batch).items()
+            },
+        )
+        return params
+
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
+        t = self.training_config
+        max_steps = max_steps if max_steps is not None else t.max_steps
+        self.build_steps()
+        params = self.init_params()
+        params, opt_restore = self.load_finetune_checkpoint(params)
+        opt_state = self.optimizer.init(params)
+        if opt_restore is not None:
+            from flax import serialization
+
+            opt_state = serialization.from_state_dict(opt_state, opt_restore)
+        params = replicate_tree(params, self.mesh)
+        opt_state = replicate_tree(opt_state, self.mesh)
+        rng = jax.random.PRNGKey(t.logger.name.__hash__() % (2**31))
+
+        val_interval = t.val_check_interval or 500
+        stop = False
+        while not stop and self.epoch < t.max_epochs:
+            seed = self.epoch
+            weights = None
+            if t.use_weighted_sampler:
+                from everyvoice_tpu.dataloader import imbalanced_sample_weights
+
+                labels = [
+                    f'{it.get("language")}/{it.get("speaker")}'
+                    for it in self.dataset.items
+                ]
+                weights = imbalanced_sample_weights(labels)
+            for batch in self.dataset.batches(
+                t.batch_size, shuffle=True, seed=seed, drop_last=True,
+                weights=weights,
+            ):
+                batch = pad_batch_to_devices(batch, self.n_devices)
+                batch.pop("basenames", None)
+                sharded = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                bin_ramp = min(
+                    1.0, (self.epoch + 1) / t.attn_bin_loss_warmup_epochs
+                )
+                params, opt_state, losses = self._train_step(
+                    params, opt_state, sharded, step_rng, bin_ramp
+                )
+                self.global_step += 1
+                if self.global_step % log_every == 0:
+                    self.log_metrics(
+                        {f"training/{k}": v for k, v in losses.items()},
+                        self.global_step,
+                    )
+                if self.global_step % val_interval == 0 or (
+                    self.global_step >= max_steps
+                ):
+                    val = self.validate(params)
+                    self.log_metrics(
+                        {f"validation/{k}": v for k, v in val.items()},
+                        self.global_step,
+                    )
+                    self.maybe_checkpoint(val["total"], params, opt_state)
+                if self.global_step >= max_steps:
+                    stop = True
+                    break
+            self.epoch += 1
+        # Always leave a final checkpoint behind.
+        val = self.validate(params)
+        self.maybe_checkpoint(val["total"], params, opt_state)
+        return params
+
+    def validate(self, params) -> dict:
+        totals: dict = {}
+        count = 0
+        for batch in self.val_dataset.batches(
+            max(self.n_devices, 1), shuffle=False
+        ):
+            batch = pad_batch_to_devices(batch, self.n_devices)
+            batch.pop("basenames", None)
+            losses = self._eval_step(params, shard_batch(batch, self.mesh))
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+
+class HiFiGANTrainer(TrainerBase):
+    model_name = "HiFiGAN"
+
+    def __init__(self, config, dataset, val_dataset, mesh=None, run_dir=None):
+        super().__init__(config, mesh=mesh, run_dir=run_dir)
+        from everyvoice_tpu.models.hifigan.model import (
+            HiFiGANGenerator,
+            MultiPeriodDiscriminator,
+            MultiScaleDiscriminator,
+        )
+
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.generator = HiFiGANGenerator.from_config(config)
+        self.mpd = MultiPeriodDiscriminator(periods=tuple(config.model.mpd_layers))
+        self.msd = MultiScaleDiscriminator(n_scales=config.model.msd_layers)
+        self.gen_opt = build_optimizer(config.training.optimizer)
+        self.disc_opt = build_optimizer(config.training.optimizer)
+        self.gan_type = config.training.gan_type.value
+        self.wgan_clip = config.training.wgan_clip_value
+        self.audio_config = config.preprocessing.audio
+        self._train_step = None
+
+    def build_steps(self):
+        from everyvoice_tpu.dsp import get_spectral_transform
+        from everyvoice_tpu.dsp.segments import get_segments_batched
+        from everyvoice_tpu.dsp.spectral import dynamic_range_compression
+        from everyvoice_tpu.models.hifigan.loss import (
+            FEATURE_MATCHING_WEIGHT,
+            MEL_LOSS_WEIGHT,
+            discriminator_loss,
+            feature_matching_loss,
+            generator_adversarial_loss,
+            mel_l1_loss,
+        )
+
+        a = self.audio_config
+        rate_ratio = a.output_sampling_rate // a.input_sampling_rate
+        hop = a.fft_hop_size * rate_ratio  # output-rate samples per mel frame
+        segment = a.vocoder_segment_size
+        seg_frames = segment // hop
+        spec_type = a.spec_type if isinstance(a.spec_type, str) else a.spec_type.value
+        mel_fn = get_spectral_transform(
+            spec_type, a.n_fft, a.fft_window_size, hop,
+            a.output_sampling_rate, a.n_mels, a.f_min, a.f_max,
+        )
+        generator, mpd, msd = self.generator, self.mpd, self.msd
+        gen_opt, disc_opt = self.gen_opt, self.disc_opt
+        gan_type, wgan_clip = self.gan_type, self.wgan_clip
+
+        def sample_segments(batch, rng):
+            mel_segs, starts = get_segments_batched(
+                batch["mel"], batch["mel_lengths"], seg_frames, rng
+            )
+            audio = batch["audio"]
+            audio_starts = starts * hop
+
+            def slice_one(row, start, length):
+                seg = jax.lax.dynamic_slice_in_dim(row, start, segment)
+                valid = jnp.arange(segment) < jnp.maximum(length - start, 0)
+                return seg * valid
+
+            audio_segs = jax.vmap(slice_one)(
+                audio, audio_starts, batch["audio_lengths"]
+            )
+            return mel_segs, audio_segs
+
+        def gen_loss_fn(gen_params, disc_params, mel_segs, audio_segs, gan_on):
+            fake = generator.apply(gen_params, mel_segs)
+            mel_fake = dynamic_range_compression(mel_fn(fake))
+            mel_real = dynamic_range_compression(mel_fn(audio_segs))
+            loss_mel = mel_l1_loss(mel_real, mel_fake)
+            mpd_r, mpd_fr = mpd.apply(disc_params["mpd"], audio_segs)
+            mpd_f, mpd_ff = mpd.apply(disc_params["mpd"], fake)
+            msd_r, msd_fr = msd.apply(disc_params["msd"], audio_segs)
+            msd_f, msd_ff = msd.apply(disc_params["msd"], fake)
+            loss_adv = generator_adversarial_loss(mpd_f + msd_f, gan_type)
+            loss_fm = feature_matching_loss(mpd_fr + msd_fr, mpd_ff + msd_ff)
+            total = MEL_LOSS_WEIGHT * loss_mel + gan_on * (
+                loss_adv + FEATURE_MATCHING_WEIGHT * loss_fm
+            )
+            return total, {
+                "gen/mel": loss_mel, "gen/adv": loss_adv, "gen/fm": loss_fm,
+                "gen/total": total,
+            }
+
+        def disc_loss_fn(disc_params, gen_params, mel_segs, audio_segs):
+            fake = jax.lax.stop_gradient(generator.apply(gen_params, mel_segs))
+            mpd_r, _ = mpd.apply(disc_params["mpd"], audio_segs)
+            mpd_f, _ = mpd.apply(disc_params["mpd"], fake)
+            msd_r, _ = msd.apply(disc_params["msd"], audio_segs)
+            msd_f, _ = msd.apply(disc_params["msd"], fake)
+            loss = discriminator_loss(mpd_r + msd_r, mpd_f + msd_f, gan_type)
+            return loss, {"disc/total": loss}
+
+        @jax.jit
+        def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
+                       batch, rng, gan_on):
+            rng_seg, _ = jax.random.split(rng)
+            mel_segs, audio_segs = sample_segments(batch, rng_seg)
+            # --- discriminator step (skipped content-wise when gan_on=0 by
+            # zeroing its gradient contribution)
+            (d_loss, d_metrics), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(disc_params, gen_params, mel_segs, audio_segs)
+            d_grads = jax.tree.map(lambda g: g * gan_on, d_grads)
+            d_updates, disc_opt_state = disc_opt.update(
+                d_grads, disc_opt_state, disc_params
+            )
+            disc_params = optax.apply_updates(disc_params, d_updates)
+            if gan_type == "wgan":
+                disc_params = jax.tree.map(
+                    lambda p: jnp.clip(p, -wgan_clip, wgan_clip), disc_params
+                )
+            # --- generator step
+            (g_loss, g_metrics), g_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True
+            )(gen_params, disc_params, mel_segs, audio_segs, gan_on)
+            g_updates, gen_opt_state = gen_opt.update(
+                g_grads, gen_opt_state, gen_params
+            )
+            gen_params = optax.apply_updates(gen_params, g_updates)
+            metrics = {**d_metrics, **g_metrics}
+            return gen_params, disc_params, gen_opt_state, disc_opt_state, metrics
+
+        @jax.jit
+        def eval_step(gen_params, batch, rng):
+            mel_segs, audio_segs = sample_segments(batch, rng)
+            fake = generator.apply(gen_params, mel_segs)
+            mel_fake = dynamic_range_compression(mel_fn(fake))
+            mel_real = dynamic_range_compression(mel_fn(audio_segs))
+            return {"total": mel_l1_loss(mel_real, mel_fake)}
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def init_params(self, rng=None):
+        rng = rng or jax.random.PRNGKey(0)
+        a = self.audio_config
+        seg_frames = a.vocoder_segment_size // a.fft_hop_size
+        mel = jnp.zeros((2, seg_frames, a.n_mels))
+        wav = jnp.zeros((2, a.vocoder_segment_size))
+        gen_params = self.generator.init(rng, mel)
+        disc_params = {
+            "mpd": self.mpd.init(rng, wav),
+            "msd": self.msd.init(rng, wav),
+        }
+        return gen_params, disc_params
+
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
+        t = self.training_config
+        max_steps = max_steps if max_steps is not None else t.max_steps
+        self.build_steps()
+        gen_params, disc_params = self.init_params()
+        if t.finetune_checkpoint is not None:
+            ckpt = load_checkpoint(t.finetune_checkpoint)
+            state = ckpt["state_dict"]
+            gen_params = state.get("generator", gen_params)
+            disc_params = state.get("discriminators", disc_params)
+            self.global_step = ckpt.get("global_step", 0)
+        gen_params = replicate_tree(gen_params, self.mesh)
+        disc_params = replicate_tree(disc_params, self.mesh)
+        gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
+        disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
+        rng = jax.random.PRNGKey(42)
+
+        val_interval = t.val_check_interval or 500
+        stop = False
+        while not stop and self.epoch < t.max_epochs:
+            for batch in self.dataset.batches(
+                t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+            ):
+                batch = pad_batch_to_devices(batch, self.n_devices)
+                batch.pop("basenames", None)
+                sharded = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                gan_on = 1.0 if self.global_step >= t.generator_warmup_steps else 0.0
+                (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                 metrics) = self._train_step(
+                    gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    sharded, step_rng, gan_on,
+                )
+                self.global_step += 1
+                if self.global_step % log_every == 0:
+                    self.log_metrics(
+                        {f"training/{k}": v for k, v in metrics.items()},
+                        self.global_step,
+                    )
+                if self.global_step % val_interval == 0 or (
+                    self.global_step >= max_steps
+                ):
+                    val = self.validate(gen_params)
+                    self.log_metrics(
+                        {f"validation/{k}": v for k, v in val.items()},
+                        self.global_step,
+                    )
+                    self.maybe_checkpoint(
+                        val["total"],
+                        {"generator": gen_params, "discriminators": disc_params},
+                        {"gen": gen_opt_state, "disc": disc_opt_state},
+                    )
+                if self.global_step >= max_steps:
+                    stop = True
+                    break
+            self.epoch += 1
+        val = self.validate(gen_params)
+        self.maybe_checkpoint(
+            val["total"],
+            {"generator": gen_params, "discriminators": disc_params},
+            {"gen": gen_opt_state, "disc": disc_opt_state},
+        )
+        return gen_params, disc_params
+
+    def validate(self, gen_params) -> dict:
+        totals: dict = {}
+        count = 0
+        rng = jax.random.PRNGKey(7)
+        for batch in self.val_dataset.batches(
+            max(self.n_devices, 1), shuffle=False
+        ):
+            batch = pad_batch_to_devices(batch, self.n_devices)
+            batch.pop("basenames", None)
+            losses = self._eval_step(
+                gen_params, shard_batch(batch, self.mesh), rng
+            )
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in totals.items()}

@@ -1,0 +1,60 @@
+"""Optimizer factory: pydantic optimizer configs → optax transforms
+(parity: the reference's Adam/AdamW/RMS/Noam options,
+config/shared_types.py:276-316)."""
+
+from __future__ import annotations
+
+import optax
+
+from everyvoice_tpu.config.shared_types import (
+    AdamOptimizer,
+    AdamWOptimizer,
+    NoamOptimizer,
+    RMSOptimizer,
+)
+
+
+def noam_schedule(
+    base_lr: float, warmup_steps: int, model_dim: int = 256
+) -> optax.Schedule:
+    """Noam (Attention-Is-All-You-Need) LR: base · d^-0.5 ·
+    min(step^-0.5, step · warmup^-1.5)."""
+    scale = base_lr * (model_dim**-0.5)
+
+    def schedule(step):
+        step = step + 1  # 1-indexed to avoid 0^-0.5
+        import jax.numpy as jnp
+
+        return scale * jnp.minimum(
+            step ** -0.5, step * (warmup_steps ** -1.5)
+        )
+
+    return schedule
+
+
+def build_optimizer(optimizer_config, model_dim: int = 256) -> optax.GradientTransformation:
+    cfg = optimizer_config
+    if isinstance(cfg, NoamOptimizer):
+        return optax.adamw(
+            learning_rate=noam_schedule(cfg.learning_rate, cfg.warmup_steps, model_dim),
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    if isinstance(cfg, AdamWOptimizer):
+        return optax.adamw(
+            learning_rate=cfg.learning_rate,
+            b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    if isinstance(cfg, AdamOptimizer):
+        return optax.adam(
+            learning_rate=cfg.learning_rate,
+            b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+        )
+    if isinstance(cfg, RMSOptimizer):
+        return optax.rmsprop(
+            learning_rate=cfg.learning_rate, decay=cfg.alpha, eps=cfg.eps,
+        )
+    raise ValueError(f"Unknown optimizer config: {type(cfg)}")

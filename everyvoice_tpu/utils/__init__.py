@@ -256,8 +256,17 @@ def sniff_and_return_filelist_data(path: Path | str):
         f.seek(0)
         if festival_pattern.search(head):
             return read_festival(path)
-        dialect = csv.Sniffer().sniff(head)
-        return list(csv.DictReader(f, dialect=dialect))
+        try:
+            dialect = csv.Sniffer().sniff(head, delimiters="|,\t;")
+            return list(csv.DictReader(f, dialect=dialect))
+        except csv.Error:
+            # Sniffer gives up on some perfectly regular files; fall back to
+            # the most common delimiter present in the header line.
+            first_line = head.splitlines()[0] if head else ""
+            for delim in ("|", "\t", ",", ";"):
+                if delim in first_line:
+                    return list(csv.DictReader(f, delimiter=delim))
+            raise
 
 
 # ---------------------------------------------------------------------------

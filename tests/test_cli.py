@@ -1,0 +1,172 @@
+"""CLI surface tests (model: reference everyvoice/tests/test_cli.py)."""
+
+import json
+from pathlib import Path
+
+import pytest
+from click.testing import CliRunner
+
+from everyvoice_tpu.cli import main
+from model_stubs import (
+    get_dummy_fs2_checkpoint,
+    get_dummy_hifigan_checkpoint,
+)
+
+EXPECTED_COMMANDS = [
+    "check", "checkpoint", "demo", "evaluate", "export", "fetch-pretrained",
+    "g2p", "new-project", "preprocess", "segment", "synthesize", "train",
+    "update-schemas",
+]
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return CliRunner()
+
+
+@pytest.fixture(scope="module")
+def dummy_ckpts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stub_ckpts")
+    return {
+        "fs2": get_dummy_fs2_checkpoint(tmp),
+        "hifigan": get_dummy_hifigan_checkpoint(tmp),
+        "generator": get_dummy_hifigan_checkpoint(tmp, generator_only=True),
+    }
+
+
+class TestHelp:
+    def test_all_commands_listed(self, runner):
+        result = runner.invoke(main, ["--help"])
+        assert result.exit_code == 0
+        for command in EXPECTED_COMMANDS:
+            assert command in result.output, command
+
+    def test_subcommand_help(self, runner):
+        for args in (["train", "--help"], ["synthesize", "--help"],
+                     ["checkpoint", "--help"], ["check", "--help"]):
+            result = runner.invoke(main, args)
+            assert result.exit_code == 0, args
+
+    def test_train_groups(self, runner):
+        result = runner.invoke(main, ["train", "--help"])
+        for kind in ("text-to-spec", "spec-to-wav", "text-to-wav"):
+            assert kind in result.output
+
+
+class TestCheckpointCommands:
+    def test_inspect(self, runner, dummy_ckpts):
+        result = runner.invoke(
+            main, ["checkpoint", "inspect", str(dummy_ckpts["fs2"])]
+        )
+        assert result.exit_code == 0
+        assert "FastSpeech2" in result.output
+        assert "default" in result.output  # speakers listed
+
+    def test_inspect_architecture(self, runner, dummy_ckpts):
+        result = runner.invoke(
+            main,
+            ["checkpoint", "inspect", str(dummy_ckpts["fs2"]),
+             "--show-architecture", "--no-show-config"],
+        )
+        assert result.exit_code == 0
+        assert "Total parameters" in result.output
+
+    def test_rename_speaker(self, runner, dummy_ckpts, tmp_path):
+        out = tmp_path / "renamed.ckpt"
+        result = runner.invoke(
+            main,
+            ["checkpoint", "rename-speaker", str(dummy_ckpts["fs2"]),
+             "default", "alice", str(out)],
+        )
+        assert result.exit_code == 0, result.output
+        check = runner.invoke(main, ["checkpoint", "inspect", str(out)])
+        assert "alice" in check.output
+
+
+class TestExport:
+    def test_export_generator(self, runner, dummy_ckpts, tmp_path):
+        out = tmp_path / "gen.ckpt"
+        result = runner.invoke(
+            main, ["export", "spec-to-wav", str(dummy_ckpts["hifigan"]), str(out)]
+        )
+        assert result.exit_code == 0, result.output
+        from everyvoice_tpu.train import load_checkpoint_header
+
+        header = load_checkpoint_header(out)
+        assert header["model_info"]["name"] == "HiFiGANGenerator"
+
+
+class TestG2P:
+    def test_eng(self, runner):
+        result = runner.invoke(main, ["g2p", "eng", "hello"])
+        assert result.exit_code == 0
+        assert "ʌ" in result.output
+
+    def test_unknown_language(self, runner):
+        result = runner.invoke(main, ["g2p", "zzz", "hello"])
+        assert result.exit_code != 0
+
+
+class TestUpdateSchemas:
+    def test_schemas_written(self, runner, tmp_path):
+        result = runner.invoke(main, ["update-schemas", "-o", str(tmp_path)])
+        assert result.exit_code == 0, result.output
+        files = sorted(p.name for p in tmp_path.glob("*.json"))
+        assert "everyvoice-text-to-spec-0.5.json" in files
+        schema = json.loads(
+            (tmp_path / "everyvoice-text-to-spec-0.5.json").read_text()
+        )
+        # Field parity with the reference's published schema
+        ref = json.loads(
+            Path(
+                "/root/reference/everyvoice/.schema/everyvoice-text-to-spec-0.5.json"
+            ).read_text()
+        )
+        ref_fields = set(ref["properties"])
+        mine = set(schema["properties"])
+        assert ref_fields <= mine, ref_fields - mine
+
+
+class TestSynthesizeCLI:
+    def test_from_text_requires_input(self, runner, dummy_ckpts):
+        result = runner.invoke(
+            main, ["synthesize", "from-text", str(dummy_ckpts["fs2"])]
+        )
+        assert result.exit_code != 0
+        assert "--text" in result.output or "filelist" in result.output
+
+    def test_wav_without_vocoder_rejected(self, runner, dummy_ckpts):
+        result = runner.invoke(
+            main,
+            ["synthesize", "from-text", str(dummy_ckpts["fs2"]),
+             "-t", "hello"],
+        )
+        assert result.exit_code != 0
+        assert "vocoder" in result.output
+
+    def test_spec_output(self, runner, dummy_ckpts, tmp_path):
+        result = runner.invoke(
+            main,
+            ["synthesize", "from-text", str(dummy_ckpts["fs2"]),
+             "-t", "hello world", "-O", "spec", "-o", str(tmp_path)],
+        )
+        assert result.exit_code == 0, result.output
+        specs = list((tmp_path / "synthesized_spec").glob("*.npy"))
+        assert len(specs) == 1
+
+    def test_full_text_to_wav(self, runner, dummy_ckpts, tmp_path):
+        result = runner.invoke(
+            main,
+            ["synthesize", "from-text", str(dummy_ckpts["fs2"]),
+             "-t", "hello world", "-O", "wav",
+             "--vocoder-path", str(dummy_ckpts["generator"]),
+             "-o", str(tmp_path)],
+        )
+        assert result.exit_code == 0, result.output
+        wavs = list((tmp_path / "wav").glob("*.wav"))
+        assert len(wavs) == 1
+        from everyvoice_tpu.dsp import read_wav
+
+        audio, sr = read_wav(wavs[0])
+        assert sr == 22050
+        assert audio.shape[1] > 0

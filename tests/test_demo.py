@@ -1,0 +1,100 @@
+"""Demo server tests: drive the real HTTP surface
+(model: reference everyvoice/tests/test_demo.py + the Playwright regression
+tests, using urllib against a live server instead of a browser)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from everyvoice_tpu.demo.app import create_demo_app, normalize_text
+from model_stubs import (
+    get_dummy_fs2_checkpoint,
+    get_dummy_hifigan_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def demo_server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("demo")
+    fs2 = get_dummy_fs2_checkpoint(tmp)
+    gen = get_dummy_hifigan_checkpoint(tmp, generator_only=True)
+    denylist = tmp / "denylist.txt"
+    denylist.write_text("forbidden\n")
+    app = create_demo_app(fs2, gen, denylist=denylist)
+    server = app.make_server()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}", app
+    server.shutdown()
+
+
+def post_json(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestDemoServer:
+    def test_index_page(self, demo_server):
+        url, app = demo_server
+        with urllib.request.urlopen(url + "/") as resp:
+            body = resp.read().decode()
+        assert resp.status == 200
+        assert "Synthesize" in body
+        assert "<select id='language'>" in body.replace('"', "'")
+
+    def test_info_endpoint(self, demo_server):
+        url, app = demo_server
+        with urllib.request.urlopen(url + "/api/info") as resp:
+            info = json.loads(resp.read())
+        assert info["model"] == "FastSpeech2"
+        assert "default" in info["speakers"]
+
+    def test_successful_synthesis(self, demo_server):
+        url, app = demo_server
+        status, body = post_json(
+            url + "/api/synthesize", {"text": "hello world"}
+        )
+        assert status == 200, body
+        import base64
+
+        wav_bytes = base64.b64decode(body["wav_base64"])
+        assert wav_bytes[:4] == b"RIFF"
+
+    def test_empty_text_rejected(self, demo_server):
+        url, app = demo_server
+        status, body = post_json(url + "/api/synthesize", {"text": "  "})
+        assert status == 400
+        assert "enter some text" in body["error"]
+
+    def test_denylist_blocks(self, demo_server):
+        url, app = demo_server
+        status, body = post_json(
+            url + "/api/synthesize", {"text": "this is Forbidden speech"}
+        )
+        assert status == 400
+        assert "not allowed" in body["error"]
+
+    def test_denylist_homograph_resistant(self, demo_server):
+        url, app = demo_server
+        # Fullwidth letters normalize to the plain word via NFKC
+        status, body = post_json(
+            url + "/api/synthesize", {"text": "ｆｏｒｂｉｄｄｅｎ"}
+        )
+        assert status == 400
+
+
+class TestNormalization:
+    def test_nfkc_casefold(self):
+        assert normalize_text("ＨＥＬＬＯ") == "hello"
+        assert normalize_text("Héllo") == "hello"
+        assert normalize_text("  a   b  ") == "a b"

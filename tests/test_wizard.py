@@ -1,0 +1,160 @@
+"""Wizard tests with scripted (non-interactive) answers
+(model: reference everyvoice/tests/test_wizard.py + stubs.py)."""
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from everyvoice_tpu.wizard.main_tour import get_main_wizard_tour
+from everyvoice_tpu.wizard.steps import NameStep, write_config_package
+from everyvoice_tpu.wizard.tour import Step, StepError, Tour
+
+LJ_DATA = Path("/root/reference/everyvoice/tests/data")
+
+
+def scripted_ask(answers):
+    """Returns an ask() that pops scripted answers in order."""
+    queue = list(answers)
+
+    def ask(prompt_text, default=None, step=None):
+        if not queue:
+            raise AssertionError(f"Wizard asked an unscripted question: {prompt_text}")
+        return queue.pop(0)
+
+    return ask
+
+
+def lj_answers(tmp_path, more="no"):
+    return [
+        "Test Project",                       # name
+        "Test Runner",                        # contact name
+        "info@everyvoice.ca",                 # contact email
+        str(tmp_path),                        # output path
+        str(LJ_DATA / "metadata.psv"),        # filelist
+        "yes",                                # permissions
+        "characters",                         # representation
+        "eng",                                # language
+        str(LJ_DATA / "lj" / "wavs"),         # wav dir
+        "yes",                                # discover symbols
+        "lj",                                 # dataset name
+        more,                                 # more datasets?
+    ]
+
+
+class TestMainTour:
+    def test_full_tour_writes_project(self, tmp_path):
+        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        state = tour.run()
+        project = state["project_dir"]
+        config_dir = project / "config"
+        for fn in (
+            "everyvoice-shared-text.yaml", "everyvoice-shared-data.yaml",
+            "everyvoice-text-to-spec.yaml", "everyvoice-spec-to-wav.yaml",
+            "everyvoice-text-to-wav.yaml",
+        ):
+            assert (config_dir / fn).exists(), fn
+        assert (project / "preprocessed").is_dir()
+        assert (project / "logs_and_checkpoints").is_dir()
+        assert (project / "lj-filelist.psv").exists()
+
+    def test_written_configs_load(self, tmp_path):
+        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        state = tour.run()
+        config_dir = state["project_dir"] / "config"
+        from everyvoice_tpu.models.fs2.config import FastSpeech2Config
+        from everyvoice_tpu.models.hifigan.config import HiFiGANConfig
+        from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+
+        fs2 = FastSpeech2Config.load_config_from_path(
+            config_dir / "everyvoice-text-to-spec.yaml"
+        )
+        assert fs2.contact.contact_email == "info@everyvoice.ca"
+        assert "lj_characters" in fs2.text.symbols.model_dump()
+        HiFiGANConfig.load_config_from_path(
+            config_dir / "everyvoice-spec-to-wav.yaml"
+        )
+        StyleTTS2Config.load_config_from_path(
+            config_dir / "everyvoice-text-to-wav.yaml"
+        )
+
+    def test_symbol_discovery(self, tmp_path):
+        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        state = tour.run()
+        symbols = state["datasets"][0]["symbols"]
+        assert "a" in symbols or "e" in symbols
+        assert "." not in symbols  # punctuation excluded
+
+    def test_permission_denied_exits(self, tmp_path):
+        answers = lj_answers(tmp_path)
+        answers[5] = "no"
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        with pytest.raises(SystemExit):
+            tour.run()
+
+    def test_more_datasets_loops(self, tmp_path):
+        answers = lj_answers(tmp_path, more="yes")
+        answers += [
+            str(LJ_DATA / "metadata.psv"), "yes", "characters", "fra",
+            str(LJ_DATA / "lj" / "wavs"), "no", "second", "no",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        assert len(state["datasets"]) == 2
+        assert state["datasets"][1]["language"] == "fra"
+        # Two languages → multilingual flag set in the written model config
+        fs2 = yaml.safe_load(
+            (state["project_dir"] / "config" / "everyvoice-text-to-spec.yaml")
+            .read_text()
+        )
+        assert fs2["model"]["multilingual"] is True
+
+
+class TestTourMechanics:
+    def test_validation_retry_then_fail(self):
+        bad = ["bad email"] * 25
+
+        class EmailStep(Step):
+            def validate(self, response):
+                return "@" in str(response)
+
+        tour = Tour("t", [EmailStep(name="email")], ask=scripted_ask(bad))
+        with pytest.raises(StepError, match="20 times"):
+            tour.run()
+
+    def test_save_and_resume(self, tmp_path):
+        tour = Tour("t", [NameStep()], ask=scripted_ask(["My Project"]))
+        tour.run()
+        progress = tmp_path / "progress.yaml"
+        tour.save_progress(progress)
+        # Resume replays recorded answers without asking again.
+        tour2 = Tour("t", [NameStep()], ask=scripted_ask([]))
+        state = tour2.run(resume_from=progress)
+        assert state["name"] == "My Project"
+
+
+class TestConfigPackage:
+    def test_write_config_package_minimal(self, tmp_path):
+        state = {
+            "name": "mini",
+            "output_path": tmp_path,
+            "contact_name": "X",
+            "contact_email": "x@y.org",
+            "datasets": [
+                {
+                    "label": "d0",
+                    "language": "und",
+                    "data_dir": tmp_path,
+                    "filelist": tmp_path / "none.psv",
+                    "rows": [{"basename": "a", "characters": "hi"}],
+                    "symbols": ["h", "i"],
+                    "text_representation": "characters",
+                }
+            ],
+        }
+        out = write_config_package(state)
+        assert (out / "config" / "everyvoice-shared-data.yaml").exists()
+        data = yaml.safe_load(
+            (out / "config" / "everyvoice-shared-data.yaml").read_text()
+        )
+        assert data["source_data"][0]["label"] == "d0"

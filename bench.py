@@ -37,16 +37,22 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     text = jax.random.randint(rng, (batch, n_text), 2, 100)
     lengths = jnp.full((batch,), n_text, jnp.int32)
-    fs2_params = fs2.init({"params": rng, "dropout": rng}, text, lengths)
-    gen_params = gen.init(rng, jnp.zeros((1, max_frames, 80)))
+    fs2_params = jax.jit(fs2.init)({"params": rng, "dropout": rng}, text, lengths)
+    gen_params = jax.jit(gen.init)(rng, jnp.zeros((1, max_frames, 80)))
 
-    # Bias the duration head so the synthesized length is realistic
-    # (~7.8 frames/token ≈ full 1000-frame utterances).
+    # Calibrate the duration head so synthesized utterances fill the frame
+    # budget (~7.5 frames/token ≈ 960 of 1000 frames), making the quoted RTF
+    # reflect full-length utterances rather than mostly-padding compute.
     import flax
 
+    probe = jax.jit(lambda t, l: fs2.apply(fs2_params, t, l))(text, lengths)
+    measured = float(np.mean(np.asarray(probe["log_duration_prediction"])))
+    target = float(np.log1p(960.0 / n_text))
     fs2_params = flax.core.unfreeze(fs2_params)
     bias = fs2_params["params"]["duration_predictor"]["Dense_0"]["bias"]
-    fs2_params["params"]["duration_predictor"]["Dense_0"]["bias"] = bias + 2.1
+    fs2_params["params"]["duration_predictor"]["Dense_0"]["bias"] = (
+        bias + (target - measured)
+    )
 
     @jax.jit
     def synthesize(text, lengths):

@@ -166,10 +166,22 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
 def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
                       nodes, strategy, gradient_clip_val):
     """Train a StyleTTS2-class end-to-end model (two stages)."""
-    raise click.ClickException(
-        "StyleTTS2 training is not implemented yet in everyvoice_tpu; "
-        "train text-to-spec + spec-to-wav for the two-stage pipeline."
-    )
+    from everyvoice_tpu.dataloader import StyleTTS2Dataset
+    from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+    from everyvoice_tpu.parallel import make_mesh, resolve_devices
+    from everyvoice_tpu.text.lookups import lookuptables_from_data
+
+    config = _load_config("text-to-wav", config_path, config_args)
+    train_list = config.training.filelist_loader(config.training.training_filelist)
+    val_list = config.training.filelist_loader(config.training.validation_filelist)
+    lang2id, _ = lookuptables_from_data((train_list, val_list))
+    ds = StyleTTS2Dataset(train_list, config)
+    vds = StyleTTS2Dataset(val_list, config, text_processor=ds.text_processor)
+    mesh = make_mesh(resolve_devices(accelerator, devices))
+    trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
+                               mode=mode)
+    trainer.fit()
+    click.echo(f"Stage {mode} training complete; checkpoints at {trainer.ckpt_dir}")
 
 
 # ---------------------------------------------------------------------------
@@ -370,13 +382,86 @@ def check_text_config(config_path, filelist):
         sys.exit(1)
 
 
+@check.command("pretrained-symbols")
+@click.argument("config_path", type=click.Path(exists=True, path_type=Path))
+def check_pretrained_symbols(config_path):
+    """Compare config symbols against a frozen pretrained symbol table and
+    suggest substitutions (for StyleTTS2 finetuning)."""
+    from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+    from everyvoice_tpu.text.utils_heavy import suggest_symbol_mapping
+
+    config = StyleTTS2Config.load_config_from_path(config_path)
+    pretrained = config.pretrained.pretrained_symbols
+    if not pretrained:
+        raise click.ClickException(
+            "No pretrained_symbols declared in the config's pretrained section."
+        )
+    user_symbols = sorted(config.text.symbols.all_except_punctuation)
+    missing = [s for s in user_symbols if s not in set(pretrained)]
+    if not missing:
+        click.echo("All your symbols exist in the pretrained symbol table.")
+        return
+    click.echo(f"{len(missing)} symbol(s) are not in the pretrained table.")
+    mapping = suggest_symbol_mapping(user_symbols, pretrained)
+    click.echo("Suggested substitutions (add as to_replace rules):")
+    for user_sym, repl in sorted(mapping.items()):
+        click.echo(f"  {user_sym!r} -> {repl!r}")
+    sys.exit(1)
+
+
 @check.command("data")
 @click.argument("config_path", type=click.Path(exists=True, path_type=Path))
-def check_data(config_path):
-    """Check each preprocessed item's losses with a briefly-trained model."""
-    raise click.ClickException(
-        "check data requires a trained checkpoint; not implemented yet."
+@click.option("--model-path", type=click.Path(exists=True, path_type=Path),
+              required=True, help="A (partially) trained FastSpeech2 checkpoint.")
+@click.option("-o", "--output", type=click.Path(path_type=Path),
+              default=Path("checked-data.json"))
+def check_data(config_path, model_path, output):
+    """Score every item's losses with a trained model to find bad data
+    (parity: fs2.cli.check_data via reference check_group.py:15-50)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from everyvoice_tpu.dataloader import FastSpeech2Dataset
+    from everyvoice_tpu.models.fs2.loss import compute_fs2_losses
+    from everyvoice_tpu.models.fs2.synthesize import load_fs2_from_checkpoint
+
+    model, params, ckpt_config, tp, lang2id, speaker2id = (
+        load_fs2_from_checkpoint(model_path)
     )
+    config = _load_config("text-to-spec", config_path, ())
+    train_list = config.training.filelist_loader(config.training.training_filelist)
+    ds = FastSpeech2Dataset(train_list, config, lang2id, speaker2id,
+                            text_processor=tp)
+    rows = []
+    for i in range(len(ds)):
+        item = ds.load_item(i)
+        batch = ds.pad_batch([item], len(item["text"]), model.max_frames)
+        batch.pop("basenames")
+        out = model.apply(
+            params,
+            jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
+            mel=jnp.asarray(batch["mel"]),
+            mel_lengths=jnp.asarray(batch["mel_lengths"]),
+            attn_prior=(jnp.asarray(batch["attn_prior"])
+                        if "attn_prior" in batch else None),
+            pitch=jnp.asarray(batch["pitch"]),
+            energy=jnp.asarray(batch["energy"]),
+        )
+        losses = compute_fs2_losses(
+            out, {k: jnp.asarray(v) for k, v in batch.items()}, {},
+            learn_alignment=config.model.learn_alignment,
+        )
+        rows.append(
+            {"basename": item["basename"],
+             **{k: float(v) for k, v in losses.items()}}
+        )
+    rows.sort(key=lambda r: -r["total"])
+    Path(output).write_text(json.dumps(rows, indent=1), encoding="utf8")
+    click.echo(f"Wrote per-item loss report to {output}")
+    click.echo("Worst 5 items by total loss:")
+    for row in rows[:5]:
+        click.echo(f"  {row['basename']}: {row['total']:.4f}")
 
 
 # ---------------------------------------------------------------------------

@@ -305,3 +305,168 @@ def build_lookups_from_config(config) -> tuple:
     train = config.training.filelist_loader(config.training.training_filelist)
     val = config.training.filelist_loader(config.training.validation_filelist)
     return lookuptables_from_data((train, val)), (train, val)
+
+
+class StyleTTS2Dataset:
+    """Batches for StyleTTS2 training: text ids, mel (style ref + recon
+    target), frame-aligned F0/energy (+ token-averaged versions), durations,
+    and raw audio. Durations come from `duration/` artifacts when present
+    (aligner output), else frames are distributed uniformly over tokens — a
+    documented fallback for training without the pretrained ASR aligner."""
+
+    def __init__(self, filelist: list, config, text_processor=None):
+        from everyvoice_tpu.text import TextProcessor
+
+        self.config = config
+        self.save_dir = Path(config.preprocessing.save_dir)
+        self.audio_config = config.preprocessing.audio
+        self.text_processor = text_processor or TextProcessor(config.text)
+        self.n_symbols = len(self.text_processor.symbols)
+        self.max_frames = config.training.max_len
+        self.level = config.model.target_text_representation_level
+        self.input_sr = self.audio_config.input_sampling_rate
+        self.output_sr = self.audio_config.output_sampling_rate
+        self.items = [it for it in filelist if self._usable(it)]
+        self.max_text_len = max(
+            (len(self._token_ids(it)) for it in self.items), default=1
+        )
+
+    def _token_column(self) -> str:
+        return (
+            "character_tokens"
+            if self.level.value == "characters"
+            else "phone_tokens"
+        )
+
+    def _token_ids(self, item: dict) -> list:
+        cached = item.get("_token_ids")
+        if cached is None:
+            joined = item.get(self._token_column()) or ""
+            cached = self.text_processor.encode_escaped_string_sequence(joined)
+            item["_token_ids"] = cached
+        return cached
+
+    def _path(self, item: dict, folder: str, fn: str) -> Path:
+        speaker = item.get("speaker") or "default"
+        language = item.get("language") or "default"
+        return (
+            self.save_dir
+            / folder
+            / FILENAME_SEP.join([item["basename"], speaker, language, fn])
+        )
+
+    def _spec_name(self) -> str:
+        spec_type = self.audio_config.spec_type
+        if not isinstance(spec_type, str):
+            spec_type = spec_type.value
+        return f"spec-{self.input_sr}-{spec_type}.npy"
+
+    def _usable(self, item: dict) -> bool:
+        return (
+            bool(item.get(self._token_column()))
+            and self._path(item, "spec", self._spec_name()).exists()
+            and self._path(item, "pitch", "pitch.npy").exists()
+            and self._path(item, "audio", f"audio-{self.output_sr}.wav").exists()
+        )
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def load_item(self, idx: int) -> dict:
+        from everyvoice_tpu.dsp import read_wav
+
+        item = self.items[idx]
+        ids = np.asarray(self._token_ids(item), np.int32)
+        mel = np.load(self._path(item, "spec", self._spec_name())).T
+        pitch = np.load(self._path(item, "pitch", "pitch.npy"))
+        energy = np.load(self._path(item, "energy", "energy.npy"))
+        audio, _ = read_wav(
+            self._path(item, "audio", f"audio-{self.output_sr}.wav")
+        )
+        n_frames = mel.shape[0]
+        dur_path = self._path(item, "duration", "duration.npy")
+        if dur_path.exists():
+            durations = np.load(dur_path).astype(np.int32)[: len(ids)]
+        else:
+            base = n_frames // max(len(ids), 1)
+            durations = np.full(len(ids), base, np.int32)
+            durations[-1] += n_frames - durations.sum()
+        return {
+            "basename": item["basename"],
+            "text": ids,
+            "mel": mel.astype(np.float32),
+            "pitch": pitch.astype(np.float32),
+            "energy": energy.astype(np.float32),
+            "audio": audio[0].astype(np.float32),
+            "durations": durations,
+        }
+
+    @staticmethod
+    def _token_average(frame_values, durations):
+        out = np.zeros(len(durations), np.float32)
+        pos = 0
+        for i, d in enumerate(durations):
+            if d > 0 and pos < len(frame_values):
+                out[i] = float(np.mean(frame_values[pos : pos + d]))
+            pos += d
+        return out
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0,
+        drop_last: bool = False,
+    ) -> Iterator[dict]:
+        n = len(self.items)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        max_text = self.max_text_len
+        max_frames = self.max_frames
+        hop = self.audio_config.fft_hop_size * (self.output_sr // self.input_sr)
+        max_samples = max_frames * hop
+        n_batches = n // batch_size if drop_last else math.ceil(n / batch_size)
+        for bi in range(n_batches):
+            idxs = order[bi * batch_size : (bi + 1) * batch_size]
+            items = [self.load_item(int(i)) for i in idxs]
+            while len(items) < batch_size:
+                items.append(items[-1])
+            b = len(items)
+            n_mels = items[0]["mel"].shape[1]
+            batch = {
+                "text": np.zeros((b, max_text), np.int32),
+                "text_lengths": np.zeros((b,), np.int32),
+                "mel": np.zeros((b, max_frames, n_mels), np.float32),
+                "mel_lengths": np.zeros((b,), np.int32),
+                "f0_frames": np.zeros((b, max_frames), np.float32),
+                "energy_frames": np.zeros((b, max_frames), np.float32),
+                "f0_tokens": np.zeros((b, max_text), np.float32),
+                "energy_tokens": np.zeros((b, max_text), np.float32),
+                "durations": np.zeros((b, max_text), np.int32),
+                "audio": np.zeros((b, max_samples), np.float32),
+                "basenames": [it["basename"] for it in items],
+            }
+            for i, it in enumerate(items):
+                ntok = min(len(it["text"]), max_text)
+                t = min(it["mel"].shape[0], max_frames)
+                s = min(len(it["audio"]), max_samples)
+                batch["text"][i, :ntok] = it["text"][:ntok]
+                batch["text_lengths"][i] = ntok
+                batch["mel"][i, :t] = it["mel"][:t]
+                batch["mel_lengths"][i] = t
+                batch["f0_frames"][i, :t] = it["pitch"][:t]
+                batch["energy_frames"][i, :t] = it["energy"][:t]
+                dur = it["durations"][:ntok].copy()
+                # Clip durations so their sum fits the frame budget.
+                overflow = max(int(dur.sum()) - t, 0)
+                while overflow > 0 and dur.max() > 1:
+                    j = int(np.argmax(dur))
+                    take = min(overflow, int(dur[j]) - 1)
+                    dur[j] -= take
+                    overflow -= take
+                batch["durations"][i, :ntok] = dur
+                batch["f0_tokens"][i, :ntok] = self._token_average(
+                    it["pitch"][:t], dur
+                )
+                batch["energy_tokens"][i, :ntok] = self._token_average(
+                    it["energy"][:t], dur
+                )
+                batch["audio"][i, :s] = it["audio"][:s]
+            yield batch

@@ -236,19 +236,23 @@ def istft(
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
 
-    # Overlap-add via scatter-add of each frame into the output buffer.
-    idx = (
-        np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    ).reshape(-1)
-    sig = jax.vmap(
-        lambda fr: jnp.zeros(out_len, jnp.float32).at[idx].add(fr.reshape(-1))
-    )(flat)
+    # Overlap-add without scatter (scatter-add is slow on TPU): when
+    # hop divides n_fft, each frame splits into K = n_fft/hop hop-sized
+    # chunks, and chunk j of frame f lands at output frame-slot f+j. The OLA
+    # is then K shifted adds of dense (B, F, hop) blocks — pure vector ops.
+    assert n_fft % hop_length == 0, "iSTFT requires hop | n_fft"
+    k_overlap = n_fft // hop_length
+    chunks = flat.reshape((-1, n_frames, k_overlap, hop_length))
+    n_slots = n_frames + k_overlap - 1
+    sig = jnp.zeros((flat.shape[0], n_slots, hop_length), jnp.float32)
+    for j in range(k_overlap):
+        sig = sig.at[:, j : j + n_frames].add(chunks[:, :, j])
+    sig = sig.reshape((flat.shape[0], n_slots * hop_length))[:, :out_len]
+    # Window-sum normalization (host-precomputed, constant-folded).
     wsum = np.zeros(out_len, dtype=np.float32)
-    np.add.at(
-        wsum,
-        idx,
-        np.tile((window * window).astype(np.float32), n_frames),
-    )
+    w_sq = (window * window).astype(np.float32)
+    for f in range(n_frames):
+        wsum[f * hop_length : f * hop_length + n_fft] += w_sq
     sig = sig / jnp.asarray(np.maximum(wsum, 1e-11))
     if center:
         sig = sig[:, n_fft // 2 : out_len - n_fft // 2]

@@ -100,11 +100,14 @@ class FastSpeech2(nn.Module):
         )
 
     def _bin_embed(self, values, mask, name):
-        """Quantize z-scored variance values into n_bins and embed them."""
-        bins = jnp.linspace(
-            -self.variance_range, self.variance_range, self.n_bins - 1
-        )
-        ids = jnp.digitize(values, bins)
+        """Quantize z-scored variance values into n_bins and embed them.
+        Uniform bins mean quantization is one affine + clip — no
+        searchsorted/digitize (slow sequential lowering on TPU)."""
+        half = self.variance_range
+        scale = (self.n_bins - 1) / (2.0 * half)
+        ids = jnp.clip(
+            jnp.floor((values + half) * scale + 0.5), 0, self.n_bins - 1
+        ).astype(jnp.int32)
         emb = nn.Embed(self.n_bins, self.dim, name=name)(ids)
         return jnp.where(mask[..., None], emb, 0.0)
 

@@ -173,11 +173,13 @@ def regulate_length(
     cum = jnp.cumsum(durations, axis=1)  # (B, N)
     total = cum[:, -1]
     t = jnp.arange(max_frames)
-
-    def one(cum_row):
-        return jnp.searchsorted(cum_row, t, side="right")
-
-    idx = jax.vmap(one)(cum)  # (B, T) phone index per frame
+    # Frame t belongs to the first phone whose cumulative duration exceeds t:
+    # idx[b, t] = Σ_n [t >= cum[b, n]] — a single (B, T, N) compare+reduce,
+    # which compiles orders of magnitude faster on TPU than searchsorted's
+    # sequential lowering and runs entirely on the VPU.
+    idx = jnp.sum(
+        t[None, :, None] >= cum[:, None, :], axis=-1, dtype=jnp.int32
+    )
     idx = jnp.minimum(idx, encodings.shape[1] - 1)
     frames = jnp.take_along_axis(encodings, idx[..., None], axis=1)
     frame_mask = t[None, :] < total[:, None]

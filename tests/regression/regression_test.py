@@ -1,0 +1,234 @@
+"""Full-pipeline regression harness
+(parity: reference everyvoice/tests/regression/regression-test.sh — wizard →
+preprocess → train text-to-spec → train spec-to-wav → multi-format synthesis
+→ two-step synthesis → StyleTTS2 stage 1 → demo API — shrunk from a 180-min
+Slurm job to a few minutes).
+
+Run: python tests/regression/regression_test.py [--workdir DIR] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import tempfile
+import threading
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+LJ_DATA = Path("/root/reference/everyvoice/tests/data")
+
+
+def log(stage: str) -> None:
+    print(f"\n===== {stage} =====", flush=True)
+
+
+def run_cli(*args: str) -> str:
+    result = subprocess.run(
+        [sys.executable, "-m", "everyvoice_tpu", *args],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if result.returncode != 0:
+        print(result.stdout)
+        print(result.stderr)
+        raise SystemExit(f"CLI failed: everyvoice-tpu {' '.join(args)}")
+    return result.stdout
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", type=Path, default=None)
+    parser.add_argument("--steps", type=int, default=4)
+    args = parser.parse_args()
+    workdir = args.workdir or Path(tempfile.mkdtemp(prefix="evtpu-regression-"))
+    workdir.mkdir(parents=True, exist_ok=True)
+    print(f"Regression workdir: {workdir}")
+
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    # ---- stage 0: wizard (scripted, like the reference's resume file)
+    log("wizard new-project (scripted)")
+    from test_wizard import lj_answers, scripted_ask
+
+    from everyvoice_tpu.wizard.main_tour import get_main_wizard_tour
+
+    tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(workdir)))
+    state = tour.run()
+    project = state["project_dir"]
+    config_dir = project / "config"
+    assert (config_dir / "everyvoice-text-to-spec.yaml").exists()
+
+    # Point the generated config at a small-model override for speed.
+    from everyvoice_tpu.utils import load_config_file, write_config_file
+
+    fs2_cfg = load_config_file(config_dir / "everyvoice-text-to-spec.yaml")
+    fs2_cfg["model"].update(
+        {
+            "encoder": {"layers": 1, "input_dim": 64, "feedforward_dim": 128,
+                        "conv_kernel_size": 3},
+            "decoder": {"layers": 1, "input_dim": 64, "feedforward_dim": 128,
+                        "conv_kernel_size": 3},
+            "variance_predictors": {
+                "energy": {"n_layers": 1, "input_dim": 64},
+                "duration": {"n_layers": 1, "input_dim": 64},
+                "pitch": {"n_layers": 1, "input_dim": 64},
+            },
+            "max_length": 768,
+        }
+    )
+    fs2_cfg["training"].update({"batch_size": 2, "val_check_interval": args.steps,
+                                "max_steps": args.steps})
+    write_config_file(config_dir / "everyvoice-text-to-spec.yaml", fs2_cfg)
+    hfg_cfg = load_config_file(config_dir / "everyvoice-spec-to-wav.yaml")
+    hfg_cfg["model"] = {
+        "upsample_initial_channel": 32,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "mpd_layers": [2], "msd_layers": 1,
+    }
+    hfg_cfg["training"].update({"batch_size": 2, "val_check_interval": args.steps,
+                                "max_steps": args.steps})
+    write_config_file(config_dir / "everyvoice-spec-to-wav.yaml", hfg_cfg)
+
+    # ---- stage 1: preprocess
+    log("preprocess")
+    run_cli(
+        "preprocess", "text-to-spec",
+        str(config_dir / "everyvoice-text-to-spec.yaml"), "-O",
+    )
+    preprocessed = project / "preprocessed"
+    assert (preprocessed / "training_filelist.psv").exists()
+    assert (preprocessed / "stats.json").exists()
+
+    # ---- stage 2: train text-to-spec
+    log("train text-to-spec")
+    run_cli(
+        "train", "text-to-spec",
+        str(config_dir / "everyvoice-text-to-spec.yaml"), "-a", "cpu",
+    )
+    logs = project / "logs_and_checkpoints"
+    fs2_ckpts = sorted(logs.glob("**/checkpoints/last.ckpt"))
+    assert fs2_ckpts, "no FastSpeech2 checkpoint written"
+    fs2_ckpt = fs2_ckpts[0]
+
+    # ---- stage 3: train spec-to-wav
+    log("train spec-to-wav")
+    run_cli(
+        "train", "spec-to-wav",
+        str(config_dir / "everyvoice-spec-to-wav.yaml"), "-a", "cpu",
+    )
+    hfg_ckpts = [
+        p for p in sorted(logs.glob("**/checkpoints/last.ckpt"))
+        if p != fs2_ckpt
+    ]
+    assert hfg_ckpts, "no HiFiGAN checkpoint written"
+    hfg_ckpt = hfg_ckpts[0]
+
+    # ---- stage 4: export vocoder generator
+    log("export spec-to-wav")
+    gen_ckpt = workdir / "generator.ckpt"
+    run_cli("export", "spec-to-wav", str(hfg_ckpt), str(gen_ckpt))
+
+    # ---- stage 5: multi-format one-step synthesis
+    log("synthesize from-text (all formats)")
+    out_dir = workdir / "synth"
+    run_cli(
+        "synthesize", "from-text", str(fs2_ckpt),
+        "-t", "the quick brown fox jumps over the lazy dog",
+        "--vocoder-path", str(gen_ckpt),
+        "-O", "wav", "-O", "spec", "-O", "textgrid",
+        "-O", "readalong-xml", "-O", "readalong-html",
+        "-o", str(out_dir),
+    )
+    assert list((out_dir / "wav").glob("*.wav"))
+    assert list((out_dir / "synthesized_spec").glob("*.npy"))
+    assert list((out_dir / "textgrids").glob("*.TextGrid"))
+    assert list((out_dir / "readalongs").glob("*.readalong"))
+
+    # ---- stage 6: two-step synthesis (spec → wav)
+    log("synthesize from-spec (two-step)")
+    out2 = workdir / "synth2"
+    run_cli(
+        "synthesize", "from-spec", str(gen_ckpt),
+        "-i", str(out_dir / "synthesized_spec"), "-o", str(out2),
+    )
+    assert list((out2 / "wav").glob("*.wav"))
+
+    # ---- stage 7: checkpoint tools
+    log("checkpoint inspect")
+    out = run_cli("checkpoint", "inspect", str(fs2_ckpt))
+    assert "FastSpeech2" in out
+
+    # ---- stage 8: StyleTTS2 stage-1 smoke (in-process; CLI path covered by
+    # unit tests)
+    log("StyleTTS2 stage 1")
+    from everyvoice_tpu.dataloader import StyleTTS2Dataset
+    from everyvoice_tpu.models.fs2.config import FastSpeech2Config
+    from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+    from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+    from everyvoice_tpu.parallel import make_mesh
+    from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+    fs2_config = FastSpeech2Config.load_config_from_path(
+        config_dir / "everyvoice-text-to-spec.yaml"
+    )
+    st2 = StyleTTS2Config(
+        contact={"contact_name": "Regression", "contact_email": "r@t.org"},
+        model={
+            "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
+            "decoder": {"upsample_initial_channel": 32,
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]],
+                        "mpd_layers": [2], "msd_layers": 1},
+            "diffusion": {"transformer": {"num_layers": 1, "num_heads": 2,
+                                          "head_features": 16}},
+        },
+        preprocessing=fs2_config.preprocessing.model_dump(),
+        text=fs2_config.text.model_dump(),
+    )
+    st2.preprocessing.save_dir = preprocessed
+    st2.training.training_filelist = preprocessed / "training_filelist.psv"
+    st2.training.validation_filelist = preprocessed / "validation_filelist.psv"
+    st2.training.batch_size = 2
+    st2.training.max_len = 128
+    train_list = generic_psv_filelist_reader(st2.training.training_filelist)
+    ds = StyleTTS2Dataset(train_list, st2)
+    trainer = StyleTTS2Trainer(
+        st2, ds, ds, mesh=make_mesh(jax.devices("cpu")[:2]),
+        run_dir=workdir / "styletts2", mode="first",
+    )
+    trainer.fit(max_steps=1, log_every=1)
+    assert (workdir / "styletts2" / "checkpoints" / "last.ckpt").exists()
+
+    # ---- stage 9: demo server API
+    log("demo server")
+    from everyvoice_tpu.demo.app import create_demo_app
+
+    app = create_demo_app(fs2_ckpt, gen_ckpt)
+    server = app.make_server()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/api/synthesize",
+        data=json.dumps({"text": "hello world"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        body = json.loads(resp.read())
+    assert "wav_base64" in body
+    server.shutdown()
+
+    print("\nREGRESSION OK —", workdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""StyleTTS2 model-family tests: config parity, module shapes, stage-1
+training step, diffusion sampling, inference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from everyvoice_tpu.models.styletts2.config import (
+    StyleTTS2Config,
+    StyleTTS2LossConfig,
+)
+from everyvoice_tpu.models.styletts2.model import (
+    StyleTTS2Module,
+    sample_style_diffusion,
+)
+
+CONTACT = {"contact_name": "Test Runner", "contact_email": "info@everyvoice.ca"}
+
+
+def tiny_module():
+    return StyleTTS2Module(
+        n_symbols=50, hidden_dim=64, style_dim=32, max_frames=64,
+        upsample_rates=(8, 8), diff_layers=1, diff_heads=2,
+        diff_head_features=16,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    m = tiny_module()
+    rng = jax.random.PRNGKey(0)
+    B, N, T = 2, 12, 64
+    tokens = jax.random.randint(rng, (B, N), 0, 50)
+    tl = jnp.asarray([12, 9])
+    ref_mel = jax.random.normal(rng, (B, T, 80))
+    dur = jnp.full((B, N), 4, jnp.int32)
+    f0 = jnp.abs(jax.random.normal(rng, (B, T))) * 100 + 100
+    en = jax.random.normal(rng, (B, T))
+    params = m.init(
+        {"params": rng, "dropout": rng, "noise": rng},
+        tokens, tl, ref_mel, durations=dur, f0_frames=f0, energy_frames=en,
+    )
+    return m, params, (tokens, tl, ref_mel, dur, f0, en)
+
+
+class TestConfig:
+    def test_schema_field_parity(self):
+        import json
+        from pathlib import Path
+
+        ref = json.loads(
+            Path(
+                "/root/reference/everyvoice/.schema/everyvoice-text-to-wav-0.5.json"
+            ).read_text()
+        )
+        mine = StyleTTS2Config.model_json_schema()
+        assert set(ref["properties"]) <= set(mine["properties"])
+        # spot-check pinned hyperparameters
+        cfg = StyleTTS2Config(contact=CONTACT)
+        assert cfg.model.style_dim == 128
+        assert cfg.model.hidden_dim == 512
+        assert cfg.model.decoder.gen_istft_n_fft == 16
+        assert cfg.training.epochs_1st == 200
+        assert cfg.training.losses.lambda_ce == 20.0
+        assert cfg.model.diffusion.dist.sigma_data == 0.2
+
+    def test_loss_weights_complete(self):
+        lc = StyleTTS2LossConfig()
+        for name in ("lambda_mel", "lambda_gen", "lambda_slm", "lambda_mono",
+                     "lambda_s2s", "lambda_f0", "lambda_norm", "lambda_dur",
+                     "lambda_ce", "lambda_sty", "lambda_diff"):
+            assert hasattr(lc, name)
+
+
+class TestModule:
+    def test_forward_shapes(self, tiny_setup):
+        m, params, (tokens, tl, ref_mel, dur, f0, en) = tiny_setup
+        out = m.apply(
+            params, tokens, tl, ref_mel,
+            durations=dur, f0_frames=f0, energy_frames=en,
+        )
+        B, T = ref_mel.shape[:2]
+        assert out["wav"].shape == (B, T * 256)
+        assert out["duration_logits"].shape == (B, tokens.shape[1], 50)
+        assert out["acoustic_style"].shape == (B, 32)
+        assert np.isfinite(np.asarray(out["wav"])).all()
+
+    def test_inference_without_teacher_inputs(self, tiny_setup):
+        m, params, (tokens, tl, ref_mel, *_rest) = tiny_setup
+        out = m.apply(params, tokens, tl, ref_mel)
+        assert out["wav"].shape[1] == m.max_frames * 256
+
+    def test_diffusion_sampling(self, tiny_setup):
+        m, params, (tokens, tl, *_rest) = tiny_setup
+        mask = jnp.ones_like(tokens, dtype=bool)
+        emb = m.apply(params, tokens, mask, method="text_context_embedding")
+
+        def denoiser(noisy, sigma, e):
+            return m.apply(params, noisy, sigma, e, method="denoise_style")
+
+        style = sample_style_diffusion(
+            denoiser, jax.random.PRNGKey(1), emb, 64, steps=3,
+        )
+        assert style.shape == (2, 64)
+        assert np.isfinite(np.asarray(style)).all()
+        # embedding_scale path (classifier-free guidance)
+        style2 = sample_style_diffusion(
+            denoiser, jax.random.PRNGKey(1), emb, 64, steps=3,
+            embedding_scale=2.0,
+        )
+        assert not np.allclose(np.asarray(style), np.asarray(style2))
+
+
+class TestStage1Training:
+    def test_one_training_step(self, lj_corpus, tmp_path):
+        """Stage-1 GAN step over real preprocessed LJ data."""
+        from everyvoice_tpu.dataloader import StyleTTS2Dataset
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+        from everyvoice_tpu.parallel import make_mesh
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        fs2_config, save_dir = lj_corpus
+        config = StyleTTS2Config(
+            contact=CONTACT,
+            model={
+                "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
+                "decoder": {
+                    "upsample_initial_channel": 32,
+                    "resblock_kernel_sizes": [3],
+                    "resblock_dilation_sizes": [[1, 3]],
+                    "mpd_layers": [2], "msd_layers": 1,
+                },
+                "diffusion": {"transformer": {"num_layers": 1, "num_heads": 2,
+                                              "head_features": 16}},
+            },
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.preprocessing.save_dir = save_dir
+        config.training.training_filelist = save_dir / "training_filelist.psv"
+        config.training.validation_filelist = (
+            save_dir / "validation_filelist.psv"
+        )
+        config.training.batch_size = 2
+        config.training.max_len = 128  # keep the CPU-mesh test fast
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        ds = StyleTTS2Dataset(train, config)
+        assert len(ds) > 0
+        mesh = make_mesh(jax.devices("cpu")[:2])
+        trainer = StyleTTS2Trainer(
+            config, ds, ds, mesh=mesh, run_dir=tmp_path, mode="first",
+        )
+        gen_params, disc_params = trainer.fit(max_steps=1, log_every=1)
+        assert (tmp_path / "checkpoints" / "last.ckpt").exists()
+        from everyvoice_tpu.train import load_checkpoint_header
+
+        header = load_checkpoint_header(tmp_path / "checkpoints" / "last.ckpt")
+        assert header["model_info"]["name"] == "StyleTTS2Module"
+        assert header["stage"] == "first"

@@ -41,6 +41,15 @@ def _load_config(model_kind: str, config_path: Path, overrides):
                       if (_version := None) else "0.1.0")
 def main():
     """EveryVoice-TPU: a TPU-native text-to-speech framework."""
+    # EVERYVOICE_DEVICE=cpu forces computation onto the host CPU backend
+    # (useful when the TPU is busy or for CI).
+    import os
+
+    device = os.environ.get("EVERYVOICE_DEVICE")
+    if device:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices(device)[0])
 
 
 # ---------------------------------------------------------------------------
@@ -211,9 +220,12 @@ def synthesize():
               default=Path("synthesis_output"))
 @click.option("--teacher-forcing-directory", type=click.Path(path_type=Path),
               default=None)
+@click.option("--style-reference", type=click.Path(exists=True, path_type=Path),
+              default=None, help="Reference wav for GST style conditioning.")
 def synthesize_from_text(model_path, text, filelist, language, speaker,
                          duration_control, output_types, vocoder_path,
-                         output_dir, teacher_forcing_directory):
+                         output_dir, teacher_forcing_directory,
+                         style_reference):
     """Text → mel (→ wav with a vocoder)."""
     from everyvoice_tpu.models.fs2.synthesize import Synthesizer
 
@@ -234,7 +246,7 @@ def synthesize_from_text(model_path, text, filelist, language, speaker,
         )
     results = synth.synthesize(
         texts, language=language, speaker=speaker,
-        duration_control=duration_control,
+        duration_control=duration_control, style_reference=style_reference,
     )
     written = synth.write_outputs(
         results, output_dir, output_types, language=language, speaker=speaker,

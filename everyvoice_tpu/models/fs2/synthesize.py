@@ -138,8 +138,8 @@ class Synthesizer:
         return encoded
 
     # -- jitted forward ---------------------------------------------------
-    def _forward(self, n_text: int):
-        key = n_text
+    def _forward(self, n_text: int, with_style: bool = False):
+        key = (n_text, with_style)
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
@@ -147,11 +147,13 @@ class Synthesizer:
         model, params = self.model, self.params
         vocoder, vparams = self.vocoder, self.vocoder_params
 
-        def fn(text, lengths, speaker_id, language_id, duration_control):
+        def fn(text, lengths, speaker_id, language_id, duration_control,
+               style_reference=None):
             out = model.apply(
                 params, text, lengths,
                 speaker_id=speaker_id, language_id=language_id,
                 duration_control=duration_control,
+                style_reference=style_reference,
             )
             mel = out["postnet_mel"] if "postnet_mel" in out else out["mel"]
             frames = out["predicted_frame_lengths"]
@@ -165,12 +167,32 @@ class Synthesizer:
         self._jit_cache[key] = jitted
         return jitted
 
+    def load_style_reference(self, wav_path: Path | str):
+        """Reference wav → log-mel (1, T, M) for the GST module."""
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import get_spectral_transform, read_wav, resample
+        from everyvoice_tpu.dsp.spectral import dynamic_range_compression
+
+        a = self.config.preprocessing.audio
+        audio, sr = read_wav(wav_path)
+        mono = jnp.asarray(audio.mean(axis=0))
+        if sr != a.input_sampling_rate:
+            mono = resample(mono, sr, a.input_sampling_rate)
+        spec_type = a.spec_type if isinstance(a.spec_type, str) else a.spec_type.value
+        mel_fn = get_spectral_transform(
+            spec_type, a.n_fft, a.fft_window_size, a.fft_hop_size,
+            a.input_sampling_rate, a.n_mels, a.f_min, a.f_max,
+        )
+        return dynamic_range_compression(mel_fn(mono)).T[None, ...]
+
     def synthesize(
         self,
         texts: Sequence[str],
         language: Optional[str] = None,
         speaker: Optional[str] = None,
         duration_control: float = 1.0,
+        style_reference: Optional[Path] = None,
     ) -> list:
         """Returns a list of result dicts: {text, mel (T,M), wav | None,
         durations, tokens}."""
@@ -179,6 +201,11 @@ class Synthesizer:
         lang_for_g2p = language
         speaker_id = self.speaker2id.get(speaker or "default", 0)
         language_id = self.lang2id.get(language or "default", 0)
+        style_mel = (
+            self.load_style_reference(style_reference)
+            if style_reference is not None
+            else None
+        )
         results = []
         for text in texts:
             chunks = self.encode(text, lang_for_g2p)
@@ -189,15 +216,17 @@ class Synthesizer:
             # Bucket chunk lengths to bound compilation count.
             for ids in chunks:
                 n = int(2 ** np.ceil(np.log2(max(len(ids), 16))))
-                fn = self._forward(n)
+                fn = self._forward(n, with_style=style_mel is not None)
                 padded = np.zeros((1, n), np.int32)
                 padded[0, : len(ids)] = ids
+                extra = (style_mel,) if style_mel is not None else ()
                 mel, frames, durations, wav = fn(
                     jnp.asarray(padded),
                     jnp.asarray([len(ids)], np.int32),
                     jnp.asarray([speaker_id], np.int32),
                     jnp.asarray([language_id], np.int32),
                     duration_control,
+                    *extra,
                 )
                 n_frames = int(np.asarray(frames)[0])
                 n_frames = max(min(n_frames, mel.shape[1]), 1)

@@ -49,10 +49,13 @@ def _mel_kernel(
         [p[0, :, :] for p in parts], axis=1
     )  # (FB, n_fft); every part is block-aligned at sublane 0
     frames = frames * window_ref[0, :][None, :]
-    real = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32)
-    imag = jnp.dot(frames, msin_ref[:, :], preferred_element_type=jnp.float32)
+    real = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    imag = jnp.dot(frames, msin_ref[:, :], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(real * real + imag * imag + 1e-9)
-    mel = jnp.dot(mag, melw_ref[:, :], preferred_element_type=jnp.float32)
+    mel = jnp.dot(mag, melw_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, clip_val))
 
 
@@ -87,8 +90,10 @@ def fused_log_mel(
     span_rows = padded_frames + k_overlap - 1
     pad_left = n_fft // 2
     total = span_rows * hop_length
-    pad_right = total - s - pad_left
-    x = jnp.pad(audio, ((0, 0), (pad_left, 0)), mode="reflect")
+    # Reflect-pad both sides (matching center=True STFT), then zero-pad the
+    # remainder of the final frame block.
+    x = jnp.pad(audio, ((0, 0), (pad_left, pad_left)), mode="reflect")
+    pad_right = total - x.shape[1]
     x = jnp.pad(x, ((0, 0), (0, max(pad_right, 0))))[:, :total]
     rows = x.reshape(b, span_rows, hop_length)
     # K row-shifted views: part k, frame-block row f ↦ rows[f + k].

@@ -30,9 +30,12 @@ def log(stage: str) -> None:
 
 
 def run_cli(*args: str) -> str:
+    import os
+
+    env = dict(os.environ, EVERYVOICE_DEVICE="cpu")
     result = subprocess.run(
         [sys.executable, "-m", "everyvoice_tpu", *args],
-        capture_output=True, text=True, cwd=REPO,
+        capture_output=True, text=True, cwd=REPO, env=env,
     )
     if result.returncode != 0:
         print(result.stdout)

@@ -74,6 +74,19 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     rtf = audio_seconds * iters / elapsed
+
+    # p50 per-utterance text→wav latency (batch of 1, short utterance).
+    one_text = text[:1]
+    one_len = lengths[:1]
+    synthesize(one_text, one_len)[0].block_until_ready()  # compile
+    latencies = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        wav1, _ = synthesize(one_text, one_len)
+        wav1.block_until_ready()
+        latencies.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(latencies) * 1000)
+
     result = {
         "metric": "synthesized audio sec/sec/chip (RTF), FastSpeech2+HiFiGAN batched text-to-wav",
         "value": round(rtf, 2),
@@ -83,6 +96,7 @@ def main() -> None:
             "batch": batch,
             "audio_seconds_per_batch": round(audio_seconds, 2),
             "wall_seconds_per_batch": round(elapsed / iters, 4),
+            "p50_single_utterance_latency_ms": round(p50_ms, 2),
             "device": str(jax.devices()[0]),
         },
     }

@@ -293,4 +293,5 @@ class StyleTTS2Trainer(TrainerBase):
             None,
             extra={"stage": self.mode},
         )
+        self.wait_for_checkpoints()
         return gen_params, disc_params

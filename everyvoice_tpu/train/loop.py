@@ -92,19 +92,46 @@ class TrainerBase:
             worst.unlink(missing_ok=True)
 
     def _save(self, path, params, opt_state, extra=None):
-        save_checkpoint(
-            path,
-            self.model_name,
-            self.config,
-            params,
-            step=self.global_step,
-            epoch=self.epoch,
-            opt_state=opt_state,
-            lang2id=getattr(self, "lang2id", None),
-            speaker2id=getattr(self, "speaker2id", None),
-            stats=getattr(self, "stats", None),
-            extra=extra,
-        )
+        """Checkpoint asynchronously: device→host transfer happens here (so
+        the state snapshot is consistent), serialization + disk IO run on a
+        single background writer thread so the train loop keeps stepping —
+        the role orbax's async checkpointer plays."""
+        import threading
+
+        import jax
+
+        params_host = jax.device_get(params)
+        opt_host = jax.device_get(opt_state) if opt_state is not None else None
+        step, epoch = self.global_step, self.epoch
+
+        def write():
+            save_checkpoint(
+                path,
+                self.model_name,
+                self.config,
+                params_host,
+                step=step,
+                epoch=epoch,
+                opt_state=opt_host,
+                lang2id=getattr(self, "lang2id", None),
+                speaker2id=getattr(self, "speaker2id", None),
+                stats=getattr(self, "stats", None),
+                extra=extra,
+            )
+
+        # Serialize writers: wait for any previous write before starting the
+        # next so checkpoint files are never interleaved.
+        prev = getattr(self, "_ckpt_thread", None)
+        if prev is not None:
+            prev.join()
+        thread = threading.Thread(target=write, daemon=False)
+        thread.start()
+        self._ckpt_thread = thread
+
+    def wait_for_checkpoints(self):
+        prev = getattr(self, "_ckpt_thread", None)
+        if prev is not None:
+            prev.join()
 
     def load_finetune_checkpoint(self, params):
         """Weights-only restore from training.finetune_checkpoint
@@ -294,6 +321,7 @@ class FastSpeech2Trainer(TrainerBase):
         # Always leave a final checkpoint behind.
         val = self.validate(params)
         self.maybe_checkpoint(val["total"], params, opt_state)
+        self.wait_for_checkpoints()
         return params
 
     def validate(self, params) -> dict:
@@ -522,6 +550,7 @@ class HiFiGANTrainer(TrainerBase):
             {"generator": gen_params, "discriminators": disc_params},
             {"gen": gen_opt_state, "disc": disc_opt_state},
         )
+        self.wait_for_checkpoints()
         return gen_params, disc_params
 
     def validate(self, gen_params) -> dict:

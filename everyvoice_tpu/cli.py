@@ -244,6 +244,29 @@ def synthesize_from_text(model_path, text, filelist, language, speaker,
         raise click.ClickException(
             "wav output requires --vocoder-path (or synthesize spec first)"
         )
+    if teacher_forcing_directory is not None:
+        # Vocoder-matching flow: write teacher-forced predicted mels for the
+        # preprocessed corpus instead of free-running synthesis.
+        from everyvoice_tpu.models.fs2.synthesize import (
+            synthesize_teacher_forced_specs,
+        )
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        rows = generic_psv_filelist_reader(filelist) if filelist else None
+        if rows is None:
+            raise click.ClickException(
+                "--teacher-forcing-directory requires --filelist (the "
+                "preprocessed training filelist)"
+            )
+        count = synthesize_teacher_forced_specs(
+            model_path, rows, synth.config,
+            output_dir=teacher_forcing_directory,
+        )
+        click.echo(
+            f"Wrote {count} teacher-forced spectrograms to "
+            f"{teacher_forcing_directory}/synthesized_spec"
+        )
+        return
     results = synth.synthesize(
         texts, language=language, speaker=speaker,
         duration_control=duration_control, style_reference=style_reference,
@@ -489,6 +512,7 @@ def update_schemas(output_dir):
     from everyvoice_tpu.config import PreprocessingConfig, TextConfig
     from everyvoice_tpu.models.fs2.config import FastSpeech2Config
     from everyvoice_tpu.models.hifigan.config import HiFiGANConfig
+    from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -497,6 +521,7 @@ def update_schemas(output_dir):
         "everyvoice-shared-text": TextConfig,
         "everyvoice-text-to-spec": FastSpeech2Config,
         "everyvoice-spec-to-wav": HiFiGANConfig,
+        "everyvoice-text-to-wav": StyleTTS2Config,
     }
     for name, cls in schemas.items():
         path = output_dir / f"{name}-{CONFIG_SCHEMA_VERSION}.json"

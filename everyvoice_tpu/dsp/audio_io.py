@@ -17,8 +17,26 @@ import numpy as np
 _PCM_SCALE = {16: 32768.0, 32: 2147483648.0}
 
 
+def _native():
+    try:
+        from everyvoice_tpu import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def read_wav(path: Path | str) -> tuple:
-    """Read a WAV file → (audio float32 (channels, samples), sample_rate)."""
+    """Read a WAV file → (audio float32 (channels, samples), sample_rate).
+
+    Uses the C codec (everyvoice_tpu.native, GIL-released) when available;
+    falls back to the stdlib-based parser below."""
+    native = _native()
+    if native is not None:
+        try:
+            return native.read_wav_native(path)
+        except OSError:
+            pass  # unusual layouts fall through to the python parser
     path = str(path)
     try:
         with wave.open(path, "rb") as wf:
@@ -99,6 +117,11 @@ def write_wav(
 ) -> None:
     """Write float32 audio in [-1, 1] (channels, samples) or (samples,) to a
     PCM WAV file."""
+    if bit_depth == 16:
+        native = _native()
+        if native is not None:
+            native.write_wav_native(path, audio, sample_rate)
+            return
     audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[None, :]

@@ -168,6 +168,27 @@ def durations_from_hard_attention(attn_hard: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(attn_hard, axis=1).astype(jnp.int32)
 
 
+def phone_average_by_durations(
+    frame_values: jnp.ndarray, durations: jnp.ndarray
+) -> jnp.ndarray:
+    """Average frame-level values (B, T) into phones (B, N) using explicit
+    durations — cumulative-sum segment means, fixed shape (the
+    learn_alignment=False path; reference preprocessor.py:288-300)."""
+    t = frame_values.shape[1]
+    cum = jnp.cumsum(durations, axis=1)
+    csum = jnp.concatenate(
+        [jnp.zeros_like(frame_values[:, :1]),
+         jnp.cumsum(frame_values, axis=1)],
+        axis=1,
+    )
+    ends = jnp.clip(cum, 0, t)
+    starts = jnp.clip(cum - durations, 0, t)
+    sums = jnp.take_along_axis(csum, ends, axis=1) - jnp.take_along_axis(
+        csum, starts, axis=1
+    )
+    return jnp.where(durations > 0, sums / jnp.maximum(durations, 1), 1e-7)
+
+
 def phone_average(frame_values: jnp.ndarray, attn_hard: jnp.ndarray) -> jnp.ndarray:
     """Average frame-level values (B, T) into phone-level values (B, N)
     using the hard alignment — the reference's average_data_by_durations

@@ -222,16 +222,20 @@ class FastSpeech2(nn.Module):
 
         def to_phone_level(values):
             # Frame-level targets are averaged into phones using the hard
-            # alignment when alignment is learned (reference
+            # alignment (learned) or the provided durations (reference
             # average_data_by_durations, preprocessor.py:288-300).
-            if (
-                values is not None
-                and "attn_hard" in out
-                and values.shape[1] != n_text
-            ):
+            if values is None or values.shape[1] == n_text:
+                return values
+            if "attn_hard" in out:
                 from everyvoice_tpu.models.fs2.alignment import phone_average
 
                 return phone_average(values, out["attn_hard"])
+            if dur_for_regulation is not None:
+                from everyvoice_tpu.models.fs2.alignment import (
+                    phone_average_by_durations,
+                )
+
+                return phone_average_by_durations(values, dur_for_regulation)
             return values
 
         if self.pitch_level == "phone":

@@ -25,7 +25,7 @@ def chunk_text(
     >>> chunk_text('Short sentence.')
     ['Short sentence.']
     >>> chunk_text('One. Two. Three.', desired_length=5, max_length=20)
-    ['One.', 'Two.', 'Three.']
+    ['One. Two.', 'Three.']
     """
     assert desired_length < max_length
 

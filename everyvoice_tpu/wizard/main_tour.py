@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from everyvoice_tpu.wizard.steps import (
     ContactEmailStep,
+    OODDataStep,
     ContactNameStep,
     MoreDatasetsStep,
     NameStep,
@@ -21,6 +22,7 @@ def get_main_wizard_tour(ask=interactive_ask) -> Tour:
         ContactEmailStep(),
         OutputPathStep(),
         *get_dataset_steps(0),
+        OODDataStep(),
         MoreDatasetsStep(),
     ]
     return Tour("EveryVoice TPU new-project wizard", steps, ask=ask)

@@ -248,6 +248,110 @@ class SymbolSetStep(Step):
         ds["symbols"] = sorted(symbols)
 
 
+class CustomG2PStep(Step):
+    """Optionally register a custom G2P plugin for this dataset's language
+    (parity: wizard/dataset.py custom-G2P step)."""
+
+    DEFAULT_NAME = "Custom G2P Step"
+
+    def __init__(self, dataset_index: int = 0, **kwargs):
+        self.dataset_index = dataset_index
+        super().__init__(
+            name=f"Custom G2P Step {dataset_index}",
+            prompt_text=(
+                "If you have a custom G2P plugin for this language, enter its "
+                "dotted module path (module.function); otherwise leave empty:"
+            ),
+            default="", **kwargs,
+        )
+
+    def validate(self, response) -> bool:
+        response = str(response).strip()
+        if not response:
+            return True
+        from everyvoice_tpu.config.text_config import load_custom_g2p_engine
+
+        lang = self.state["datasets"][self.dataset_index].get("language", "und")
+        try:
+            load_custom_g2p_engine(lang, response)
+            return True
+        except Exception:
+            return False
+
+    def effect(self):
+        response = str(self.response).strip()
+        if response:
+            self.state["datasets"][self.dataset_index]["g2p_engine"] = response
+
+
+class SoxEffectsStep(Step):
+    """Select audio effects applied before preprocessing
+    (parity: wizard/dataset.py sox-effects step; effects run on device)."""
+
+    DEFAULT_NAME = "Sox Effects Step"
+    CHOICES = [
+        "none",
+        "resample to 22050 Hz",
+        "normalize to -3 dB",
+        "mixdown to mono",
+    ]
+    EFFECT_SPECS = {
+        "none": [],
+        "resample to 22050 Hz": [["rate", "22050"]],
+        "normalize to -3 dB": [["norm", "-3"]],
+        "mixdown to mono": [["channels", "1"]],
+    }
+
+    def __init__(self, dataset_index: int = 0, **kwargs):
+        self.dataset_index = dataset_index
+        super().__init__(
+            name=f"Sox Effects Step {dataset_index}",
+            prompt_text="Which audio preprocessing effect should be applied?",
+            default="mixdown to mono", **kwargs,
+        )
+
+    def looks_like_choice(self):
+        return self.CHOICES
+
+    def validate(self, response) -> bool:
+        return str(response) in self.CHOICES
+
+    def effect(self):
+        self.state["datasets"][self.dataset_index]["sox_effects"] = (
+            self.EFFECT_SPECS[str(self.response)]
+        )
+
+
+class OODDataStep(Step):
+    """Out-of-domain text for StyleTTS2 SLM-adversarial training
+    (parity: wizard/basic.py:212-466 OODDataStep)."""
+
+    DEFAULT_NAME = "OOD Data Step"
+
+    def __init__(self, **kwargs):
+        super().__init__(
+            prompt_text=(
+                "StyleTTS2 training benefits from out-of-domain text. Enter a "
+                "path to a text file (one sentence per line), 'validation' to "
+                "reuse the validation set, or leave empty to skip:"
+            ),
+            default="", **kwargs,
+        )
+
+    def validate(self, response) -> bool:
+        response = str(response).strip()
+        if response in ("", "validation"):
+            return True
+        return Path(response).expanduser().is_file()
+
+    def effect(self):
+        response = str(self.response).strip()
+        if response == "validation":
+            self.state["ood_use_validation"] = True
+        elif response:
+            self.state["ood_local_path"] = Path(response).expanduser()
+
+
 class DatasetNameStep(Step):
     DEFAULT_NAME = "Dataset Name Step"
 
@@ -296,8 +400,10 @@ def get_dataset_steps(dataset_index: int = 0) -> list:
         PermissionsStep(dataset_index),
         TextRepresentationStep(dataset_index),
         LanguageStep(dataset_index),
+        CustomG2PStep(dataset_index),
         WavsDirStep(dataset_index),
         SymbolSetStep(dataset_index),
+        SoxEffectsStep(dataset_index),
         DatasetNameStep(dataset_index),
     ]
 
@@ -335,6 +441,13 @@ def write_config_package(state: dict) -> Path:
         if d.get("symbols"):
             symbols[f"{label}_{suffix}"] = d["symbols"]
     text_config = {"symbols": symbols} if symbols else {}
+    g2p_engines = {
+        d["language"]: d["g2p_engine"]
+        for d in datasets
+        if d.get("g2p_engine") and d.get("language")
+    }
+    if g2p_engines:
+        text_config["g2p_engines"] = g2p_engines
     write_config_file(config_dir / CONFIG_FILES["text"], text_config)
 
     # --- shared data config + per-dataset filelists
@@ -345,14 +458,15 @@ def write_config_package(state: dict) -> Path:
         rows = d.get("rows", [])
         if rows:
             write_filelist(rows, filelist_out)
-        source_data.append(
-            {
-                "label": label,
-                "permissions_obtained": True,
-                "data_dir": str(d.get("data_dir", ".")),
-                "filelist": str(filelist_out if rows else d.get("filelist", "")),
-            }
-        )
+        entry = {
+            "label": label,
+            "permissions_obtained": True,
+            "data_dir": str(d.get("data_dir", ".")),
+            "filelist": str(filelist_out if rows else d.get("filelist", "")),
+        }
+        if d.get("sox_effects") is not None:
+            entry["sox_effects"] = d["sox_effects"]
+        source_data.append(entry)
     data_config = {
         "dataset": slug,
         "save_dir": str(out_root / "preprocessed"),
@@ -393,6 +507,13 @@ def write_config_package(state: dict) -> Path:
         "model": {"multilingual": multilingual, "multispeaker": multispeaker},
         "training": dict(training_shared),
     }
+    if state.get("ood_use_validation"):
+        styletts2["training"]["use_validation_as_ood"] = True
+    elif state.get("ood_local_path"):
+        langs = sorted({d.get("language", "und") for d in datasets})
+        styletts2["training"]["ood_raw_data"] = {
+            lang: {"local_path": str(state["ood_local_path"])} for lang in langs
+        }
     write_config_file(config_dir / CONFIG_FILES["text-to-wav"], styletts2)
 
     logger.info(f"Wrote project '{name}' to {out_root}")

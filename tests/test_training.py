@@ -198,3 +198,46 @@ class TestCheckpointTools:
         assert header["hyper_parameters"]["speaker2id"] == {"other": 1, "new": 0}
         with pytest.raises(ValueError, match="not found"):
             rename_speaker(path, "nope", "x", tmp_path / "y.ckpt")
+
+
+class TestLegacyDurations:
+    """learn_alignment=False consumes pre-extracted duration/ artifacts
+    (the retired DFAligner's output; reference preprocessor.py:644-651)."""
+
+    def test_training_with_duration_artifacts(self, lj_corpus, cpu_mesh,
+                                              tmp_path_factory):
+        import numpy as np
+
+        config, save_dir = lj_corpus
+        config = config.model_copy(deep=True)
+        config.model.learn_alignment = False
+        config.training.batch_size = 2
+        # Synthesize plausible duration artifacts: uniform frames per token.
+        dur_dir = Path(save_dir) / "duration"
+        dur_dir.mkdir(exist_ok=True)
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        from everyvoice_tpu.dataloader import FastSpeech2Dataset
+
+        l2i, s2i = lookuptables_from_data((train, train))
+        probe = FastSpeech2Dataset(train, config, l2i, s2i)
+        for i in range(len(probe)):
+            item = probe.items[i]
+            ids = probe._token_ids(item)
+            spec = np.load(probe._path(item, "spec", probe._spec_name()),
+                           mmap_mode="r")
+            n_frames = spec.shape[1]
+            base = n_frames // max(len(ids), 1)
+            dur = np.full(len(ids), base, np.int32)
+            dur[-1] += n_frames - dur.sum()
+            np.save(probe._path(item, "duration", "duration.npy"), dur)
+        ds = FastSpeech2Dataset(train, config, l2i, s2i,
+                                text_processor=probe.text_processor)
+        batch = next(ds.batches(2, shuffle=False))
+        assert "durations" in batch
+        assert "attn_prior" not in batch
+        run_dir = tmp_path_factory.mktemp("fs2_legacy")
+        trainer = FastSpeech2Trainer(
+            config, ds, ds, l2i, s2i, mesh=cpu_mesh, run_dir=run_dir,
+        )
+        trainer.fit(max_steps=1, log_every=1)
+        assert (run_dir / "checkpoints" / "last.ckpt").exists()

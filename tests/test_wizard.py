@@ -35,9 +35,12 @@ def lj_answers(tmp_path, more="no"):
         "yes",                                # permissions
         "characters",                         # representation
         "eng",                                # language
+        "",                                   # custom g2p (skip)
         str(LJ_DATA / "lj" / "wavs"),         # wav dir
         "yes",                                # discover symbols
+        "mixdown to mono",                    # sox effects
         "lj",                                 # dataset name
+        "",                                   # OOD data (skip)
         more,                                 # more datasets?
     ]
 
@@ -95,8 +98,9 @@ class TestMainTour:
     def test_more_datasets_loops(self, tmp_path):
         answers = lj_answers(tmp_path, more="yes")
         answers += [
-            str(LJ_DATA / "metadata.psv"), "yes", "characters", "fra",
-            str(LJ_DATA / "lj" / "wavs"), "no", "second", "no",
+            str(LJ_DATA / "metadata.psv"), "yes", "characters", "fra", "",
+            str(LJ_DATA / "lj" / "wavs"), "no", "mixdown to mono", "second",
+            "no",
         ]
         tour = get_main_wizard_tour(ask=scripted_ask(answers))
         state = tour.run()

@@ -545,12 +545,17 @@ def update_schemas(output_dir):
 @click.option("--server-name", default="0.0.0.0")
 @click.option("--allowlist", type=click.Path(path_type=Path), default=None)
 @click.option("--denylist", type=click.Path(path_type=Path), default=None)
-def demo(model_path, vocoder_path, port, server_name, allowlist, denylist):
-    """Serve an interactive synthesis demo over HTTP."""
-    from everyvoice_tpu.demo.app import create_demo_app
+@click.option("--ref-audio-dir", type=click.Path(path_type=Path), default=None,
+              help="Reference speaker wavs for StyleTTS2 style vectors.")
+def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
+         ref_audio_dir):
+    """Serve an interactive synthesis demo over HTTP (model type is
+    auto-detected from the checkpoint)."""
+    from everyvoice_tpu.demo.app import create_demo_app_auto
 
-    app = create_demo_app(
-        model_path, vocoder_path, allowlist=allowlist, denylist=denylist
+    app = create_demo_app_auto(
+        model_path, vocoder_path=vocoder_path, ref_audio_dir=ref_audio_dir,
+        allowlist=allowlist, denylist=denylist,
     )
     click.echo(f"Serving demo at http://{server_name}:{port}")
     app.serve(host=server_name, port=port)

@@ -239,3 +239,137 @@ def create_demo_app(
         fs2_checkpoint, vocoder_checkpoint, allowlist=allowlist,
         denylist=denylist, ui_labels=ui_labels,
     )
+
+
+# ---------------------------------------------------------------------------
+# StyleTTS2 demo (parity: reference create_demo_app_styletts2, demo/app.py:671
+# — named reference speakers with precomputed style vectors, diffusion
+# steps / embedding scale / blend sliders)
+
+STYLETTS2_PAGE_EXTRAS = """
+<div class="row">Diffusion steps:
+  <input type="range" id="steps" min="1" max="20" step="1" value="5"
+   oninput="document.getElementById('stepsval').innerText = this.value">
+  <span id="stepsval">5</span>
+  &nbsp; Embedding scale:
+  <input type="range" id="escale" min="0.5" max="4.0" step="0.1" value="1.0"
+   oninput="document.getElementById('escaleval').innerText = this.value">
+  <span id="escaleval">1.0</span>
+</div>
+"""
+
+
+class StyleTTS2DemoApp(DemoApp):
+    """Serves a StyleTTS2 checkpoint: style comes from diffusion sampling,
+    optionally blended with precomputed reference-speaker styles."""
+
+    def __init__(
+        self,
+        checkpoint,
+        ref_audio_dir=None,
+        allowlist=None,
+        denylist=None,
+        ui_labels=None,
+    ):
+        from everyvoice_tpu.models.styletts2.synthesize import (
+            load_reference_style,
+            load_styletts2_model,
+        )
+
+        (self.model, self.params, self.config, self.text_processor,
+         self.lang2id) = load_styletts2_model(checkpoint)
+        self.allowlist = load_wordlist(allowlist)
+        self.denylist = load_wordlist(denylist)
+        self.ui = {
+            "title": "EveryVoice TPU Demo (StyleTTS2)",
+            "subtitle": "Type a sentence and press Synthesize.",
+            "text_placeholder": "Hello world",
+        }
+        if ui_labels:
+            self.ui.update(ui_labels)
+        self.languages = sorted(self.lang2id) or ["default"]
+        # Precompute style vectors for named reference speakers.
+        self.ref_styles = {}
+        if ref_audio_dir is not None:
+            for wav in sorted(Path(ref_audio_dir).glob("*.wav")):
+                self.ref_styles[wav.stem] = load_reference_style(
+                    self.model, self.params, wav, self.config
+                )
+        self.speakers = sorted(self.ref_styles) or ["default"]
+
+    def synthesize_api(self, payload: dict) -> tuple:
+        import base64
+        import tempfile
+
+        import jax
+        import numpy as np
+
+        from everyvoice_tpu.dsp.audio_io import write_wav
+        from everyvoice_tpu.models.styletts2.synthesize import synthesize_text
+
+        text = (payload.get("text") or "").strip()
+        if not text:
+            return 400, {"error": "Please enter some text to synthesize."}
+        refusal = self.check_lists(text)
+        if refusal:
+            return 400, {"error": refusal}
+        speaker = payload.get("speaker")
+        ref = self.ref_styles.get(speaker)
+        try:
+            wav = synthesize_text(
+                self.model, self.params, self.config, self.text_processor,
+                text,
+                language=payload.get("language"),
+                ref_styles=ref,
+                diffusion_steps=int(payload.get("diffusion_steps", 5)),
+                embedding_scale=float(payload.get("embedding_scale", 1.0)),
+                acoustic_blend=float(payload.get("acoustic_blend", 0.5)),
+                prosody_blend=float(payload.get("prosody_blend", 0.5)),
+                rng=jax.random.PRNGKey(int(payload.get("seed", 0))),
+            )
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        sr = self.config.preprocessing.audio.output_sampling_rate
+        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+            write_wav(tmp.name, np.asarray(wav), sr)
+            blob = Path(tmp.name).read_bytes()
+        return 200, {"wav_base64": base64.b64encode(blob).decode("ascii")}
+
+    def render_page(self) -> str:
+        page = super().render_page()
+        return page.replace(
+            '<div class="row"><button id="synthesize"',
+            STYLETTS2_PAGE_EXTRAS + '<div class="row"><button id="synthesize"',
+        )
+
+
+def create_demo_app_styletts2(
+    checkpoint, ref_audio_dir=None, allowlist=None, denylist=None,
+    ui_labels=None,
+) -> StyleTTS2DemoApp:
+    return StyleTTS2DemoApp(
+        checkpoint, ref_audio_dir=ref_audio_dir, allowlist=allowlist,
+        denylist=denylist, ui_labels=ui_labels,
+    )
+
+
+def create_demo_app_auto(
+    checkpoint, vocoder_path=None, ref_audio_dir=None, allowlist=None,
+    denylist=None, ui_labels=None,
+):
+    """Dispatch on the checkpoint's model_info.name
+    (parity: reference _peek_model_class, cli.py:687-702)."""
+    from everyvoice_tpu.train.checkpoint import load_checkpoint_header
+
+    name = load_checkpoint_header(checkpoint)["model_info"]["name"]
+    if name == "StyleTTS2Module":
+        return create_demo_app_styletts2(
+            checkpoint, ref_audio_dir=ref_audio_dir, allowlist=allowlist,
+            denylist=denylist, ui_labels=ui_labels,
+        )
+    if name == "FastSpeech2":
+        return create_demo_app(
+            checkpoint, vocoder_path, allowlist=allowlist, denylist=denylist,
+            ui_labels=ui_labels,
+        )
+    raise ValueError(f"Cannot serve a demo for model type {name!r}")

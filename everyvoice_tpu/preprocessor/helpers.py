@@ -79,10 +79,15 @@ class Counters:
     )
 
     def __init__(self):
+        import threading
+
         self._counters = {f: 0.0 for f in self.FIELDS}
+        self._lock = threading.Lock()
 
     def increment(self, name: str, amount=1):
-        self._counters[name] += amount
+        # Thread-safe: the audio stage may increment from a thread pool.
+        with self._lock:
+            self._counters[name] += amount
 
     def value(self, name: str):
         return self._counters[name]

@@ -229,29 +229,39 @@ class Preprocessor:
                 write_wav(output_path, audio, sr, self.audio_config.target_bit_depth)
         return item
 
-    def process_all_audio(self) -> list:
-        filtered: list = []
+    def process_all_audio(self, cpus: int = 1) -> list:
+        """Validate/condition every audio file. With cpus > 1, file decode +
+        write run on a thread pool — the native WAV codec releases the GIL, so
+        this is real parallelism (replacing the reference's joblib/loky
+        process pool, preprocessor.py:584-630)."""
         (self.save_dir / "audio").mkdir(parents=True, exist_ok=True)
+        keep = (
+            "basename", "language", "speaker", "characters",
+            "character_tokens", "phones", "phone_tokens", "label",
+        )
+        jobs = []
         for dataset in self.datasets:
             filelist = dataset.filelist_loader(dataset.filelist)
             for item in filelist:
-                result = self.process_one_audio(
-                    item, dataset.data_dir, dataset.sox_effects, dataset.label
+                jobs.append(
+                    (item, dataset.data_dir, dataset.sox_effects, dataset.label)
                 )
-                if result is not None:
-                    filtered.append(
-                        {
-                            k: v
-                            for k, v in result.items()
-                            if k
-                            in (
-                                "basename", "language", "speaker", "characters",
-                                "character_tokens", "phones", "phone_tokens",
-                                "label",
-                            )
-                        }
-                    )
-        return filtered
+
+        def one(job):
+            return self.process_one_audio(*job)
+
+        if cpus > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=cpus) as pool:
+                results = list(pool.map(one, jobs))
+        else:
+            results = [one(job) for job in jobs]
+        return [
+            {k: v for k, v in result.items() if k in keep}
+            for result in results
+            if result is not None
+        ]
 
     # ------------------------------------------------------------------
     # text
@@ -549,7 +559,7 @@ class Preprocessor:
             if process != "text":
                 (self.save_dir / process).mkdir(parents=True, exist_ok=True)
             if process == "audio":
-                filelist = self.process_all_audio()
+                filelist = self.process_all_audio(cpus=max(cpus, 1))
                 if not filelist:
                     raise RuntimeError(
                         "Your filtered audio filelist is empty; nothing to process."

@@ -114,6 +114,52 @@ class FilelistStep(Step):
         ds[self.dataset_index]["rows"] = rows
 
 
+class ColumnMappingStep(Step):
+    """Map nonstandard filelist columns onto the expected names
+    (parity: the reference wizard's header-selection steps,
+    wizard/dataset.py header mapping)."""
+
+    DEFAULT_NAME = "Column Mapping Step"
+    TARGET = "characters"
+
+    def __init__(self, dataset_index: int = 0, **kwargs):
+        self.dataset_index = dataset_index
+        super().__init__(
+            name=f"Column Mapping Step {dataset_index}",
+            prompt_text=(
+                "Your filelist has no 'characters' column. Which column holds "
+                "the text?"
+            ),
+            **kwargs,
+        )
+
+    def _columns(self) -> list:
+        rows = self.state["datasets"][self.dataset_index].get("rows") or []
+        return sorted(rows[0].keys()) if rows else []
+
+    def looks_like_choice(self):
+        return self._columns()
+
+    def should_run(self) -> bool:
+        rows = self.state["datasets"][self.dataset_index].get("rows") or []
+        return bool(rows) and "characters" not in rows[0]
+
+    def run(self):
+        if not self.should_run():
+            self.completed = True
+            return
+        super().run()
+
+    def validate(self, response) -> bool:
+        return str(response) in self._columns()
+
+    def effect(self):
+        column = str(self.response)
+        rows = self.state["datasets"][self.dataset_index]["rows"]
+        for row in rows:
+            row["characters"] = row.get(column, "")
+
+
 class PermissionsStep(Step):
     DEFAULT_NAME = "Dataset Permission Step"
 
@@ -397,6 +443,7 @@ class MoreDatasetsStep(Step):
 def get_dataset_steps(dataset_index: int = 0) -> list:
     return [
         FilelistStep(dataset_index),
+        ColumnMappingStep(dataset_index),  # auto-skips for standard columns
         PermissionsStep(dataset_index),
         TextRepresentationStep(dataset_index),
         LanguageStep(dataset_index),

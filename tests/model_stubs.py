@@ -106,3 +106,43 @@ def get_dummy_hifigan_checkpoint(
             },
         )
     return path
+
+
+def get_dummy_styletts2_checkpoint(tmp_path: Path) -> Path:
+    from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+    from everyvoice_tpu.models.styletts2.model import StyleTTS2Module
+
+    config = StyleTTS2Config(
+        contact=CONTACT,
+        model={
+            "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
+            "decoder": {"upsample_initial_channel": 32,
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]],
+                        "mpd_layers": [2], "msd_layers": 1},
+            "diffusion": {"transformer": {"num_layers": 1, "num_heads": 2,
+                                          "head_features": 16}},
+        },
+        preprocessing=PreprocessingConfig(save_dir=tmp_path / "preprocessed"),
+        text=TextConfig(symbols={"letters": list("abcdefghijklmnopqrstuvwxyz")}),
+    )
+    config.training.max_len = 64
+    from everyvoice_tpu.text import TextProcessor
+
+    tp = TextProcessor(config.text)
+    model = StyleTTS2Module.from_config(config, n_symbols=len(tp.symbols))
+    rng = jax.random.PRNGKey(7)
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(
+        {"params": rng, "dropout": rng, "noise": rng},
+        tokens, jnp.asarray([8], jnp.int32), jnp.zeros((1, 64, 80)),
+        durations=jnp.full((1, 8), 4, jnp.int32),
+        f0_frames=jnp.full((1, 64), 150.0),
+        energy_frames=jnp.zeros((1, 64)),
+    )
+    path = tmp_path / "styletts2.ckpt"
+    save_checkpoint(
+        path, "StyleTTS2Module", config, {"generator": params},
+        lang2id={"default": 0},
+    )
+    return path

@@ -98,3 +98,38 @@ class TestNormalization:
         assert normalize_text("ＨＥＬＬＯ") == "hello"
         assert normalize_text("Héllo") == "hello"
         assert normalize_text("  a   b  ") == "a b"
+
+
+@pytest.fixture(scope="module")
+def styletts2_server(tmp_path_factory):
+    from everyvoice_tpu.demo.app import create_demo_app_auto
+    from model_stubs import get_dummy_styletts2_checkpoint
+
+    tmp = tmp_path_factory.mktemp("st2demo")
+    ckpt = get_dummy_styletts2_checkpoint(tmp)
+    app = create_demo_app_auto(ckpt)  # auto-dispatches on model_info.name
+    server = app.make_server()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}", app
+    server.shutdown()
+
+
+class TestStyleTTS2Demo:
+    def test_auto_dispatch_and_synthesis(self, styletts2_server):
+        url, app = styletts2_server
+        status, body = post_json(
+            url + "/api/synthesize",
+            {"text": "hello world", "diffusion_steps": 2},
+        )
+        assert status == 200, body
+        import base64
+
+        assert base64.b64decode(body["wav_base64"])[:4] == b"RIFF"
+
+    def test_slider_page(self, styletts2_server):
+        url, app = styletts2_server
+        with urllib.request.urlopen(url + "/") as resp:
+            page = resp.read().decode()
+        assert "Diffusion steps" in page

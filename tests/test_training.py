@@ -241,3 +241,27 @@ class TestLegacyDurations:
         )
         trainer.fit(max_steps=1, log_every=1)
         assert (run_dir / "checkpoints" / "last.ckpt").exists()
+
+
+class TestISTFTNetTraining:
+    """iSTFTNet variant end to end (BASELINE config #3)."""
+
+    def test_istft_vocoder_short_run(self, lj_corpus, cpu_mesh, tmp_path_factory):
+        config, save_dir = lj_corpus
+        hcfg = small_hifigan_config(config)
+        hcfg.model.istft_layer = True
+        hcfg.model.upsample_rates = [8, 8]
+        hcfg.model.upsample_kernel_sizes = [16, 16]
+        hcfg.training.batch_size = 2
+        run_dir = tmp_path_factory.mktemp("istft_run")
+        train = generic_psv_filelist_reader(hcfg.training.training_filelist)
+        ds = HiFiGANDataset(train, hcfg)
+        trainer = HiFiGANTrainer(hcfg, ds, ds, mesh=cpu_mesh, run_dir=run_dir)
+        gen_params, _ = trainer.fit(max_steps=1, log_every=1)
+        assert trainer.generator.istft_layer
+        import jax.numpy as jnp
+
+        batch = next(ds.batches(2, shuffle=False))
+        wav = trainer.generator.apply(gen_params, jnp.asarray(batch["mel"][:, :16]))
+        assert wav.shape == (2, 16 * 256)
+        assert np.isfinite(np.asarray(wav)).all()

@@ -162,3 +162,29 @@ class TestConfigPackage:
             (out / "config" / "everyvoice-shared-data.yaml").read_text()
         )
         assert data["source_data"][0]["label"] == "d0"
+
+
+class TestColumnMapping:
+    def test_nonstandard_column_mapped(self, tmp_path):
+        # A filelist with a 'text' column instead of 'characters'.
+        filelist = tmp_path / "f.psv"
+        filelist.write_text("basename|text\nitem1|hello there\n")
+        answers = [
+            "Col Project", "Test Runner", "info@everyvoice.ca", str(tmp_path),
+            str(filelist),
+            "text",              # column mapping answer
+            "yes", "characters", "eng", "",
+            str(tmp_path),       # wav dir (any dir)
+            "yes", "mixdown to mono", "cols", "", "no",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        assert rows[0]["characters"] == "hello there"
+
+    def test_standard_columns_skip_mapping(self, tmp_path):
+        # lj_answers contains no column-mapping answer; the step must
+        # auto-skip because metadata.psv already has 'characters'.
+        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        state = tour.run()
+        assert state["datasets"][0]["rows"][0]["characters"]

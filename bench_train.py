@@ -1,0 +1,109 @@
+"""Benchmark: FastSpeech2 training throughput on one TPU chip.
+
+Prints ONE JSON line with training steps/second for the default model
+(4×256 Conformer, alignment learning on, batch 16, 1000-frame budget) —
+the reference's qualitative baseline is "less than a day for most datasets"
+on one GPU at a 100k-step budget (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from everyvoice_tpu.models.fs2.loss import compute_fs2_losses
+    from everyvoice_tpu.models.fs2.model import FastSpeech2
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_text, n_frames, n_mels = 128, 1000, 80
+
+    model = FastSpeech2(n_symbols=100, max_frames=n_frames)
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(
+            np_rng.integers(2, 100, (batch_size, n_text)), jnp.int32
+        ),
+        "text_lengths": jnp.full((batch_size,), n_text, jnp.int32),
+        "mel": jnp.asarray(
+            np_rng.standard_normal((batch_size, n_frames, n_mels)), jnp.float32
+        ),
+        "mel_lengths": jnp.full((batch_size,), n_frames, jnp.int32),
+        "pitch": jnp.zeros((batch_size, n_frames)),
+        "energy": jnp.zeros((batch_size, n_frames)),
+        "attn_prior": jnp.full(
+            (batch_size, n_frames, n_text), 1.0 / n_text, jnp.float32
+        ),
+        "speaker_id": jnp.zeros((batch_size,), jnp.int32),
+        "language_id": jnp.zeros((batch_size,), jnp.int32),
+    }
+
+    def kwargs(b):
+        return dict(
+            mel=b["mel"], mel_lengths=b["mel_lengths"],
+            attn_prior=b["attn_prior"], pitch=b["pitch"], energy=b["energy"],
+            speaker_id=b["speaker_id"], language_id=b["language_id"],
+        )
+
+    params = jax.jit(model.init)(
+        {"params": rng, "dropout": rng},
+        batch["text"], batch["text_lengths"], **kwargs(batch),
+    )
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, b, key):
+        out = model.apply(
+            p, b["text"], b["text_lengths"], deterministic=False,
+            rngs={"dropout": key}, **kwargs(b),
+        )
+        losses = compute_fs2_losses(out, b, {}, learn_alignment=True)
+        return losses["total"], losses
+
+    @jax.jit
+    def train_step(p, o, b, key):
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b, key)
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, losses["total"]
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss = train_step(params, opt_state, batch, key)
+    loss.block_until_ready()  # compile
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, batch, key)
+    loss.block_until_ready()
+    elapsed = time.perf_counter() - start
+    steps_per_s = iters / elapsed
+    hours_for_100k = 100_000 / steps_per_s / 3600
+
+    result = {
+        "metric": "FastSpeech2 training steps/sec/chip (alignment learning, batch 16, 1000 frames)",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "detail": {
+            "batch": batch_size,
+            "step_ms": round(elapsed / iters * 1000, 2),
+            "hours_for_100k_steps": round(hours_for_100k, 2),
+            "loss": float(loss),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

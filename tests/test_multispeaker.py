@@ -128,3 +128,66 @@ class TestMultiSpeaker:
         assert not np.allclose(
             np.asarray(out0["postnet_mel"]), np.asarray(out1["postnet_mel"])
         )
+
+
+class TestMultiLingual:
+    def test_two_language_pipeline(self, tmp_path):
+        """Language columns propagate through preprocessing, lookups, and
+        conditioning (BASELINE config #4, multilingual half)."""
+        # Build a 2-language filelist over the LJ wavs.
+        rows = []
+        wavs = sorted((LJ_DATA / "lj" / "wavs").glob("*.wav"))
+        for i, wav in enumerate(wavs[:4]):
+            rows.append(
+                f"{wav.stem}|hello world|{'eng' if i % 2 == 0 else 'fra'}|default"
+            )
+        filelist = tmp_path / "bilingual.psv"
+        filelist.write_text(
+            "basename|characters|language|speaker\n" + "\n".join(rows) + "\n"
+        )
+        config = FastSpeech2Config(
+            contact=CONTACT,
+            model={
+                "multilingual": True,
+                "encoder": {"layers": 1, "input_dim": 64,
+                            "feedforward_dim": 128, "conv_kernel_size": 3},
+                "decoder": {"layers": 1, "input_dim": 64,
+                            "feedforward_dim": 128, "conv_kernel_size": 3},
+                "variance_predictors": {
+                    "energy": {"n_layers": 1, "input_dim": 64},
+                    "duration": {"n_layers": 1, "input_dim": 64},
+                    "pitch": {"n_layers": 1, "input_dim": 64},
+                },
+                "max_length": 768,
+            },
+            preprocessing=PreprocessingConfig(
+                save_dir=tmp_path / "preprocessed",
+                train_split=0.75,
+                source_data=[
+                    Dataset(
+                        label="BI", permissions_obtained=True,
+                        data_dir=LJ_DATA / "lj" / "wavs", filelist=filelist,
+                    )
+                ],
+            ),
+            text=TextConfig(
+                symbols={"letters": list("abcdefghijklmnopqrstuvwxyz")}
+            ),
+        )
+        Preprocessor(config).preprocess(
+            to_process=("audio", "text", "spec", "attn", "energy", "pitch"),
+            overwrite=True,
+        )
+        save_dir = config.preprocessing.save_dir
+        # Language encoded in artifact filenames.
+        assert list(Path(save_dir, "spec").glob("*--default--eng--*.npy"))
+        assert list(Path(save_dir, "spec").glob("*--default--fra--*.npy"))
+        train = generic_psv_filelist_reader(save_dir / "training_filelist.psv")
+        val = generic_psv_filelist_reader(save_dir / "validation_filelist.psv")
+        lang2id, _ = lookuptables_from_data((train, val))
+        assert set(lang2id) == {"eng", "fra"}
+        config.training.training_filelist = save_dir / "training_filelist.psv"
+        config.training.validation_filelist = save_dir / "validation_filelist.psv"
+        ds = FastSpeech2Dataset(train, config, lang2id, {"default": 0})
+        batch = next(ds.batches(2, shuffle=False))
+        assert set(np.unique(batch["language_id"])) <= {0, 1}

@@ -33,7 +33,9 @@ def main() -> None:
     hop = 256
 
     fs2 = FastSpeech2(n_symbols=100, max_frames=max_frames)
-    gen = HiFiGANGenerator()
+    # Serving config: bf16 vocoder compute (params f32), as in the
+    # Synthesizer's deployment default.
+    gen = HiFiGANGenerator(compute_dtype="bfloat16")
     rng = jax.random.PRNGKey(0)
     text = jax.random.randint(rng, (batch, n_text), 2, 100)
     lengths = jnp.full((batch,), n_text, jnp.int32)

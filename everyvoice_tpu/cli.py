@@ -115,6 +115,9 @@ def _common_train_options(fn):
     fn = click.option("-s", "--strategy", default="ddp",
                       help="Kept for CLI parity; maps onto the device mesh.")(fn)
     fn = click.option("--gradient-clip-val", default=None, type=float)(fn)
+    fn = click.option("--profile-steps", default=0, type=int,
+                      help="Capture a jax profiler trace of the first N steps "
+                      "into the run dir.")(fn)
     return fn
 
 
@@ -122,7 +125,7 @@ def _common_train_options(fn):
 @click.argument("config_path", type=click.Path(exists=True, path_type=Path))
 @_common_train_options
 def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
-                       strategy, gradient_clip_val):
+                       strategy, gradient_clip_val, profile_steps):
     """Train a FastSpeech2 feature-prediction model."""
     from everyvoice_tpu.dataloader import FastSpeech2Dataset
     from everyvoice_tpu.parallel import make_mesh, resolve_devices
@@ -143,7 +146,7 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
     trainer = FastSpeech2Trainer(
         config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh
     )
-    trainer.fit()
+    trainer.fit(profile_steps=profile_steps)
     click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
 
 
@@ -151,7 +154,7 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
 @click.argument("config_path", type=click.Path(exists=True, path_type=Path))
 @_common_train_options
 def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
-                      strategy, gradient_clip_val):
+                      strategy, gradient_clip_val, profile_steps):
     """Train a HiFiGAN (or iSTFTNet) vocoder."""
     from everyvoice_tpu.dataloader import HiFiGANDataset
     from everyvoice_tpu.parallel import make_mesh, resolve_devices
@@ -173,7 +176,7 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
 @click.option("--mode", type=click.Choice(["first", "second"]), default="first")
 @_common_train_options
 def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
-                      nodes, strategy, gradient_clip_val):
+                      nodes, strategy, gradient_clip_val, profile_steps):
     """Train a StyleTTS2-class end-to-end model (two stages)."""
     from everyvoice_tpu.dataloader import StyleTTS2Dataset
     from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer

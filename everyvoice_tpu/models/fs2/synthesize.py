@@ -47,9 +47,13 @@ def load_fs2_from_checkpoint(ckpt_path: Path | str):
     return model, ckpt["state_dict"], config, text_processor, lang2id, speaker2id
 
 
-def load_vocoder_from_checkpoint(ckpt_path: Path | str):
+def load_vocoder_from_checkpoint(ckpt_path: Path | str,
+                                 compute_dtype: str = "bfloat16"):
     """Load a HiFiGAN (full) or HiFiGANGenerator (exported) checkpoint
-    (parity: hfgl load_hifigan_from_checkpoint, demo/app.py:28-33)."""
+    (parity: hfgl load_hifigan_from_checkpoint, demo/app.py:28-33).
+
+    Serving defaults to bfloat16 convolution compute (params stay float32)
+    — standard TPU inference practice, ~1.4x faster on the MXU."""
     from everyvoice_tpu.models.hifigan.config import HiFiGANConfig
     from everyvoice_tpu.models.hifigan.model import HiFiGANGenerator
     from everyvoice_tpu.train.checkpoint import load_checkpoint
@@ -57,7 +61,9 @@ def load_vocoder_from_checkpoint(ckpt_path: Path | str):
     ckpt = load_checkpoint(ckpt_path)
     name = ckpt["model_info"]["name"]
     config = HiFiGANConfig(**ckpt["hyper_parameters"]["config"])
-    generator = HiFiGANGenerator.from_config(config)
+    generator = HiFiGANGenerator.from_config(
+        config, compute_dtype=compute_dtype
+    )
     state = ckpt["state_dict"]
     if name == "HiFiGAN":
         params = state["generator"]

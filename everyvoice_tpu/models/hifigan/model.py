@@ -96,7 +96,9 @@ class HiFiGANGenerator(nn.Module):
     compute_dtype: str = "float32"
 
     @classmethod
-    def from_config(cls, config: HiFiGANConfig) -> "HiFiGANGenerator":
+    def from_config(
+        cls, config: HiFiGANConfig, compute_dtype: str = "float32"
+    ) -> "HiFiGANGenerator":
         m = config.model
         istft_hop = 4
         istft_n_fft = 16
@@ -119,6 +121,7 @@ class HiFiGANGenerator(nn.Module):
             istft_layer=m.istft_layer,
             istft_n_fft=istft_n_fft,
             istft_hop=istft_hop,
+            compute_dtype=compute_dtype,
         )
 
     @nn.compact

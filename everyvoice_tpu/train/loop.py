@@ -133,6 +133,28 @@ class TrainerBase:
         if prev is not None:
             prev.join()
 
+    # -- profiling (new TPU-native work; the reference has none, SURVEY.md §5)
+    _profile_remaining = 0
+
+    def start_profile(self, profile_steps: int) -> None:
+        """Capture a jax profiler trace of the next `profile_steps` train
+        steps into <run_dir>/profile (viewable in TensorBoard/Perfetto/xprof)."""
+        if profile_steps <= 0:
+            return
+        import jax
+
+        jax.profiler.start_trace(str(self.run_dir / "profile"))
+        self._profile_remaining = profile_steps
+
+    def tick_profile(self) -> None:
+        if self._profile_remaining > 0:
+            self._profile_remaining -= 1
+            if self._profile_remaining == 0:
+                import jax
+
+                jax.profiler.stop_trace()
+                logger.info(f"Wrote profiler trace to {self.run_dir}/profile")
+
     def load_finetune_checkpoint(self, params):
         """Weights-only restore from training.finetune_checkpoint
         (the reference's config-diff-gated resume, base_cli/helpers.py:278)."""
@@ -257,7 +279,8 @@ class FastSpeech2Trainer(TrainerBase):
         )
         return params
 
-    def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
+            profile_steps: int = 0):
         t = self.training_config
         max_steps = max_steps if max_steps is not None else t.max_steps
         self.build_steps()
@@ -296,10 +319,13 @@ class FastSpeech2Trainer(TrainerBase):
                 bin_ramp = min(
                     1.0, (self.epoch + 1) / t.attn_bin_loss_warmup_epochs
                 )
+                if self.global_step == 1 and profile_steps:
+                    self.start_profile(profile_steps)
                 params, opt_state, losses = self._train_step(
                     params, opt_state, sharded, step_rng, bin_ramp
                 )
                 self.global_step += 1
+                self.tick_profile()
                 if self.global_step % log_every == 0:
                     self.log_metrics(
                         {f"training/{k}": v for k, v in losses.items()},

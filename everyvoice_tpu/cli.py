@@ -242,6 +242,33 @@ def synthesize_from_text(model_path, text, filelist, language, speaker,
         basenames = [r.get("basename") for r in rows]
     if not texts:
         raise click.ClickException("Provide --text or --filelist")
+    # StyleTTS2 checkpoints synthesize waveforms directly (no vocoder).
+    from everyvoice_tpu.train.checkpoint import load_checkpoint_header
+
+    model_kind = load_checkpoint_header(model_path)["model_info"]["name"]
+    if model_kind == "StyleTTS2Module":
+        import numpy as np
+
+        from everyvoice_tpu.dsp import write_wav
+        from everyvoice_tpu.models.styletts2.synthesize import (
+            load_styletts2_model,
+            synthesize_text,
+        )
+        from everyvoice_tpu.utils import slugify, truncate_basename
+
+        model, params, st2_config, tp, _ = load_styletts2_model(model_path)
+        out = Path(output_dir) / "wav"
+        out.mkdir(parents=True, exist_ok=True)
+        sr = st2_config.preprocessing.audio.output_sampling_rate
+        for i, t in enumerate(texts):
+            wav = synthesize_text(model, params, st2_config, tp, t,
+                                  language=language)
+            base = (basenames[i] if basenames and i < len(basenames)
+                    else truncate_basename(slugify(t)))
+            path = out / f"{base}--{speaker or 'default'}--{language or 'default'}.wav"
+            write_wav(path, np.asarray(wav), sr)
+            click.echo(str(path))
+        return
     synth = Synthesizer(model_path, vocoder_checkpoint=vocoder_path)
     if "wav" in output_types and vocoder_path is None:
         raise click.ClickException(

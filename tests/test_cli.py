@@ -170,3 +170,19 @@ class TestSynthesizeCLI:
         audio, sr = read_wav(wavs[0])
         assert sr == 22050
         assert audio.shape[1] > 0
+
+
+class TestStyleTTS2SynthesizeCLI:
+    def test_direct_text_to_wav(self, runner, tmp_path):
+        from model_stubs import get_dummy_styletts2_checkpoint
+
+        ckpt = get_dummy_styletts2_checkpoint(tmp_path)
+        out = tmp_path / "out"
+        result = runner.invoke(
+            main,
+            ["synthesize", "from-text", str(ckpt), "-t", "hello", "-O", "wav",
+             "-o", str(out)],
+        )
+        assert result.exit_code == 0, result.output
+        wavs = list((out / "wav").glob("*.wav"))
+        assert len(wavs) == 1

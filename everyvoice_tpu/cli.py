@@ -593,15 +593,19 @@ def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
 
 @main.command()
 @click.argument("wav_dir", type=click.Path(exists=True, path_type=Path))
+@click.option("-r", "--reference-dir", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="Ground-truth wavs (same filenames) for intrusive metrics.")
 @click.option("-o", "--output", type=click.Path(path_type=Path),
               default=Path("evaluation.json"))
-def evaluate(wav_dir, output):
-    """Objective evaluation (SQUIM STOI/PESQ/SI-SDR) of synthesized wavs."""
+def evaluate(wav_dir, reference_dir, output):
+    """Objective evaluation (SI-SDR/STOI + signal reports) of synthesized
+    wavs; intrusive metrics require --reference-dir."""
     from everyvoice_tpu.evaluation import evaluate_directory
 
-    results = evaluate_directory(wav_dir)
+    results = evaluate_directory(wav_dir, reference_dir=reference_dir)
     Path(output).write_text(json.dumps(results, indent=1), encoding="utf8")
-    click.echo(f"Wrote {output}")
+    click.echo(f"Wrote {output} ({len(results)} files)")
 
 
 @main.group()

@@ -10,7 +10,6 @@ mesh with plain data parallelism.
 
 from __future__ import annotations
 
-from dataclasses import field
 from typing import Optional
 
 import flax.linen as nn
@@ -26,7 +25,6 @@ from everyvoice_tpu.models.layers import (
     VariancePredictor,
     lengths_to_mask,
     regulate_length,
-    sinusoidal_positional_encoding,
 )
 
 

@@ -6,7 +6,6 @@ SynthesizeOutputFormats — wav, spec, textgrid, readalong-xml, readalong-html).
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Optional, Sequence
 

@@ -16,7 +16,7 @@ TPU design notes:
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -9,8 +9,6 @@ batched gather-based length regulation instead of per-item Python loops.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

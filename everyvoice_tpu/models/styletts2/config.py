@@ -3,9 +3,8 @@ as published in everyvoice/.schema/everyvoice-text-to-wav-0.5.json)."""
 
 from __future__ import annotations
 
-from enum import Enum
 from pathlib import Path
-from typing import Any, ClassVar, Dict, List, Optional, Union
+from typing import Any, ClassVar, Dict, List, Optional
 
 from pydantic import Field, model_validator
 

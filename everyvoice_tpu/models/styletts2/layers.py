@@ -191,7 +191,7 @@ class StyleDecoder(nn.Module):
     @nn.compact
     def __call__(self, features, f0_frames, energy, style, noise_key=None):
         # features: (B, T, C) frame-aligned; conditioning via AdaIN.
-        from everyvoice_tpu.dsp.spectral import istft, stft_real_imag
+        from everyvoice_tpu.dsp.spectral import istft
 
         x = nn.WeightNorm(
             nn.Conv(self.upsample_initial_channel, (7,), padding="SAME")

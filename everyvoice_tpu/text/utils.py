@@ -4,7 +4,7 @@ guessing (parity: everyvoice/text/utils.py)."""
 from __future__ import annotations
 
 import re
-from typing import Callable, Optional
+from typing import Optional
 
 import regex
 

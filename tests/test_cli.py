@@ -186,3 +186,43 @@ class TestStyleTTS2SynthesizeCLI:
         assert result.exit_code == 0, result.output
         wavs = list((out / "wav").glob("*.wav"))
         assert len(wavs) == 1
+
+
+class TestLongFormSynthesis:
+    def test_chunked_text_concatenates(self, runner, dummy_ckpts, tmp_path):
+        """Long text is chunked at strong boundaries, synthesized per chunk,
+        and re-concatenated (reference split_text behavior)."""
+        long_text = "This is a sentence. " * 20  # > max chunk length
+        result = runner.invoke(
+            main,
+            ["synthesize", "from-text", str(dummy_ckpts["fs2"]),
+             "-t", long_text, "-O", "spec", "-o", str(tmp_path)],
+        )
+        assert result.exit_code == 0, result.output
+        import numpy as np
+
+        specs = list((tmp_path / "synthesized_spec").glob("*.npy"))
+        assert len(specs) == 1  # chunks merged into one output
+        mel = np.load(specs[0])
+        assert mel.shape[0] == 80
+
+
+class TestEvaluateCLI:
+    def test_evaluate_with_reference(self, runner, tmp_path):
+        import numpy as np
+
+        from everyvoice_tpu.dsp import write_wav
+
+        t = np.arange(22050) / 22050
+        x = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        est = tmp_path / "est"; ref = tmp_path / "ref"
+        est.mkdir(); ref.mkdir()
+        write_wav(est / "a.wav", x * 0.8, 22050)
+        write_wav(ref / "a.wav", x, 22050)
+        out = tmp_path / "eval.json"
+        result = runner.invoke(
+            main, ["evaluate", str(est), "-r", str(ref), "-o", str(out)]
+        )
+        assert result.exit_code == 0, result.output
+        data = json.loads(out.read_text())
+        assert data[0]["si_sdr"] > 30

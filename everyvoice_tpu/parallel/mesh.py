@@ -88,18 +88,20 @@ def replicate_tree(tree, mesh: Mesh):
 
 
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
-    """Ensure the batch axis divides the data-axis size by repeating the
-    final rows (rows are masked by *_lengths downstream)."""
+    """Ensure the batch axis divides the data-axis size by repeating rows
+    cyclically (rows are masked by *_lengths downstream). Handles batches
+    smaller than the device count."""
     first = next(v for v in batch.values() if isinstance(v, np.ndarray))
     b = first.shape[0]
     remainder = b % n_devices
     if remainder == 0:
         return batch
     pad = n_devices - remainder
+    reps = np.arange(pad) % b  # cyclic repetition covers pad > b
     out = {}
     for key, value in batch.items():
         if isinstance(value, np.ndarray) and value.shape[:1] == (b,):
-            out[key] = np.concatenate([value, value[-pad:]], axis=0)
+            out[key] = np.concatenate([value, value[reps]], axis=0)
         else:
             out[key] = value
     return out

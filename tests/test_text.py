@@ -188,3 +188,85 @@ class TestLookups:
     def test_build_lookup_order_preserving(self):
         items = [{"k": "z"}, {"k": "a"}, {"k": "z"}]
         assert build_lookup(items, "k") == {"z": 0, "a": 1}
+
+
+class TestEdgeCases:
+    """Edge cases modeled on the reference's test_text.py coverage."""
+
+    def test_slash_in_symbols_escaped_in_joined_tokens(self):
+        tp = TextProcessor(TextConfig(symbols=Symbols(letters=["/", "a"])))
+        ids = tp.encode_text("a/a", quiet=True)
+        joined = tp.decode_tokens(ids)
+        # '/' is both a symbol and the joiner → must be escaped
+        assert "<SLASH>" in joined
+        assert tp.encode_escaped_string_sequence(joined) == ids
+
+    def test_nfc_normalization_of_symbols(self):
+        # Decomposed é in the inventory must match composed é in text after
+        # nfc cleaning.
+        tp = TextProcessor(
+            TextConfig(
+                cleaners=["everyvoice_tpu.utils.nfc_normalize"],
+                symbols=Symbols(letters=["é"]),
+            )
+        )
+        ids = tp.encode_text("é", quiet=True)  # composed é
+        assert len(ids) == 1
+
+    def test_multichar_symbol_greedy_match(self):
+        tp = TextProcessor(TextConfig(symbols=Symbols(letters=["a", "aa", "aaa"])))
+        ids = tp.encode_text("aaaa", quiet=True)
+        tokens = tp.token_sequence_to_text_sequence(ids)
+        assert tokens == ["aaa", "a"]  # longest-first matching
+
+    def test_duplicate_symbols_across_fields(self):
+        # The same symbol declared in two fields must map to one ID.
+        tp = TextProcessor(
+            TextConfig(symbols=Symbols(set1=["x", "y"], set2=["y", "z"]))
+        )
+        assert len([s for s in tp.symbols if s == "y"]) == 1
+
+    def test_empty_text(self, base_tp):
+        assert base_tp.encode_text("", quiet=True) == []
+
+    def test_encode_decode_all_punctuation(self, base_tp):
+        from everyvoice_tpu.config.text_config import Punctuation
+
+        for symbol in sorted(Punctuation().all):
+            ids = base_tp.encode_text(symbol, quiet=True)
+            assert len(ids) == 1, symbol
+
+    def test_representation_level_filtering(self):
+        from everyvoice_tpu.config.type_definitions import (
+            TargetTrainingTextRepresentationLevel as Level,
+        )
+
+        cfg = TextConfig(
+            symbols=Symbols(
+                ds1_characters=["c"], ds1_phones=["p"], shared=["s"],
+            )
+        )
+        tp_chars = TextProcessor(
+            cfg, target_text_representation_level=Level.characters
+        )
+        tp_phones = TextProcessor(
+            cfg, target_text_representation_level=Level.ipa_phones
+        )
+        assert "c" in tp_chars._symbol_to_id and "p" not in tp_chars._symbol_to_id
+        assert "p" in tp_phones._symbol_to_id and "c" not in tp_phones._symbol_to_id
+        assert "s" in tp_chars._symbol_to_id and "s" in tp_phones._symbol_to_id
+
+    def test_language_specific_cleaners_applied(self):
+        cfg = TextConfig(
+            language_cleaners={"upper_lang": ["everyvoice_tpu.utils.lower"]},
+            symbols=Symbols(letters=list("abc")),
+        )
+        tp = TextProcessor(cfg)
+        assert tp.normalize_text("ABC", lang_id="upper_lang") == "abc"
+        assert tp.normalize_text("ABC", lang_id="other") == "ABC"
+
+    def test_arpabet_dataset_to_ipa_in_preprocessing(self):
+        from everyvoice_tpu.text.arpabet import arpabet_to_ipa
+
+        # Multi-word with stress; internal spaces removed per word
+        assert arpabet_to_ipa("DH AH0  K AE1 T") == "ðʌ kˈæt"

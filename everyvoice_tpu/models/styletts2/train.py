@@ -218,7 +218,9 @@ class StyleTTS2Trainer(TrainerBase):
 
     def init_params(self, example_batch, rng=None):
         rng = rng or jax.random.PRNGKey(0)
-        gen_params = self.model.init(
+        gen_params = jax.jit(
+            self.model.init, static_argnames=("deterministic",)
+        )(
             {"params": rng, "dropout": rng, "noise": rng},
             jnp.asarray(example_batch["text"]),
             jnp.asarray(example_batch["text_lengths"]),
@@ -230,8 +232,8 @@ class StyleTTS2Trainer(TrainerBase):
         )
         wav = jnp.zeros((2, 4096))
         disc_params = {
-            "mpd": self.mpd.init(rng, wav),
-            "msd": self.msd.init(rng, wav),
+            "mpd": jax.jit(self.mpd.init)(rng, wav),
+            "msd": jax.jit(self.msd.init)(rng, wav),
         }
         return gen_params, disc_params
 

@@ -268,7 +268,9 @@ class FastSpeech2Trainer(TrainerBase):
     def init_params(self, rng=None):
         rng = rng or jax.random.PRNGKey(0)
         batch = next(self.dataset.batches(2, shuffle=False))
-        params = self.model.init(
+        # jit the init: eager init dispatches hundreds of tiny ops, which is
+        # prohibitively slow through remote-dispatch TPU runtimes.
+        params = jax.jit(self.model.init)(
             {"params": rng, "dropout": rng},
             jnp.asarray(batch["text"]),
             jnp.asarray(batch["text_lengths"]),
@@ -507,10 +509,10 @@ class HiFiGANTrainer(TrainerBase):
         seg_frames = a.vocoder_segment_size // a.fft_hop_size
         mel = jnp.zeros((2, seg_frames, a.n_mels))
         wav = jnp.zeros((2, a.vocoder_segment_size))
-        gen_params = self.generator.init(rng, mel)
+        gen_params = jax.jit(self.generator.init)(rng, mel)
         disc_params = {
-            "mpd": self.mpd.init(rng, wav),
-            "msd": self.msd.init(rng, wav),
+            "mpd": jax.jit(self.mpd.init)(rng, wav),
+            "msd": jax.jit(self.msd.init)(rng, wav),
         }
         return gen_params, disc_params
 

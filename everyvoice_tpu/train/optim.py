@@ -17,9 +17,11 @@ from everyvoice_tpu.config.shared_types import (
 def noam_schedule(
     base_lr: float, warmup_steps: int, model_dim: int = 256
 ) -> optax.Schedule:
-    """Noam (Attention-Is-All-You-Need) LR: base · d^-0.5 ·
-    min(step^-0.5, step · warmup^-1.5)."""
-    scale = base_lr * (model_dim**-0.5)
+    """Noam LR shape (linear warmup → inverse-sqrt decay), normalized so the
+    configured learning_rate is the PEAK value reached at `warmup_steps` —
+    matching how the reference's Noam config is used (its 1e-3 default is a
+    real peak lr, not a multiplier on the d_model^-0.5 factor)."""
+    scale = base_lr * (warmup_steps**0.5)
 
     def schedule(step):
         step = step + 1  # 1-indexed to avoid 0^-0.5

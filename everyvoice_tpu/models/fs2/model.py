@@ -190,10 +190,11 @@ class FastSpeech2(nn.Module):
                 durations = durations_from_hard_attention(attn_hard)
                 out["duration_target"] = durations
 
-        # ----- variance adaptor: duration
+        # ----- variance adaptor: duration (bias-initialized at ~4
+        # frames/token so free-running synthesis starts sane)
         log_duration_pred = VariancePredictor(
             self.vp_layers, self.vp_kernel, self.dim, self.vp_dropout,
-            self.vp_depthwise, name="duration_predictor",
+            self.vp_depthwise, out_bias_init=1.6, name="duration_predictor",
         )(x, src_mask, deterministic)
         out["log_duration_prediction"] = log_duration_pred
 

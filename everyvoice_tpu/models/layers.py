@@ -134,6 +134,9 @@ class VariancePredictor(nn.Module):
     hidden_dim: int
     dropout: float
     depthwise: bool = True
+    # Initial output bias: lets the duration predictor start at a sensible
+    # prior (e.g. log1p(4) frames/token) instead of zero.
+    out_bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -153,7 +156,9 @@ class VariancePredictor(nn.Module):
             x = nn.relu(x)
             x = nn.LayerNorm()(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        out = nn.Dense(1)(x)[..., 0]
+        out = nn.Dense(
+            1, bias_init=nn.initializers.constant(self.out_bias_init)
+        )(x)[..., 0]
         return jnp.where(mask, out, 0.0)
 
 

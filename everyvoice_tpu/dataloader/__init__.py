@@ -61,6 +61,10 @@ class FastSpeech2Dataset:
         self.max_text_len = max(
             (len(self._token_ids(it)) for it in self.items), default=1
         )
+        # In-memory item cache: artifacts are small (a few hundred KB per
+        # utterance) and re-read every epoch otherwise.
+        self._cache: dict = {}
+        self.max_cache_items = 5000
 
     # -- helpers -------------------------------------------------------
     def _token_column(self) -> str:
@@ -101,6 +105,9 @@ class FastSpeech2Dataset:
 
     # -- item assembly --------------------------------------------------
     def load_item(self, idx: int) -> dict:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
         item = self.items[idx]
         ids = self._token_ids(item)
         spec = np.load(self._path(item, "spec", self._spec_name()))  # (M, T)
@@ -129,6 +136,8 @@ class FastSpeech2Dataset:
             dur_path = self._path(item, "duration", "duration.npy")
             if dur_path.exists():
                 out["durations"] = np.load(dur_path).astype(np.int32)
+        if len(self._cache) < self.max_cache_items:
+            self._cache[idx] = out
         return out
 
     # -- batching -------------------------------------------------------
@@ -219,6 +228,8 @@ class HiFiGANDataset:
         self.output_sr = self.audio_config.output_sampling_rate
         self.input_sr = self.audio_config.input_sampling_rate
         self.items = [it for it in filelist if self._usable(it)]
+        self._cache: dict = {}
+        self.max_cache_items = 2000
 
     def _path(self, item: dict, folder: str, fn: str) -> Path:
         speaker = item.get("speaker") or "default"
@@ -250,16 +261,22 @@ class HiFiGANDataset:
         return len(self.items)
 
     def load_item(self, idx: int) -> dict:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
         from everyvoice_tpu.dsp import read_wav
 
         item = self.items[idx]
         spec = np.load(self._path(item, self._spec_folder(), self._spec_name()))
         audio, _ = read_wav(self._path(item, "audio", f"audio-{self.output_sr}.wav"))
-        return {
+        out = {
             "basename": item["basename"],
             "mel": spec.T.astype(np.float32),  # (T, M)
             "audio": audio[0].astype(np.float32),
         }
+        if len(self._cache) < self.max_cache_items:
+            self._cache[idx] = out
+        return out
 
     def batches(
         self, batch_size: int, shuffle: bool = True, seed: int = 0,

@@ -268,8 +268,12 @@ class StyleTTS2Trainer(TrainerBase):
         rng = jax.random.PRNGKey(17)
         stop = False
         while not stop and self.epoch < max_epochs:
-            for batch in self.dataset.batches(
-                t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+            from everyvoice_tpu.dataloader.prefetch import prefetch
+
+            for batch in prefetch(
+                self.dataset.batches(
+                    t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+                )
             ):
                 batch.pop("basenames", None)
                 batch = pad_batch_to_devices(batch, self.n_devices)

@@ -310,9 +310,13 @@ class FastSpeech2Trainer(TrainerBase):
                     for it in self.dataset.items
                 ]
                 weights = imbalanced_sample_weights(labels)
-            for batch in self.dataset.batches(
-                t.batch_size, shuffle=True, seed=seed, drop_last=True,
-                weights=weights,
+            from everyvoice_tpu.dataloader.prefetch import prefetch
+
+            for batch in prefetch(
+                self.dataset.batches(
+                    t.batch_size, shuffle=True, seed=seed, drop_last=True,
+                    weights=weights,
+                )
             ):
                 batch = pad_batch_to_devices(batch, self.n_devices)
                 batch.pop("basenames", None)
@@ -536,8 +540,12 @@ class HiFiGANTrainer(TrainerBase):
         val_interval = t.val_check_interval or 500
         stop = False
         while not stop and self.epoch < t.max_epochs:
-            for batch in self.dataset.batches(
-                t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+            from everyvoice_tpu.dataloader.prefetch import prefetch
+
+            for batch in prefetch(
+                self.dataset.batches(
+                    t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+                )
             ):
                 batch = pad_batch_to_devices(batch, self.n_devices)
                 batch.pop("basenames", None)

@@ -196,7 +196,7 @@ class StyleTTS2Trainer(TrainerBase):
         @jax.jit
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
                        batch, rng):
-            rng_d, rng_g = jax.random.split(rng)
+            rng, rng_d, rng_g = jax.random.split(rng, 3)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
             )(disc_params, gen_params, batch, rng_d)
@@ -212,7 +212,8 @@ class StyleTTS2Trainer(TrainerBase):
             )
             gen_params = optax.apply_updates(gen_params, g_updates)
             metrics = {**d_metrics, **{f"gen/{k}": v for k, v in g_metrics.items()}}
-            return gen_params, disc_params, gen_opt_state, disc_opt_state, metrics
+            return (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    metrics, rng)
 
         self._train_step = train_step
 
@@ -270,18 +271,19 @@ class StyleTTS2Trainer(TrainerBase):
         while not stop and self.epoch < max_epochs:
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
-            for batch in prefetch(
-                self.dataset.batches(
+            def device_batches():
+                for host_batch in self.dataset.batches(
                     t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
-                )
-            ):
-                batch.pop("basenames", None)
-                batch = pad_batch_to_devices(batch, self.n_devices)
-                rng, step_rng = jax.random.split(rng)
+                ):
+                    host_batch.pop("basenames", None)
+                    host_batch = pad_batch_to_devices(host_batch, self.n_devices)
+                    yield shard_batch(host_batch, self.mesh)
+
+            for sharded in prefetch(device_batches()):
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
-                 metrics) = self._train_step(
+                 metrics, rng) = self._train_step(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
-                    shard_batch(batch, self.mesh), step_rng,
+                    sharded, rng,
                 )
                 self.global_step += 1
                 if self.global_step % log_every == 0:

@@ -250,12 +250,13 @@ class FastSpeech2Trainer(TrainerBase):
 
         @jax.jit
         def train_step(params, opt_state, batch, rng, bin_ramp):
+            rng, step_rng = jax.random.split(rng)
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng, bin_ramp, False
+                params, batch, step_rng, bin_ramp, False
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, losses
+            return params, opt_state, losses, rng
 
         @jax.jit
         def eval_step(params, batch):
@@ -312,23 +313,25 @@ class FastSpeech2Trainer(TrainerBase):
                 weights = imbalanced_sample_weights(labels)
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
-            for batch in prefetch(
-                self.dataset.batches(
+            def device_batches():
+                # Padding + host->device transfer happen on the prefetch
+                # thread, overlapping the device step.
+                for host_batch in self.dataset.batches(
                     t.batch_size, shuffle=True, seed=seed, drop_last=True,
                     weights=weights,
-                )
-            ):
-                batch = pad_batch_to_devices(batch, self.n_devices)
-                batch.pop("basenames", None)
-                sharded = shard_batch(batch, self.mesh)
-                rng, step_rng = jax.random.split(rng)
+                ):
+                    host_batch.pop("basenames", None)
+                    host_batch = pad_batch_to_devices(host_batch, self.n_devices)
+                    yield shard_batch(host_batch, self.mesh)
+
+            for sharded in prefetch(device_batches()):
                 bin_ramp = min(
                     1.0, (self.epoch + 1) / t.attn_bin_loss_warmup_epochs
                 )
                 if self.global_step == 1 and profile_steps:
                     self.start_profile(profile_steps)
-                params, opt_state, losses = self._train_step(
-                    params, opt_state, sharded, step_rng, bin_ramp
+                params, opt_state, losses, rng = self._train_step(
+                    params, opt_state, sharded, rng, bin_ramp
                 )
                 self.global_step += 1
                 self.tick_profile()
@@ -469,7 +472,7 @@ class HiFiGANTrainer(TrainerBase):
         @jax.jit
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
                        batch, rng, gan_on):
-            rng_seg, _ = jax.random.split(rng)
+            rng, rng_seg = jax.random.split(rng)
             mel_segs, audio_segs = sample_segments(batch, rng_seg)
             # --- discriminator step (skipped content-wise when gan_on=0 by
             # zeroing its gradient contribution)
@@ -494,7 +497,8 @@ class HiFiGANTrainer(TrainerBase):
             )
             gen_params = optax.apply_updates(gen_params, g_updates)
             metrics = {**d_metrics, **g_metrics}
-            return gen_params, disc_params, gen_opt_state, disc_opt_state, metrics
+            return (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    metrics, rng)
 
         @jax.jit
         def eval_step(gen_params, batch, rng):
@@ -542,20 +546,20 @@ class HiFiGANTrainer(TrainerBase):
         while not stop and self.epoch < t.max_epochs:
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
-            for batch in prefetch(
-                self.dataset.batches(
+            def device_batches():
+                for host_batch in self.dataset.batches(
                     t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
-                )
-            ):
-                batch = pad_batch_to_devices(batch, self.n_devices)
-                batch.pop("basenames", None)
-                sharded = shard_batch(batch, self.mesh)
-                rng, step_rng = jax.random.split(rng)
+                ):
+                    host_batch.pop("basenames", None)
+                    host_batch = pad_batch_to_devices(host_batch, self.n_devices)
+                    yield shard_batch(host_batch, self.mesh)
+
+            for sharded in prefetch(device_batches()):
                 gan_on = 1.0 if self.global_step >= t.generator_warmup_steps else 0.0
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
-                 metrics) = self._train_step(
+                 metrics, rng) = self._train_step(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
-                    sharded, step_rng, gan_on,
+                    sharded, rng, gan_on,
                 )
                 self.global_step += 1
                 if self.global_step % log_every == 0:

@@ -118,6 +118,10 @@ def _common_train_options(fn):
     fn = click.option("--profile-steps", default=0, type=int,
                       help="Capture a jax profiler trace of the first N steps "
                       "into the run dir.")(fn)
+    fn = click.option("--steps-per-execution", default=1, type=int,
+                      help="Run N optimizer steps per device dispatch "
+                      "(lax.scan over stacked batches); amortizes host "
+                      "overhead for small models.")(fn)
     return fn
 
 
@@ -125,7 +129,8 @@ def _common_train_options(fn):
 @click.argument("config_path", type=click.Path(exists=True, path_type=Path))
 @_common_train_options
 def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
-                       strategy, gradient_clip_val, profile_steps):
+                       strategy, gradient_clip_val, profile_steps,
+                       steps_per_execution):
     """Train a FastSpeech2 feature-prediction model."""
     from everyvoice_tpu.dataloader import FastSpeech2Dataset
     from everyvoice_tpu.parallel import make_mesh, resolve_devices
@@ -146,7 +151,9 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
     trainer = FastSpeech2Trainer(
         config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh
     )
-    trainer.fit(profile_steps=profile_steps)
+    trainer.fit(
+        profile_steps=profile_steps, steps_per_execution=steps_per_execution
+    )
     click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
 
 
@@ -154,7 +161,8 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
 @click.argument("config_path", type=click.Path(exists=True, path_type=Path))
 @_common_train_options
 def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
-                      strategy, gradient_clip_val, profile_steps):
+                      strategy, gradient_clip_val, profile_steps,
+                      steps_per_execution):
     """Train a HiFiGAN (or iSTFTNet) vocoder."""
     from everyvoice_tpu.dataloader import HiFiGANDataset
     from everyvoice_tpu.parallel import make_mesh, resolve_devices
@@ -176,7 +184,8 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
 @click.option("--mode", type=click.Choice(["first", "second"]), default="first")
 @_common_train_options
 def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
-                      nodes, strategy, gradient_clip_val, profile_steps):
+                      nodes, strategy, gradient_clip_val, profile_steps,
+                      steps_per_execution):
     """Train a StyleTTS2-class end-to-end model (two stages)."""
     from everyvoice_tpu.dataloader import StyleTTS2Dataset
     from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer

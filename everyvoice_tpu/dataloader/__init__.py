@@ -317,6 +317,43 @@ class HiFiGANDataset:
                 batch["audio_lengths"][i] = s
             yield batch
 
+    def segment_batches(
+        self, batch_size: int, segment_size: int, shuffle: bool = True,
+        seed: int = 0, drop_last: bool = False,
+    ) -> Iterator[dict]:
+        """Random fixed-size (mel, audio) segment per item, sampled on the
+        host (the reference samples segments in its dataloader too,
+        utils/heavy.py:122-148). Ships only segment-sized tensors to the
+        device — ~20x less host->device transfer than whole-utterance
+        batches when utterances are ~11 s and segments 8192 samples."""
+        n = len(self.items)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        hop = self.audio_config.fft_hop_size * (self.output_sr // self.input_sr)
+        seg_frames = segment_size // hop
+        n_batches = n // batch_size if drop_last else math.ceil(n / batch_size)
+        for bi in range(n_batches):
+            idxs = order[bi * batch_size : (bi + 1) * batch_size]
+            items = [self.load_item(int(i)) for i in idxs]
+            while len(items) < batch_size:
+                items.append(items[-1])
+            b = len(items)
+            n_mels = items[0]["mel"].shape[1]
+            batch = {
+                "mel": np.zeros((b, seg_frames, n_mels), np.float32),
+                "audio": np.zeros((b, segment_size), np.float32),
+                "basenames": [it["basename"] for it in items],
+            }
+            for i, it in enumerate(items):
+                frames = it["mel"].shape[0]
+                max_start = max(frames - seg_frames, 0)
+                start = int(rng.integers(0, max_start + 1)) if shuffle else 0
+                mel = it["mel"][start : start + seg_frames]
+                batch["mel"][i, : mel.shape[0]] = mel
+                audio = it["audio"][start * hop : start * hop + segment_size]
+                batch["audio"][i, : len(audio)] = audio
+            yield batch
+
 
 def build_lookups_from_config(config) -> tuple:
     train = config.training.filelist_loader(config.training.training_filelist)

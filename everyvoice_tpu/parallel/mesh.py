@@ -87,6 +87,36 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def compress_for_transfer(batch: dict, keys: Sequence[str]) -> dict:
+    """Cast selected float32 arrays to float16 on the host to halve
+    host->device transfer bytes (the training loop is transfer-bound on
+    hosts with modest device links). Jitted steps cast back to float32 on
+    device, where the cast fuses away."""
+    out = dict(batch)
+    for key in keys:
+        value = out.get(key)
+        if value is not None and getattr(value, "dtype", None) == np.float32:
+            out[key] = value.astype(np.float16)
+    return out
+
+
+def stack_batches(group: list) -> dict:
+    """Stack K same-shape host batches into one (K, batch, ...) super-batch
+    for multi-step execution (one dispatch runs K optimizer steps via
+    lax.scan, amortizing per-step host/RPC overhead)."""
+    return {k: np.stack([g[k] for g in group]) for k in group[0]}
+
+
+def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a (steps, batch, ...) stacked batch onto the mesh: the steps
+    axis stays whole (scanned over inside jit), axis 1 splits over `data`."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {
+        k: jax.device_put(v, sharding) if hasattr(v, "shape") else v
+        for k, v in batch.items()
+    }
+
+
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
     """Ensure the batch axis divides the data-axis size by repeating rows
     cyclically (rows are masked by *_lengths downstream). Handles batches

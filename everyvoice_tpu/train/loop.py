@@ -24,11 +24,24 @@ import optax
 
 from everyvoice_tpu.logger import logger
 from everyvoice_tpu.parallel.mesh import (
+    compress_for_transfer,
     make_mesh,
     pad_batch_to_devices,
     replicate_tree,
     shard_batch,
+    shard_stacked_batch,
+    stack_batches,
 )
+
+
+def _decompress(batch: dict) -> dict:
+    """Undo compress_for_transfer inside jit (f16 -> f32, fused away)."""
+    return {
+        k: v.astype(jnp.float32)
+        if getattr(v, "dtype", None) == jnp.float16
+        else v
+        for k, v in batch.items()
+    }
 from everyvoice_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from everyvoice_tpu.train.optim import build_optimizer
 
@@ -234,6 +247,7 @@ class FastSpeech2Trainer(TrainerBase):
         model_kwargs = self._model_kwargs
 
         def loss_fn(params, batch, rng, bin_ramp, deterministic):
+            batch = _decompress(batch)
             out = model.apply(
                 params,
                 batch["text"],
@@ -248,8 +262,7 @@ class FastSpeech2Trainer(TrainerBase):
             )
             return losses["total"], losses
 
-        @jax.jit
-        def train_step(params, opt_state, batch, rng, bin_ramp):
+        def step_body(params, opt_state, batch, rng, bin_ramp):
             rng, step_rng = jax.random.split(rng)
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, step_rng, bin_ramp, False
@@ -258,12 +271,34 @@ class FastSpeech2Trainer(TrainerBase):
             params = optax.apply_updates(params, updates)
             return params, opt_state, losses, rng
 
+        train_step = jax.jit(step_body)
+
+        @jax.jit
+        def multi_train_step(params, opt_state, batches, rng, bin_ramp):
+            # K optimizer steps in one dispatch: batches is a (K, batch, ...)
+            # stacked super-batch, scanned on axis 0. Amortizes per-step
+            # host/RPC overhead that dominates small-model training loops.
+            def body(carry, batch):
+                params, opt_state, rng = carry
+                params, opt_state, losses, rng = step_body(
+                    params, opt_state, batch, rng, bin_ramp
+                )
+                return (params, opt_state, rng), losses
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), batches
+            )
+            # Report the last step's losses (matches per-step logging).
+            losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
+            return params, opt_state, losses, rng
+
         @jax.jit
         def eval_step(params, batch):
             _, losses = loss_fn(params, batch, jax.random.PRNGKey(0), 1.0, True)
             return losses
 
         self._train_step = train_step
+        self._multi_train_step = multi_train_step
         self._eval_step = eval_step
 
     def init_params(self, rng=None):
@@ -283,9 +318,10 @@ class FastSpeech2Trainer(TrainerBase):
         return params
 
     def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
-            profile_steps: int = 0):
+            profile_steps: int = 0, steps_per_execution: int = 1):
         t = self.training_config
         max_steps = max_steps if max_steps is not None else t.max_steps
+        spe = max(int(steps_per_execution), 1)
         self.build_steps()
         params = self.init_params()
         params, opt_restore = self.load_finetune_checkpoint(params)
@@ -315,32 +351,53 @@ class FastSpeech2Trainer(TrainerBase):
 
             def device_batches():
                 # Padding + host->device transfer happen on the prefetch
-                # thread, overlapping the device step.
+                # thread, overlapping the device step. With spe > 1, K
+                # batches are stacked into one super-batch so one dispatch
+                # runs K optimizer steps (lax.scan inside jit).
+                group: list = []
                 for host_batch in self.dataset.batches(
                     t.batch_size, shuffle=True, seed=seed, drop_last=True,
                     weights=weights,
                 ):
                     host_batch.pop("basenames", None)
                     host_batch = pad_batch_to_devices(host_batch, self.n_devices)
-                    yield shard_batch(host_batch, self.mesh)
+                    host_batch = compress_for_transfer(
+                        host_batch, ("mel", "attn_prior")
+                    )
+                    if spe <= 1:
+                        yield 1, shard_batch(host_batch, self.mesh)
+                    else:
+                        group.append(host_batch)
+                        if len(group) == spe:
+                            yield spe, shard_stacked_batch(
+                                stack_batches(group), self.mesh
+                            )
+                            group = []
+                # Epoch leftovers run as single steps.
+                for host_batch in group:
+                    yield 1, shard_batch(host_batch, self.mesh)
 
-            for sharded in prefetch(device_batches()):
+            for n_steps, sharded in prefetch(device_batches()):
                 bin_ramp = min(
                     1.0, (self.epoch + 1) / t.attn_bin_loss_warmup_epochs
                 )
                 if self.global_step == 1 and profile_steps:
                     self.start_profile(profile_steps)
-                params, opt_state, losses, rng = self._train_step(
+                step_fn = (
+                    self._train_step if n_steps == 1 else self._multi_train_step
+                )
+                params, opt_state, losses, rng = step_fn(
                     params, opt_state, sharded, rng, bin_ramp
                 )
-                self.global_step += 1
+                prev_step = self.global_step
+                self.global_step += n_steps
                 self.tick_profile()
-                if self.global_step % log_every == 0:
+                if self.global_step // log_every > prev_step // log_every:
                     self.log_metrics(
                         {f"training/{k}": v for k, v in losses.items()},
                         self.global_step,
                     )
-                if self.global_step % val_interval == 0 or (
+                if self.global_step // val_interval > prev_step // val_interval or (
                     self.global_step >= max_steps
                 ):
                     val = self.validate(params)
@@ -367,6 +424,7 @@ class FastSpeech2Trainer(TrainerBase):
         ):
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch.pop("basenames", None)
+            batch = compress_for_transfer(batch, ("mel", "attn_prior"))
             losses = self._eval_step(params, shard_batch(batch, self.mesh))
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -399,7 +457,6 @@ class HiFiGANTrainer(TrainerBase):
 
     def build_steps(self):
         from everyvoice_tpu.dsp import get_spectral_transform
-        from everyvoice_tpu.dsp.segments import get_segments_batched
         from everyvoice_tpu.dsp.spectral import dynamic_range_compression
         from everyvoice_tpu.models.hifigan.loss import (
             FEATURE_MATCHING_WEIGHT,
@@ -420,26 +477,10 @@ class HiFiGANTrainer(TrainerBase):
             spec_type, a.n_fft, a.fft_window_size, hop,
             a.output_sampling_rate, a.n_mels, a.f_min, a.f_max,
         )
+        del hop, seg_frames, segment  # segments are pre-cut by the dataloader
         generator, mpd, msd = self.generator, self.mpd, self.msd
         gen_opt, disc_opt = self.gen_opt, self.disc_opt
         gan_type, wgan_clip = self.gan_type, self.wgan_clip
-
-        def sample_segments(batch, rng):
-            mel_segs, starts = get_segments_batched(
-                batch["mel"], batch["mel_lengths"], seg_frames, rng
-            )
-            audio = batch["audio"]
-            audio_starts = starts * hop
-
-            def slice_one(row, start, length):
-                seg = jax.lax.dynamic_slice_in_dim(row, start, segment)
-                valid = jnp.arange(segment) < jnp.maximum(length - start, 0)
-                return seg * valid
-
-            audio_segs = jax.vmap(slice_one)(
-                audio, audio_starts, batch["audio_lengths"]
-            )
-            return mel_segs, audio_segs
 
         def gen_loss_fn(gen_params, disc_params, mel_segs, audio_segs, gan_on):
             fake = generator.apply(gen_params, mel_segs)
@@ -469,11 +510,10 @@ class HiFiGANTrainer(TrainerBase):
             loss = discriminator_loss(mpd_r + msd_r, mpd_f + msd_f, gan_type)
             return loss, {"disc/total": loss}
 
-        @jax.jit
-        def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
-                       batch, rng, gan_on):
-            rng, rng_seg = jax.random.split(rng)
-            mel_segs, audio_segs = sample_segments(batch, rng_seg)
+        def step_body(gen_params, disc_params, gen_opt_state, disc_opt_state,
+                      batch, rng, gan_on):
+            batch = _decompress(batch)
+            mel_segs, audio_segs = batch["mel"], batch["audio"]
             # --- discriminator step (skipped content-wise when gan_on=0 by
             # zeroing its gradient contribution)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
@@ -500,15 +540,43 @@ class HiFiGANTrainer(TrainerBase):
             return (gen_params, disc_params, gen_opt_state, disc_opt_state,
                     metrics, rng)
 
+        train_step = jax.jit(step_body)
+
         @jax.jit
-        def eval_step(gen_params, batch, rng):
-            mel_segs, audio_segs = sample_segments(batch, rng)
+        def multi_train_step(gen_params, disc_params, gen_opt_state,
+                             disc_opt_state, batches, rng, gan_on):
+            # K GAN steps per dispatch over a (K, batch, ...) super-batch.
+            def body(carry, batch):
+                gen_params, disc_params, gen_opt_state, disc_opt_state, rng = carry
+                (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                 metrics, rng) = step_body(
+                    gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    batch, rng, gan_on,
+                )
+                return (gen_params, disc_params, gen_opt_state,
+                        disc_opt_state, rng), metrics
+
+            carry, metrics = jax.lax.scan(
+                body,
+                (gen_params, disc_params, gen_opt_state, disc_opt_state, rng),
+                batches,
+            )
+            gen_params, disc_params, gen_opt_state, disc_opt_state, rng = carry
+            metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            return (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    metrics, rng)
+
+        @jax.jit
+        def eval_step(gen_params, batch):
+            batch = _decompress(batch)
+            mel_segs, audio_segs = batch["mel"], batch["audio"]
             fake = generator.apply(gen_params, mel_segs)
             mel_fake = dynamic_range_compression(mel_fn(fake))
             mel_real = dynamic_range_compression(mel_fn(audio_segs))
             return {"total": mel_l1_loss(mel_real, mel_fake)}
 
         self._train_step = train_step
+        self._multi_train_step = multi_train_step
         self._eval_step = eval_step
 
     def init_params(self, rng=None):
@@ -524,9 +592,11 @@ class HiFiGANTrainer(TrainerBase):
         }
         return gen_params, disc_params
 
-    def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
+            steps_per_execution: int = 1):
         t = self.training_config
         max_steps = max_steps if max_steps is not None else t.max_steps
+        spe = max(int(steps_per_execution), 1)
         self.build_steps()
         gen_params, disc_params = self.init_params()
         if t.finetune_checkpoint is not None:
@@ -547,27 +617,44 @@ class HiFiGANTrainer(TrainerBase):
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
             def device_batches():
-                for host_batch in self.dataset.batches(
-                    t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
+                group: list = []
+                for host_batch in self.dataset.segment_batches(
+                    t.batch_size, self.audio_config.vocoder_segment_size,
+                    shuffle=True, seed=self.epoch, drop_last=True,
                 ):
                     host_batch.pop("basenames", None)
                     host_batch = pad_batch_to_devices(host_batch, self.n_devices)
-                    yield shard_batch(host_batch, self.mesh)
+                    host_batch = compress_for_transfer(host_batch, ("mel",))
+                    if spe <= 1:
+                        yield 1, shard_batch(host_batch, self.mesh)
+                    else:
+                        group.append(host_batch)
+                        if len(group) == spe:
+                            yield spe, shard_stacked_batch(
+                                stack_batches(group), self.mesh
+                            )
+                            group = []
+                for host_batch in group:
+                    yield 1, shard_batch(host_batch, self.mesh)
 
-            for sharded in prefetch(device_batches()):
+            for n_steps, sharded in prefetch(device_batches()):
                 gan_on = 1.0 if self.global_step >= t.generator_warmup_steps else 0.0
+                step_fn = (
+                    self._train_step if n_steps == 1 else self._multi_train_step
+                )
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
-                 metrics, rng) = self._train_step(
+                 metrics, rng) = step_fn(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
                     sharded, rng, gan_on,
                 )
-                self.global_step += 1
-                if self.global_step % log_every == 0:
+                prev_step = self.global_step
+                self.global_step += n_steps
+                if self.global_step // log_every > prev_step // log_every:
                     self.log_metrics(
                         {f"training/{k}": v for k, v in metrics.items()},
                         self.global_step,
                     )
-                if self.global_step % val_interval == 0 or (
+                if self.global_step // val_interval > prev_step // val_interval or (
                     self.global_step >= max_steps
                 ):
                     val = self.validate(gen_params)
@@ -596,14 +683,16 @@ class HiFiGANTrainer(TrainerBase):
     def validate(self, gen_params) -> dict:
         totals: dict = {}
         count = 0
-        rng = jax.random.PRNGKey(7)
-        for batch in self.val_dataset.batches(
-            max(self.n_devices, 1), shuffle=False
+        for batch in self.val_dataset.segment_batches(
+            max(self.n_devices, 1),
+            self.audio_config.vocoder_segment_size,
+            shuffle=False,
         ):
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch.pop("basenames", None)
+            batch = compress_for_transfer(batch, ("mel",))
             losses = self._eval_step(
-                gen_params, shard_batch(batch, self.mesh), rng
+                gen_params, shard_batch(batch, self.mesh)
             )
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v)

@@ -138,6 +138,50 @@ class TestFS2Training:
         assert np.isfinite(np.asarray(out["postnet_mel"])).all()
 
 
+class TestStepsPerExecution:
+    """steps_per_execution scans K optimizer steps inside one jitted
+    dispatch; the parameter trajectory must match per-step execution."""
+
+    def _fit(self, lj_corpus, cpu_mesh, run_dir, spe):
+        config, _ = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 2
+        config.training.val_check_interval = 100
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        val = generic_psv_filelist_reader(config.training.validation_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train, val))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        vds = FastSpeech2Dataset(val, config, lang2id, speaker2id,
+                                 text_processor=ds.text_processor)
+        trainer = FastSpeech2Trainer(
+            config, ds, vds, lang2id, speaker2id, mesh=cpu_mesh,
+            run_dir=run_dir,
+        )
+        params = trainer.fit(max_steps=4, log_every=2, steps_per_execution=spe)
+        return trainer, params
+
+    def test_matches_single_step(self, lj_corpus, cpu_mesh, tmp_path_factory):
+        t1, p1 = self._fit(lj_corpus, cpu_mesh,
+                           tmp_path_factory.mktemp("spe1"), 1)
+        t2, p2 = self._fit(lj_corpus, cpu_mesh,
+                           tmp_path_factory.mktemp("spe2"), 2)
+        assert t1.global_step == t2.global_step == 4
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            )
+
+    def test_leftover_batches_run_single(self, lj_corpus, cpu_mesh,
+                                         tmp_path_factory):
+        # spe larger than the batches per epoch: everything goes through
+        # the single-step leftover path and training still completes.
+        trainer, params = self._fit(
+            lj_corpus, cpu_mesh, tmp_path_factory.mktemp("spe_big"), 64
+        )
+        assert trainer.global_step == 4
+        assert np.isfinite(np.asarray(jax.tree.leaves(params)[0])).all()
+
+
 class TestHiFiGANTraining:
     def test_short_gan_run(self, lj_corpus, cpu_mesh, tmp_path_factory):
         config, save_dir = lj_corpus

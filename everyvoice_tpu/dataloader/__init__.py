@@ -19,6 +19,17 @@ from everyvoice_tpu.text import TextProcessor
 from everyvoice_tpu.text.lookups import lookuptables_from_data
 
 
+def _n_batches(n: int, batch_size: int, drop_last: bool) -> int:
+    """Batches per epoch. Unlike torch's drop_last, a non-empty dataset
+    smaller than one batch still yields a single (duplicate-padded) batch —
+    otherwise every epoch is empty and training loops spin forever on
+    tiny corpora (batch entries are duplicated, which only reweights the
+    few items, exactly like the ragged-final-batch padding)."""
+    if drop_last:
+        return max(n // batch_size, 1 if n else 0)
+    return math.ceil(n / batch_size)
+
+
 def imbalanced_sample_weights(
     labels: Sequence[str],
 ) -> np.ndarray:
@@ -198,9 +209,7 @@ class FastSpeech2Dataset:
         # The model's frame axis is static (config.model.max_length), so pad
         # every batch to it — one compilation serves the entire run.
         max_frames = self.max_frames
-        n_batches = (
-            n // batch_size if drop_last else math.ceil(n / batch_size)
-        )
+        n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
             items = [self.load_item(int(i)) for i in idxs]
@@ -294,7 +303,7 @@ class HiFiGANDataset:
             )
             max_frames = max(max_frames, spec.shape[1])
         max_samples = max_frames * hop * (self.output_sr // self.input_sr)
-        n_batches = n // batch_size if drop_last else math.ceil(n / batch_size)
+        n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
             items = [self.load_item(int(i)) for i in idxs]
@@ -331,7 +340,7 @@ class HiFiGANDataset:
         order = rng.permutation(n) if shuffle else np.arange(n)
         hop = self.audio_config.fft_hop_size * (self.output_sr // self.input_sr)
         seg_frames = segment_size // hop
-        n_batches = n // batch_size if drop_last else math.ceil(n / batch_size)
+        n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
             items = [self.load_item(int(i)) for i in idxs]
@@ -476,7 +485,7 @@ class StyleTTS2Dataset:
         max_frames = self.max_frames
         hop = self.audio_config.fft_hop_size * (self.output_sr // self.input_sr)
         max_samples = max_frames * hop
-        n_batches = n // batch_size if drop_last else math.ceil(n / batch_size)
+        n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
             items = [self.load_item(int(i)) for i in idxs]

@@ -243,7 +243,13 @@ class StyleTTS2Trainer(TrainerBase):
         max_steps = max_steps if max_steps is not None else t.max_steps
         max_epochs = t.epochs_1st if self.mode == "first" else t.epochs_2nd
         self.build_steps()
-        example = next(self.dataset.batches(t.batch_size, shuffle=False))
+        try:
+            example = next(self.dataset.batches(t.batch_size, shuffle=False))
+        except StopIteration:
+            raise RuntimeError(
+                "The training dataset is empty — no usable items survived "
+                "filtering (check filelists and preprocessed artifacts)."
+            ) from None
         example.pop("basenames", None)
         gen_params, disc_params = self.init_params(example)
         if self.mode == "second":
@@ -269,6 +275,7 @@ class StyleTTS2Trainer(TrainerBase):
         rng = jax.random.PRNGKey(17)
         stop = False
         while not stop and self.epoch < max_epochs:
+            steps_at_epoch_start = self.global_step
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
             def device_batches():
@@ -294,6 +301,11 @@ class StyleTTS2Trainer(TrainerBase):
                 if self.global_step >= max_steps:
                     stop = True
                     break
+            if self.global_step == steps_at_epoch_start and not stop:
+                raise RuntimeError(
+                    "Epoch produced no training batches — the dataset is "
+                    "empty (check filelists and preprocessed artifacts)."
+                )
             self.epoch += 1
         self.maybe_checkpoint(
             float(metrics["gen/total"]),

@@ -303,7 +303,13 @@ class FastSpeech2Trainer(TrainerBase):
 
     def init_params(self, rng=None):
         rng = rng or jax.random.PRNGKey(0)
-        batch = next(self.dataset.batches(2, shuffle=False))
+        try:
+            batch = next(self.dataset.batches(2, shuffle=False))
+        except StopIteration:
+            raise RuntimeError(
+                "The training dataset is empty — no usable items survived "
+                "filtering (check filelists and preprocessed artifacts)."
+            ) from None
         # jit the init: eager init dispatches hundreds of tiny ops, which is
         # prohibitively slow through remote-dispatch TPU runtimes.
         params = jax.jit(self.model.init)(
@@ -337,6 +343,7 @@ class FastSpeech2Trainer(TrainerBase):
         val_interval = t.val_check_interval or 500
         stop = False
         while not stop and self.epoch < t.max_epochs:
+            steps_at_epoch_start = self.global_step
             seed = self.epoch
             weights = None
             if t.use_weighted_sampler:
@@ -409,6 +416,11 @@ class FastSpeech2Trainer(TrainerBase):
                 if self.global_step >= max_steps:
                     stop = True
                     break
+            if self.global_step == steps_at_epoch_start and not stop:
+                raise RuntimeError(
+                    "Epoch produced no training batches — the dataset is "
+                    "empty (check filelists and preprocessed artifacts)."
+                )
             self.epoch += 1
         # Always leave a final checkpoint behind.
         val = self.validate(params)
@@ -614,6 +626,7 @@ class HiFiGANTrainer(TrainerBase):
         val_interval = t.val_check_interval or 500
         stop = False
         while not stop and self.epoch < t.max_epochs:
+            steps_at_epoch_start = self.global_step
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
             def device_batches():
@@ -670,6 +683,11 @@ class HiFiGANTrainer(TrainerBase):
                 if self.global_step >= max_steps:
                     stop = True
                     break
+            if self.global_step == steps_at_epoch_start and not stop:
+                raise RuntimeError(
+                    "Epoch produced no training batches — the dataset is "
+                    "empty (check filelists and preprocessed artifacts)."
+                )
             self.epoch += 1
         val = self.validate(gen_params)
         self.maybe_checkpoint(

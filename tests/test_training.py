@@ -138,6 +138,44 @@ class TestFS2Training:
         assert np.isfinite(np.asarray(out["postnet_mel"])).all()
 
 
+class TestTinyDatasetBatches:
+    def test_drop_last_smaller_than_batch_yields_one(self, lj_corpus):
+        """A non-empty dataset smaller than one batch must still produce a
+        (duplicate-padded) batch with drop_last — a zero-batch epoch spins
+        the training loop forever."""
+        config, _ = lj_corpus
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train,))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        assert 0 < len(ds) < 64
+        batches = list(ds.batches(64, shuffle=True, seed=0, drop_last=True))
+        assert len(batches) == 1
+        assert batches[0]["text"].shape[0] == 64
+
+    def test_hifigan_segment_batches_smaller_than_batch(self, lj_corpus):
+        config, _ = lj_corpus
+        hcfg = small_hifigan_config(config)
+        train = generic_psv_filelist_reader(hcfg.training.training_filelist)
+        ds = HiFiGANDataset(train, hcfg)
+        assert 0 < len(ds) < 64
+        seg = hcfg.preprocessing.audio.vocoder_segment_size
+        batches = list(ds.segment_batches(64, seg, drop_last=True))
+        assert len(batches) == 1
+        assert batches[0]["audio"].shape == (64, seg)
+
+    def test_empty_dataset_raises(self, lj_corpus, cpu_mesh, tmp_path):
+        config, _ = lj_corpus
+        config = config.model_copy(deep=True)
+        lang2id, speaker2id = {}, {}
+        ds = FastSpeech2Dataset([], config, lang2id, speaker2id)
+        trainer = FastSpeech2Trainer(
+            config, ds, ds, lang2id, speaker2id, mesh=cpu_mesh,
+            run_dir=tmp_path,
+        )
+        with pytest.raises(RuntimeError, match="empty"):
+            trainer.fit(max_steps=1, log_every=1)
+
+
 class TestStepsPerExecution:
     """steps_per_execution scans K optimizer steps inside one jitted
     dispatch; the parameter trajectory must match per-step execution."""

@@ -55,6 +55,26 @@ class StyleTTS2Trainer(TrainerBase):
             periods=tuple(config.model.decoder.mpd_layers)
         )
         self.msd = MultiScaleDiscriminator(n_scales=config.model.decoder.msd_layers)
+        # SLM-adversarial training (stage 2, reference styletts2 slmadv):
+        # activates when model.slm.model points at locally available WavLM
+        # weights (a HF directory staged via `everyvoice fetch-pretrained`).
+        self.slm_module = None
+        self.slm_head = None
+        self.slm_params = None
+        if mode == "second" and Path(config.model.slm.model).exists():
+            from everyvoice_tpu.models.styletts2.slm import (
+                SLMDiscriminator,
+                load_wavlm_params,
+            )
+
+            self.slm_module, self.slm_params = load_wavlm_params(
+                config.model.slm.model
+            )
+            self.slm_head = SLMDiscriminator(config.model.slm.initial_channel)
+            logger.info(
+                f"SLM-adversarial training enabled "
+                f"(WavLM from {config.model.slm.model})"
+            )
         opt = config.training.optimizer
         self.gen_opt = optax.adamw(opt.lr)
         self.disc_opt = optax.adamw(opt.lr)
@@ -88,9 +108,25 @@ class StyleTTS2Trainer(TrainerBase):
         lc = self.losses_cfg
         max_dur = self.config.model.max_dur
         stage2 = self.mode == "second"
+        slm_on = self.slm_head is not None
+        if slm_on:
+            from everyvoice_tpu.dsp.resample import resample
+            from everyvoice_tpu.models.styletts2.slm import (
+                slm_discriminator_loss,
+                slm_generator_loss,
+                stack_hidden_states,
+            )
+
+            slm_module, slm_head = self.slm_module, self.slm_head
+            slm_sr = self.config.model.slm.sr
+            out_sr = a.output_sampling_rate
+
+            def slm_feats(slm_params, wav):
+                wav16 = resample(wav, out_sr, slm_sr)
+                return stack_hidden_states(slm_module.apply(slm_params, wav16))
         sigma_data = self.config.model.diffusion.dist.sigma_data
 
-        def gen_loss_fn(gen_params, disc_params, batch, rng):
+        def gen_loss_fn(gen_params, disc_params, batch, rng, slm_params):
             rng_noise, rng_diff, rng_drop = jax.random.split(rng, 3)
             out = model.apply(
                 gen_params,
@@ -168,10 +204,16 @@ class StyleTTS2Trainer(TrainerBase):
                 total = total + lc.lambda_diff * losses["diff"] + (
                     lc.lambda_sty * losses["sty"]
                 )
+            if slm_on:
+                feats_fake = slm_feats(slm_params, wav_fake)
+                losses["slm"] = slm_generator_loss(
+                    slm_head.apply(disc_params["slm"], feats_fake)
+                )
+                total = total + lc.lambda_slm * losses["slm"]
             losses["total"] = total
             return total, losses
 
-        def disc_loss_fn(disc_params, gen_params, batch, rng):
+        def disc_loss_fn(disc_params, gen_params, batch, rng, slm_params):
             rng_noise, rng_drop = jax.random.split(rng)
             out = model.apply(
                 gen_params,
@@ -189,24 +231,34 @@ class StyleTTS2Trainer(TrainerBase):
             msd_r, _ = msd.apply(disc_params["msd"], wav_real)
             msd_f, _ = msd.apply(disc_params["msd"], wav_fake)
             loss = discriminator_loss(mpd_r + msd_r, mpd_f + msd_f)
-            return loss, {"disc/total": loss}
+            metrics = {"disc/total": loss}
+            if slm_on:
+                feats_r = jax.lax.stop_gradient(slm_feats(slm_params, wav_real))
+                feats_f = jax.lax.stop_gradient(slm_feats(slm_params, wav_fake))
+                slm_loss = slm_discriminator_loss(
+                    slm_head.apply(disc_params["slm"], feats_r),
+                    slm_head.apply(disc_params["slm"], feats_f),
+                )
+                loss = loss + slm_loss
+                metrics = {"disc/total": loss, "disc/slm": slm_loss}
+            return loss, metrics
 
         gen_opt, disc_opt = self.gen_opt, self.disc_opt
 
         @jax.jit
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
-                       batch, rng):
+                       batch, rng, slm_params):
             rng, rng_d, rng_g = jax.random.split(rng, 3)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
-            )(disc_params, gen_params, batch, rng_d)
+            )(disc_params, gen_params, batch, rng_d, slm_params)
             d_updates, disc_opt_state = disc_opt.update(
                 d_grads, disc_opt_state, disc_params
             )
             disc_params = optax.apply_updates(disc_params, d_updates)
             (g_loss, g_metrics), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True
-            )(gen_params, disc_params, batch, rng_g)
+            )(gen_params, disc_params, batch, rng_g, slm_params)
             g_updates, gen_opt_state = gen_opt.update(
                 g_grads, gen_opt_state, gen_params
             )
@@ -236,6 +288,11 @@ class StyleTTS2Trainer(TrainerBase):
             "mpd": jax.jit(self.mpd.init)(rng, wav),
             "msd": jax.jit(self.msd.init)(rng, wav),
         }
+        if self.slm_head is not None:
+            n_feat = (self.slm_module.num_layers + 1) * self.slm_module.hidden_size
+            disc_params["slm"] = jax.jit(self.slm_head.init)(
+                rng, jnp.zeros((2, 16, n_feat))
+            )
         return gen_params, disc_params
 
     def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
@@ -272,6 +329,11 @@ class StyleTTS2Trainer(TrainerBase):
         disc_params = replicate_tree(disc_params, self.mesh)
         gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
         disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
+        slm_params = (
+            replicate_tree(self.slm_params, self.mesh)
+            if self.slm_params is not None
+            else None
+        )
         rng = jax.random.PRNGKey(17)
         stop = False
         while not stop and self.epoch < max_epochs:
@@ -290,7 +352,7 @@ class StyleTTS2Trainer(TrainerBase):
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
                  metrics, rng) = self._train_step(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
-                    sharded, rng,
+                    sharded, rng, slm_params,
                 )
                 self.global_step += 1
                 if self.global_step % log_every == 0:

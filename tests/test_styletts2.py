@@ -159,3 +159,136 @@ class TestStage1Training:
         header = load_checkpoint_header(tmp_path / "checkpoints" / "last.ckpt")
         assert header["model_info"]["name"] == "StyleTTS2Module"
         assert header["stage"] == "first"
+
+
+def _tiny_torch_wavlm(tmp_path):
+    """Random-init tiny HF WavLM saved locally (no network): exercises the
+    exact local-directory loading path users take with real
+    microsoft/wavlm-base-plus weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import WavLMConfig, WavLMModel
+
+    cfg = WavLMConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16,) * 7,
+        num_buckets=32, max_bucket_distance=80,
+        num_conv_pos_embeddings=15, num_conv_pos_embedding_groups=4,
+        layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    model = WavLMModel(cfg).eval()
+    path = tmp_path / "wavlm-tiny"
+    model.save_pretrained(path)
+    return model, path
+
+
+class TestWavLM:
+    def test_numerical_parity_with_torch(self, tmp_path):
+        """The flax WavLM reproduces transformers.WavLMModel hidden states
+        on converted weights — so real wavlm-base-plus checkpoints load
+        correctly (reference styletts2 SLM, schema slm section)."""
+        torch = pytest.importorskip("torch")
+        from everyvoice_tpu.models.styletts2.slm import (
+            WavLM,
+            convert_torch_wavlm_state,
+        )
+
+        torch_model, _ = _tiny_torch_wavlm(tmp_path)
+        wav = np.random.default_rng(0).standard_normal((2, 3200)).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            t_hs = [
+                h.numpy()
+                for h in torch_model(
+                    torch.from_numpy(wav), output_hidden_states=True
+                ).hidden_states
+            ]
+        flax_model = WavLM(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            conv_dim=(16,) * 7, num_buckets=32, max_distance=80,
+            num_conv_pos_embeddings=15, num_conv_pos_embedding_groups=4,
+        )
+        params = convert_torch_wavlm_state(torch_model.state_dict(), 2)
+        f_hs = flax_model.apply(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(wav)
+        )
+        assert len(f_hs) == len(t_hs) == 3
+        for i, (a, b) in enumerate(zip(t_hs, f_hs)):
+            np.testing.assert_allclose(
+                a, np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=f"hidden state {i}",
+            )
+
+    def test_discriminator_head(self):
+        from everyvoice_tpu.models.styletts2.slm import (
+            SLMDiscriminator,
+            slm_discriminator_loss,
+            slm_generator_loss,
+        )
+
+        head = SLMDiscriminator(initial_channel=8)
+        feats = jnp.ones((2, 16, 96))
+        params = head.init(jax.random.PRNGKey(0), feats)
+        scores = head.apply(params, feats)
+        assert scores.shape == (2, 16)
+        assert np.isfinite(float(slm_generator_loss(scores)))
+        assert np.isfinite(float(slm_discriminator_loss(scores, scores)))
+
+
+class TestStage2SLMTraining:
+    def test_stage2_with_slm(self, lj_corpus, tmp_path):
+        """Stage-2 training with SLM-adversarial losses enabled through a
+        locally staged WavLM directory."""
+        pytest.importorskip("torch")
+        import json
+
+        from everyvoice_tpu.dataloader import StyleTTS2Dataset
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+        from everyvoice_tpu.parallel import make_mesh
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        _, wavlm_dir = _tiny_torch_wavlm(tmp_path)
+        fs2_config, save_dir = lj_corpus
+        config = StyleTTS2Config(
+            contact=CONTACT,
+            model={
+                "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
+                "slm": {"model": str(wavlm_dir), "hidden": 32, "nlayers": 3,
+                        "initial_channel": 8},
+                "decoder": {
+                    "upsample_initial_channel": 32,
+                    "resblock_kernel_sizes": [3],
+                    "resblock_dilation_sizes": [[1, 3]],
+                    "mpd_layers": [2], "msd_layers": 1,
+                },
+                "diffusion": {"transformer": {"num_layers": 1, "num_heads": 2,
+                                              "head_features": 16}},
+            },
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.preprocessing.save_dir = save_dir
+        config.training.training_filelist = save_dir / "training_filelist.psv"
+        config.training.validation_filelist = (
+            save_dir / "validation_filelist.psv"
+        )
+        config.training.batch_size = 2
+        config.training.max_len = 128
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        ds = StyleTTS2Dataset(train, config)
+        mesh = make_mesh(jax.devices("cpu")[:2])
+        trainer = StyleTTS2Trainer(
+            config, ds, ds, mesh=mesh, run_dir=tmp_path / "run", mode="second",
+        )
+        assert trainer.slm_head is not None, "SLM should be enabled"
+        trainer.fit(max_steps=1, log_every=1)
+        records = [
+            json.loads(line)
+            for line in (tmp_path / "run" / "metrics.jsonl")
+            .read_text()
+            .splitlines()
+        ]
+        rec = records[-1]
+        assert np.isfinite(rec["training/gen/slm"])
+        assert np.isfinite(rec["training/disc/slm"])

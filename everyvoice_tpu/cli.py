@@ -113,7 +113,9 @@ def _common_train_options(fn):
     fn = click.option("-d", "--devices", default="auto")(fn)
     fn = click.option("-n", "--nodes", default=1)(fn)
     fn = click.option("-s", "--strategy", default="ddp",
-                      help="Kept for CLI parity; maps onto the device mesh.")(fn)
+                      help="'ddp' (default, data parallel — the reference "
+                      "behavior) or 'tp<k>'/'ddp_tp<k>' to add k-way tensor "
+                      "parallelism over the mesh's model axis.")(fn)
     fn = click.option("--gradient-clip-val", default=None, type=float)(fn)
     fn = click.option("--profile-steps", default=0, type=int,
                       help="Capture a jax profiler trace of the first N steps "
@@ -133,7 +135,7 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
                        steps_per_execution):
     """Train a FastSpeech2 feature-prediction model."""
     from everyvoice_tpu.dataloader import FastSpeech2Dataset
-    from everyvoice_tpu.parallel import make_mesh, resolve_devices
+    from everyvoice_tpu.parallel import make_mesh, parse_strategy, resolve_devices
     from everyvoice_tpu.text.lookups import lookuptables_from_data
     from everyvoice_tpu.train import FastSpeech2Trainer
 
@@ -145,11 +147,13 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
     vds = FastSpeech2Dataset(
         val_list, config, lang2id, speaker2id, text_processor=ds.text_processor
     )
-    mesh = make_mesh(resolve_devices(accelerator, devices))
+    mesh = make_mesh(resolve_devices(accelerator, devices),
+                     model_parallel=parse_strategy(strategy))
     stats_path = Path(config.preprocessing.save_dir) / "stats.json"
     stats = json.loads(stats_path.read_text()) if stats_path.exists() else {}
     trainer = FastSpeech2Trainer(
-        config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh
+        config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh,
+        gradient_clip_val=gradient_clip_val,
     )
     trainer.fit(
         profile_steps=profile_steps, steps_per_execution=steps_per_execution
@@ -165,7 +169,7 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
                       steps_per_execution):
     """Train a HiFiGAN (or iSTFTNet) vocoder."""
     from everyvoice_tpu.dataloader import HiFiGANDataset
-    from everyvoice_tpu.parallel import make_mesh, resolve_devices
+    from everyvoice_tpu.parallel import make_mesh, parse_strategy, resolve_devices
     from everyvoice_tpu.train import HiFiGANTrainer
 
     config = _load_config("spec-to-wav", config_path, config_args)
@@ -173,8 +177,10 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
     val_list = config.training.filelist_loader(config.training.validation_filelist)
     ds = HiFiGANDataset(train_list, config, finetune=config.training.finetune)
     vds = HiFiGANDataset(val_list, config, finetune=config.training.finetune)
-    mesh = make_mesh(resolve_devices(accelerator, devices))
-    trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh)
+    mesh = make_mesh(resolve_devices(accelerator, devices),
+                     model_parallel=parse_strategy(strategy))
+    trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh,
+                             gradient_clip_val=gradient_clip_val)
     trainer.fit()
     click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
 
@@ -189,7 +195,7 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     """Train a StyleTTS2-class end-to-end model (two stages)."""
     from everyvoice_tpu.dataloader import StyleTTS2Dataset
     from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
-    from everyvoice_tpu.parallel import make_mesh, resolve_devices
+    from everyvoice_tpu.parallel import make_mesh, parse_strategy, resolve_devices
     from everyvoice_tpu.text.lookups import lookuptables_from_data
 
     config = _load_config("text-to-wav", config_path, config_args)
@@ -198,9 +204,10 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     lang2id, _ = lookuptables_from_data((train_list, val_list))
     ds = StyleTTS2Dataset(train_list, config)
     vds = StyleTTS2Dataset(val_list, config, text_processor=ds.text_processor)
-    mesh = make_mesh(resolve_devices(accelerator, devices))
+    mesh = make_mesh(resolve_devices(accelerator, devices),
+                     model_parallel=parse_strategy(strategy))
     trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
-                               mode=mode)
+                               mode=mode, gradient_clip_val=gradient_clip_val)
     trainer.fit()
     click.echo(f"Stage {mode} training complete; checkpoints at {trainer.ckpt_dir}")
 

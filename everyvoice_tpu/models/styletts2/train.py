@@ -34,7 +34,8 @@ class StyleTTS2Trainer(TrainerBase):
     model_name = "StyleTTS2Module"
 
     def __init__(self, config, dataset, val_dataset, lang2id=None,
-                 mesh=None, run_dir=None, mode: str = "first"):
+                 mesh=None, run_dir=None, mode: str = "first",
+                 gradient_clip_val=None):
         super().__init__(config, mesh=mesh, run_dir=run_dir)
         from everyvoice_tpu.models.hifigan.model import (
             MultiPeriodDiscriminator,
@@ -76,8 +77,19 @@ class StyleTTS2Trainer(TrainerBase):
                 f"(WavLM from {config.model.slm.model})"
             )
         opt = config.training.optimizer
-        self.gen_opt = optax.adamw(opt.lr)
-        self.disc_opt = optax.adamw(opt.lr)
+
+        def _opt():
+            base = optax.adamw(opt.lr)
+            if gradient_clip_val is not None and gradient_clip_val > 0:
+                # Reference parity: Trainer(gradient_clip_val=...) global-norm
+                # clipping (base_cli/helpers.py:193,269).
+                return optax.chain(
+                    optax.clip_by_global_norm(gradient_clip_val), base
+                )
+            return base
+
+        self.gen_opt = _opt()
+        self.disc_opt = _opt()
         self.losses_cfg = config.training.losses
         self._train_step = None
 

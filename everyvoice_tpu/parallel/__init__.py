@@ -12,3 +12,10 @@ from everyvoice_tpu.parallel.mesh import (  # noqa: F401
     shard_stacked_batch,
     stack_batches,
 )
+from everyvoice_tpu.parallel.sharding import (  # noqa: F401
+    FS2_PARAM_RULES,
+    param_shardings,
+    parse_strategy,
+    shard_opt_state_like,
+    shard_params,
+)

@@ -189,7 +189,7 @@ class FastSpeech2Trainer(TrainerBase):
     model_name = "FastSpeech2"
 
     def __init__(self, config, dataset, val_dataset, lang2id, speaker2id,
-                 stats=None, mesh=None, run_dir=None):
+                 stats=None, mesh=None, run_dir=None, gradient_clip_val=None):
         super().__init__(config, mesh=mesh, run_dir=run_dir)
         from everyvoice_tpu.models.fs2.model import FastSpeech2
 
@@ -204,7 +204,10 @@ class FastSpeech2Trainer(TrainerBase):
             n_speakers=max(len(speaker2id), 1),
             n_langs=max(len(lang2id), 1),
         )
-        self.optimizer = build_optimizer(config.training.optimizer, self.model.dim)
+        self.optimizer = build_optimizer(
+            config.training.optimizer, self.model.dim,
+            gradient_clip_val=gradient_clip_val,
+        )
         self._train_step = None
         self._eval_step = None
 
@@ -336,8 +339,15 @@ class FastSpeech2Trainer(TrainerBase):
             from flax import serialization
 
             opt_state = serialization.from_state_dict(opt_state, opt_restore)
-        params = replicate_tree(params, self.mesh)
-        opt_state = replicate_tree(opt_state, self.mesh)
+        # DP layout by default; Megatron-style TP over the mesh's `model`
+        # axis when it is non-trivial (--strategy tp<k>). Optimizer-state
+        # layouts mirror the parameters via XLA sharding propagation.
+        from everyvoice_tpu.parallel import shard_opt_state_like, shard_params
+
+        params = shard_params(params, self.mesh)
+        opt_state = shard_opt_state_like(
+            jax.device_get(opt_state), self.optimizer.init, params
+        )
         rng = jax.random.PRNGKey(t.logger.name.__hash__() % (2**31))
 
         val_interval = t.val_check_interval or 500
@@ -447,7 +457,8 @@ class FastSpeech2Trainer(TrainerBase):
 class HiFiGANTrainer(TrainerBase):
     model_name = "HiFiGAN"
 
-    def __init__(self, config, dataset, val_dataset, mesh=None, run_dir=None):
+    def __init__(self, config, dataset, val_dataset, mesh=None, run_dir=None,
+                 gradient_clip_val=None):
         super().__init__(config, mesh=mesh, run_dir=run_dir)
         from everyvoice_tpu.models.hifigan.model import (
             HiFiGANGenerator,
@@ -460,8 +471,12 @@ class HiFiGANTrainer(TrainerBase):
         self.generator = HiFiGANGenerator.from_config(config)
         self.mpd = MultiPeriodDiscriminator(periods=tuple(config.model.mpd_layers))
         self.msd = MultiScaleDiscriminator(n_scales=config.model.msd_layers)
-        self.gen_opt = build_optimizer(config.training.optimizer)
-        self.disc_opt = build_optimizer(config.training.optimizer)
+        self.gen_opt = build_optimizer(
+            config.training.optimizer, gradient_clip_val=gradient_clip_val
+        )
+        self.disc_opt = build_optimizer(
+            config.training.optimizer, gradient_clip_val=gradient_clip_val
+        )
         self.gan_type = config.training.gan_type.value
         self.wgan_clip = config.training.wgan_clip_value
         self.audio_config = config.preprocessing.audio

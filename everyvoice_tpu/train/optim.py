@@ -34,7 +34,23 @@ def noam_schedule(
     return schedule
 
 
-def build_optimizer(optimizer_config, model_dim: int = 256) -> optax.GradientTransformation:
+def build_optimizer(
+    optimizer_config,
+    model_dim: int = 256,
+    gradient_clip_val: float | None = None,
+) -> optax.GradientTransformation:
+    """`gradient_clip_val` applies global-norm clipping before the update —
+    the role of the reference's Trainer(gradient_clip_val=...) flag
+    (base_cli/helpers.py:193,269)."""
+    base = _base_optimizer(optimizer_config, model_dim)
+    if gradient_clip_val is not None and gradient_clip_val > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(gradient_clip_val), base
+        )
+    return base
+
+
+def _base_optimizer(optimizer_config, model_dim: int = 256) -> optax.GradientTransformation:
     cfg = optimizer_config
     if isinstance(cfg, NoamOptimizer):
         return optax.adamw(

@@ -111,11 +111,16 @@ def main() -> None:
     assert (preprocessed / "training_filelist.psv").exists()
     assert (preprocessed / "stats.json").exists()
 
-    # ---- stage 2: train text-to-spec
+    # ---- stage 2: train text-to-spec (with tensor parallelism + gradient
+    # clipping when the harness runs on a multi-device mesh, e.g. under
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8)
     log("train text-to-spec")
+    n_cpu = len(jax.devices("cpu"))
+    tp_flags = ["-s", "tp2"] if n_cpu >= 2 and n_cpu % 2 == 0 else []
     run_cli(
         "train", "text-to-spec",
         str(config_dir / "everyvoice-text-to-spec.yaml"), "-a", "cpu",
+        "--gradient-clip-val", "5.0", *tp_flags,
     )
     logs = project / "logs_and_checkpoints"
     fs2_ckpts = sorted(logs.glob("**/checkpoints/last.ckpt"))

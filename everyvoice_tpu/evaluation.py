@@ -10,8 +10,9 @@ environment has no torchaudio and no network egress, so evaluation is split:
   of STOI).
 - `signal_report`: reference-free diagnostics (duration, integrated loudness,
   clipping rate, silence ratio, spectral flatness).
-- If torchaudio SQUIM weights are available locally (TORCHAUDIO_SQUIM env or
-  default cache), they are used for true SQUIM scores.
+- `try_squim_objective`: when torchaudio (and its cached pretrained
+  weights) are importable, the reference's exact SQUIM objective model runs
+  and adds reference-free `squim_stoi`/`squim_pesq`/`squim_si_sdr` scores.
 """
 
 from __future__ import annotations
@@ -116,6 +117,40 @@ def signal_report(audio: np.ndarray, sr: int) -> dict:
     }
 
 
+_SQUIM_MODEL = None
+
+
+def try_squim_objective(audio_16k: np.ndarray) -> Optional[dict]:
+    """True TorchAudio-SQUIM objective scores (STOI/PESQ/SI-SDR,
+    reference-free) when torchaudio and its pretrained weights are present
+    locally — the exact models the reference uses (evaluation.py:5-28).
+    Returns None in environments without torchaudio/weights (no egress)."""
+    global _SQUIM_MODEL
+    if _SQUIM_MODEL is False:
+        return None
+    try:
+        if _SQUIM_MODEL is None:
+            import torch  # noqa: F401
+            from torchaudio.pipelines import SQUIM_OBJECTIVE
+
+            _SQUIM_MODEL = SQUIM_OBJECTIVE.get_model().eval()
+        import torch
+
+        with torch.no_grad():
+            wav = torch.from_numpy(
+                np.ascontiguousarray(audio_16k, np.float32)
+            )[None, :]
+            stoi_v, pesq_v, sdr_v = _SQUIM_MODEL(wav)
+        return {
+            "squim_stoi": round(float(stoi_v[0]), 4),
+            "squim_pesq": round(float(pesq_v[0]), 3),
+            "squim_si_sdr": round(float(sdr_v[0]), 3),
+        }
+    except Exception:
+        _SQUIM_MODEL = False
+        return None
+
+
 def calculate_objective_metrics_from_single_path(
     wav_path: Path | str, reference_path: Optional[Path | str] = None
 ) -> dict:
@@ -125,10 +160,13 @@ def calculate_objective_metrics_from_single_path(
     mono = audio.mean(axis=0)
     metrics = {"file": str(wav_path)}
     metrics.update(signal_report(mono, sr))
+    est_mono = resample_to_16k(mono, sr)
+    squim = try_squim_objective(est_mono)
+    if squim is not None:
+        metrics.update(squim)
     if reference_path is not None:
         ref_audio, ref_sr = read_wav(reference_path)
         ref_mono = resample_to_16k(ref_audio.mean(axis=0), ref_sr)
-        est_mono = resample_to_16k(mono, sr)
         metrics["si_sdr"] = round(si_sdr(est_mono, ref_mono), 3)
         metrics["stoi"] = round(stoi_proxy(est_mono, ref_mono, 16000), 4)
     return metrics

@@ -7,6 +7,9 @@ per-token cache. Built-ins:
 - ``eng`` — the self-contained rule/lexicon engine in
   everyvoice_tpu.text.english_g2p (the reference used the `g2p` library here)
 - ``und`` — language-independent: transliterate-to-ascii-ish tokenization
+- ``spa``/``ita``/``fin``/``deu``/``fra`` — data-driven rule tables
+  (everyvoice_tpu.text.rule_g2p), the native analog of the `g2p` library's
+  JSON mapping transducers the reference seeds its registry from
 
 User plugins registered through ``TextConfig.g2p_engines`` override built-ins.
 """
@@ -67,9 +70,23 @@ def _make_und_engine() -> CachingG2PEngine:
     return CachingG2PEngine(und_g2p)
 
 
+def _make_rule_engine(lang_id: str) -> Callable[[], CachingG2PEngine]:
+    def factory() -> CachingG2PEngine:
+        from everyvoice_tpu.text.rule_g2p import make_rule_engine
+
+        return CachingG2PEngine(make_rule_engine(lang_id))
+
+    return factory
+
+
 _BUILTIN_FACTORIES: Dict[str, Callable[[], CachingG2PEngine]] = {
     "eng": _make_eng_engine,
     "und": _make_und_engine,
+    "spa": _make_rule_engine("spa"),
+    "ita": _make_rule_engine("ita"),
+    "fin": _make_rule_engine("fin"),
+    "deu": _make_rule_engine("deu"),
+    "fra": _make_rule_engine("fra"),
 }
 
 # lang id -> engine instance, DEFERRED marker, or user plugin callable.

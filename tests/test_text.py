@@ -270,3 +270,81 @@ class TestEdgeCases:
 
         # Multi-word with stress; internal spaces removed per word
         assert arpabet_to_ipa("DH AH0  K AE1 T") == "ðʌ kˈæt"
+
+
+class TestRuleG2P:
+    """Built-in rule-table engines (the native analog of the g2p library's
+    JSON mapping transducers, reference phonemizer.py:20-28)."""
+
+    def test_registered_languages(self):
+        from everyvoice_tpu.text.phonemizer import (
+            AVAILABLE_G2P_ENGINES,
+            get_g2p_engine,
+        )
+
+        for lang in ("spa", "ita", "fin", "deu", "fra"):
+            assert lang in AVAILABLE_G2P_ENGINES
+            assert callable(get_g2p_engine(lang))
+
+    def test_spanish(self):
+        from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+        g2p = get_g2p_engine("spa")
+        assert "".join(g2p("queso")) == "keso"
+        assert "".join(g2p("gente")) == "xente"
+        assert "".join(g2p("perro")) == "pero"
+        assert "".join(g2p("pero")) == "peɾo"
+        assert "".join(g2p("chico")) == "t͡ʃiko"
+        assert "".join(g2p("hola")) == "ola"
+
+    def test_french_nasals_and_silent_finals(self):
+        from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+        g2p = get_g2p_engine("fra")
+        assert "".join(g2p("bon")) == "bɔ̃"
+        assert "".join(g2p("bonne")) == "bon"  # no nasalization before vowel
+        assert "".join(g2p("chat")) == "ʃa"
+        assert "".join(g2p("eau")) == "o"
+
+    def test_german_contextual_ch(self):
+        from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+        g2p = get_g2p_engine("deu")
+        assert "".join(g2p("ich")) == "iç"
+        assert "".join(g2p("buch")) == "bux"
+        assert "".join(g2p("schule")) == "ʃulə"
+
+    def test_caching_and_word_split(self):
+        from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+        g2p = get_g2p_engine("fin")
+        out = g2p("kissa sauna")
+        assert " " in out and out[0] == "k"
+
+    def test_user_json_table(self, tmp_path):
+        import json
+
+        from everyvoice_tpu.text.rule_g2p import load_rules_from_json
+
+        table = [
+            {"in": "sh", "out": "ʃ"},
+            {"in": "x", "out": "", "post": "\\Z"},
+        ]
+        path = tmp_path / "mylang.json"
+        path.write_text(json.dumps(table), encoding="utf8")
+        engine = load_rules_from_json(path)
+        assert "".join(engine("shax")) == "ʃa"
+
+    def test_end_to_end_through_text_processor(self):
+        from everyvoice_tpu.config.text_config import Symbols, TextConfig
+        from everyvoice_tpu.text.text_processor import TextProcessor
+
+        config = TextConfig(
+            symbols=Symbols(
+                ipa=["k", "e", "s", "o", "x", "n", "t", "θ", "a", "b", "ɾ",
+                     "r", "i", "u", "d", "l", "m", "p"],
+            )
+        )
+        tp = TextProcessor(config)
+        tokens = tp.apply_g2p_and_tokenization("queso", "spa")
+        assert tokens == ["k", "e", "s", "o"]

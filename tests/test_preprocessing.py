@@ -220,3 +220,106 @@ class TestRejections:
         assert sr == 22050
         assert saved.shape[1] % 256 == 0  # truncated to hop multiple
         assert abs(np.abs(saved).max() - 0.95) < 0.01  # peak normalized
+
+
+class TestSoxAndChannels:
+    def _setup(self, tmp_path, wav_data, sr=22050, effects=None):
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        write_wav(data_dir / "clip.wav", wav_data, sr)
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text(
+            "basename|characters|language|speaker\nclip|hello|eng|default\n"
+        )
+        config = make_config(tmp_path, filelist, data_dir)
+        if effects is not None:
+            config.preprocessing.source_data[0].sox_effects = effects
+        return Preprocessor(config)
+
+    def test_multichannel_rejected(self, tmp_path):
+        """>2 channels is rejected and recorded, like the reference's
+        multichannel report (preprocessor.py:131-218)."""
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        three = np.stack([tone, tone, tone])
+        pre = self._setup(tmp_path, three)
+        assert pre.process_all_audio() == []
+        assert pre.counters.value("multichannel") == 1
+        assert "clip.wav" in pre.multichannel_files_list[0]
+
+    def test_stereo_mixdown_via_sox_channels_effect(self, tmp_path):
+        """The default dataset effect [['channels','1']] mixes stereo down
+        (reference preprocessing_config.py:118-121)."""
+        t = np.arange(22050) / 22050
+        left = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        right = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        pre = self._setup(
+            tmp_path, np.stack([left, right]), effects=[["channels", "1"]]
+        )
+        result = pre.process_all_audio()
+        assert len(result) == 1
+        from everyvoice_tpu.dsp import read_wav
+
+        saved, _ = read_wav(
+            Path(pre.save_dir) / "audio" / "clip--default--eng--audio-22050.wav"
+        )
+        assert saved.shape[0] == 1  # mono after mixdown
+
+    def test_bad_sox_effect_skips_file(self, tmp_path):
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        pre = self._setup(tmp_path, tone, effects=[["flanger", "oops"]])
+        assert pre.process_all_audio() == []
+        assert pre.counters.value("skipped_processes") == 1
+
+
+class TestIncrementalReuse:
+    def test_second_run_skips_existing_artifacts(self, tmp_path):
+        """Re-running preprocess without --overwrite reuses artifacts
+        (reference's incremental behavior, preprocessor.py:974-1082)."""
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        write_wav(data_dir / "clip.wav", tone, 22050)
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text(
+            "basename|characters|language|speaker\nclip|hello|eng|default\n"
+        )
+        config = make_config(tmp_path, filelist, data_dir)
+        Preprocessor(config).preprocess(
+            to_process=("audio", "text", "spec", "attn", "energy", "pitch")
+        )
+        out = Path(config.preprocessing.save_dir)
+        spec = next((out / "spec").glob("*.npy"))
+        first_mtime = spec.stat().st_mtime_ns
+
+        Preprocessor(config).preprocess(
+            to_process=("audio", "text", "spec", "attn", "energy", "pitch")
+        )
+        assert spec.stat().st_mtime_ns == first_mtime  # untouched
+
+        pre = Preprocessor(config)
+        pre.preprocess(
+            to_process=("audio", "text", "spec", "attn", "energy", "pitch"),
+            overwrite=True,
+        )
+        assert spec.stat().st_mtime_ns != first_mtime  # rewritten
+
+
+class TestOODExport:
+    def test_ood_filelists_written_per_language(self, tmp_path):
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text("basename|characters\nclip|hello\n")
+        config = make_config(tmp_path, filelist, data_dir)
+        pre = Preprocessor(config)
+        pre.preprocess_ood(
+            {"eng": ["an out of domain line", "another one"],
+             "fra": ["une ligne hors domaine"]}
+        )
+        ood = Path(config.preprocessing.save_dir) / "ood"
+        assert (ood / "eng.psv").exists()
+        assert (ood / "fra.psv").exists()
+        assert "out of domain" in (ood / "eng.psv").read_text()

@@ -1,7 +1,8 @@
 """Wizard engine: a tree of reversible question steps
 (parity: everyvoice/wizard/tour.py:83-505 — Step with
-prompt/sanitize/validate/effect, Tour with depth-first traversal, Ctrl-C
-menu, and YAML save/resume of [name, response] pairs).
+prompt/sanitize/validate/effect/undo, Tour with depth-first traversal, the
+Ctrl-C action menu (back / continue / view / save-and-exit / exit), and
+YAML save/resume of [name, response] pairs).
 
 Prompting is routed through an injectable `ask` callable so tests can script
 answers non-interactively (the reference uses QuestionaryStub/
@@ -10,6 +11,7 @@ SimpleTermMenuStub for the same purpose, tests/stubs.py:161-349).
 
 from __future__ import annotations
 
+import copy
 from pathlib import Path
 from typing import Any, Callable, List, Optional
 
@@ -23,9 +25,12 @@ class StepError(Exception):
 
 
 class Step:
-    """One question: prompt → sanitize → validate → effect."""
+    """One question: prompt → sanitize → validate → effect (undoable)."""
 
     DEFAULT_NAME = "step"
+    # Whether "go back a step" may step over this once completed
+    # (reference Step.reversible).
+    reversible = True
 
     def __init__(
         self,
@@ -45,6 +50,8 @@ class Step:
             parent.children.append(self)
         self.state: dict = {}
         self.tour: Optional["Tour"] = None
+        self._inserted: List[Step] = []
+        self._state_snapshot: Optional[dict] = None
 
     # -- overridables -----------------------------------------------------
     def prompt(self) -> Any:
@@ -59,6 +66,22 @@ class Step:
 
     def effect(self) -> None:
         """Runs after a valid response is recorded."""
+
+    def undo(self) -> None:
+        """Reverse this step: restore the shared state snapshot taken just
+        before `effect`, remove any steps the effect inserted, and mark the
+        step incomplete so it re-prompts (reference Step.undo)."""
+        for inserted in self._inserted:
+            parent = inserted.parent
+            if parent is not None and inserted in parent.children:
+                parent.children.remove(inserted)
+        self._inserted = []
+        if self._state_snapshot is not None:
+            self.state.clear()
+            self.state.update(self._state_snapshot)
+            self._state_snapshot = None
+        self.response = None
+        self.completed = False
 
     def looks_like_choice(self) -> Optional[list]:
         """Return a list of choices if this is a menu step."""
@@ -75,7 +98,12 @@ class Step:
                 self.response = response
                 self.completed = True
                 self.tour.record(self)
-                self.effect()
+                self._state_snapshot = copy.deepcopy(dict(self.state))
+                self.tour._effect_owner = self
+                try:
+                    self.effect()
+                finally:
+                    self.tour._effect_owner = None
                 return
             failures += 1
             logger.warning(f"Invalid response for {self.name}: {raw!r}")
@@ -98,6 +126,23 @@ class RootStep(Step):
 
     def run(self) -> None:
         self.completed = True
+
+
+class _InterruptMenu(Step):
+    """Synthetic menu shown on Ctrl-C; not recorded, not replayed."""
+
+    DEFAULT_NAME = "keyboard-interrupt-menu"
+    is_menu = True
+    CHOICES = [
+        "go back a step",
+        "continue",
+        "view progress",
+        "save and exit",
+        "exit",
+    ]
+
+    def looks_like_choice(self) -> Optional[list]:
+        return list(self.CHOICES)
 
 
 def interactive_ask(prompt_text: str, default=None, step: Optional[Step] = None):
@@ -133,9 +178,11 @@ class Tour:
         self.state = state if state is not None else {}
         self.ask = ask
         self.trace: list = []  # [(name, response)] for save/resume
+        self.history: List[Step] = []  # completed steps, for "back"
         self.root = RootStep()
         self.root.tour = self
         self.root.state = self.state
+        self._effect_owner: Optional[Step] = None
         for step in steps:
             self.add_step(step)
 
@@ -155,6 +202,8 @@ class Tour:
             step.parent = parent
             parent.children.insert(idx + offset, step)
             self._adopt(step)
+        if self._effect_owner is not None:
+            self._effect_owner._inserted.extend(steps)
 
     def _adopt(self, step: Step) -> None:
         step.tour = self
@@ -182,9 +231,30 @@ class Tour:
         data = yaml.safe_load(Path(path).read_text(encoding="utf8"))
         if not isinstance(data, dict) or "responses" not in data:
             raise StepError(f"{path} is not a saved wizard session")
+        version = str(data.get("version", "1.0"))
+        if version.split(".")[0] != "1":
+            raise StepError(
+                f"{path} was saved by an incompatible wizard version "
+                f"({version}); this wizard reads version 1.x sessions."
+            )
         return data["responses"]
 
     # -- traversal ------------------------------------------------------------
+    def _next_step(self) -> Optional[Step]:
+        """First incomplete step in depth-first pre-order (children may have
+        been inserted dynamically since the last visit)."""
+
+        def walk(node: Step) -> Optional[Step]:
+            if not node.completed:
+                return node
+            for child in node.children:
+                found = walk(child)
+                if found is not None:
+                    return found
+            return None
+
+        return walk(self.root)
+
     def run(self, resume_from: Optional[Path] = None) -> dict:
         scripted: list = []
         if resume_from is not None:
@@ -195,6 +265,9 @@ class Tour:
 
         def replaying_ask(prompt_text, default=None, step=None):
             nonlocal count
+            if getattr(step, "is_menu", False):
+                # Menu prompts are not steps: never replayed, never counted.
+                return original_ask(prompt_text, default=default, step=step)
             if count in replay:
                 response = replay[count]
                 count += 1
@@ -204,22 +277,64 @@ class Tour:
 
         self.ask = replaying_ask
         try:
-            self._run_subtree(self.root)
-        except KeyboardInterrupt:
-            save_path = Path(f"{self.name.replace(' ', '-')}-progress.yaml")
-            self.save_progress(save_path)
-            logger.info(f"Wizard interrupted; progress saved to {save_path}")
-            raise
+            self.root.run()
+            while True:
+                step = self._next_step()
+                if step is None:
+                    break
+                try:
+                    step.run()
+                    self.history.append(step)
+                except KeyboardInterrupt:
+                    self.keyboard_interrupt_action()
         finally:
             self.ask = original_ask
         return self.state
 
-    def _run_subtree(self, node: Step) -> None:
-        # Children may grow while we iterate (subtour insertion), so index
-        # manually instead of iterating the list object.
-        i = 0
-        node.run()
-        while i < len(node.children):
-            child = node.children[i]
-            self._run_subtree(child)
-            i += 1
+    # -- Ctrl-C menu ---------------------------------------------------------
+    def keyboard_interrupt_action(self) -> None:
+        """The reference's Ctrl-C menu (tour.py:260): go back / continue /
+        view progress / save and exit / exit."""
+        menu = _InterruptMenu()
+        menu.tour = self
+        menu.state = self.state
+        while True:
+            try:
+                choice = self.ask(
+                    "What would you like to do?", default="continue", step=menu
+                )
+            except KeyboardInterrupt:
+                raise SystemExit(1) from None
+            if choice in ("continue", "", None):
+                return
+            if choice == "go back a step":
+                self.go_back()
+                return
+            if choice == "view progress":
+                for name, response in self.trace:
+                    logger.info(f"  {name}: {response!r}")
+                continue
+            if choice == "save and exit":
+                save_path = Path(f"{self.name.replace(' ', '-')}-progress.yaml")
+                self.save_progress(save_path)
+                logger.info(f"Progress saved to {save_path}")
+                raise SystemExit(0)
+            if choice == "exit":
+                raise SystemExit(1)
+            logger.warning(f"Unknown choice {choice!r}")
+
+    def go_back(self) -> None:
+        """Undo the most recent completed step so it re-prompts."""
+        while self.history:
+            last = self.history.pop()
+            if not last.reversible:
+                logger.warning(
+                    f"Step {last.name} cannot be undone; staying put."
+                )
+                self.history.append(last)
+                return
+            if self.trace and self.trace[-1][0] == last.name:
+                self.trace.pop()
+            last.undo()
+            return
+        logger.info("Nothing to go back to.")

@@ -188,3 +188,142 @@ class TestColumnMapping:
         tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
         state = tour.run()
         assert state["datasets"][0]["rows"][0]["characters"]
+
+
+INTERRUPT = object()  # sentinel: scripted Ctrl-C during a prompt
+
+
+def interruptable_ask(answers):
+    queue = list(answers)
+
+    def ask(prompt_text, default=None, step=None):
+        if not queue:
+            raise AssertionError(f"Unscripted question: {prompt_text}")
+        answer = queue.pop(0)
+        if answer is INTERRUPT:
+            raise KeyboardInterrupt
+        return answer
+
+    return ask
+
+
+class RecordingStep(Step):
+    """Step that writes its answer into shared state (undo must revert)."""
+
+    def __init__(self, key, **kwargs):
+        super().__init__(name=key, prompt_text=f"{key}?", **kwargs)
+        self.key = key
+
+    def effect(self):
+        self.state[self.key] = self.response
+
+
+class InsertingStep(RecordingStep):
+    """Step whose effect inserts a follow-up step (like MoreDatasets)."""
+
+    def effect(self):
+        super().effect()
+        if self.response == "yes":
+            assert self.tour is not None
+            self.tour.add_steps_right_after([RecordingStep("extra")], self)
+
+
+class TestInterruptMenu:
+    """The reference's Ctrl-C action menu (tour.py:260): back / continue /
+    view / save-and-exit / exit."""
+
+    def _tour(self, answers):
+        return Tour(
+            "t", [RecordingStep("first"), RecordingStep("second")],
+            ask=interruptable_ask(answers),
+        )
+
+    def test_go_back_re_prompts_previous_step(self):
+        tour = self._tour(["A", INTERRUPT, "go back a step", "B", "C"])
+        state = tour.run()
+        assert state["first"] == "B"
+        assert state["second"] == "C"
+        assert [name for name, _ in tour.trace] == ["first", "second"]
+
+    def test_continue_resumes_current_step(self):
+        tour = self._tour(["A", INTERRUPT, "continue", "C"])
+        state = tour.run()
+        assert state["first"] == "A"
+        assert state["second"] == "C"
+
+    def test_save_and_exit_then_resume(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        tour = self._tour(["A", INTERRUPT, "save and exit"])
+        with pytest.raises(SystemExit):
+            tour.run()
+        saved = tmp_path / "t-progress.yaml"
+        assert saved.exists()
+
+        fresh = self._tour(["C2"])  # only the unanswered question remains
+        state = fresh.run(resume_from=saved)
+        assert state["first"] == "A"
+        assert state["second"] == "C2"
+
+    def test_exit_without_saving(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        tour = self._tour(["A", INTERRUPT, "exit"])
+        with pytest.raises(SystemExit):
+            tour.run()
+        assert not (tmp_path / "t-progress.yaml").exists()
+
+    def test_view_progress_then_continue(self):
+        tour = self._tour(["A", INTERRUPT, "view progress", "continue", "C"])
+        state = tour.run()
+        assert state == {"first": "A", "second": "C"}
+
+
+class TestUndoSemantics:
+    def test_undo_reverts_state_and_inserted_steps(self):
+        """Going back over a step that inserted a subtour removes the
+        inserted steps and the state it wrote."""
+        answers = [
+            "yes",            # inserting step -> adds "extra"
+            INTERRUPT,        # during "extra" prompt
+            "go back a step",  # undo the inserting step
+            "no",             # re-answer: no extra step this time
+            "B",              # second
+        ]
+        tour = Tour(
+            "t", [InsertingStep("insert"), RecordingStep("second")],
+            ask=interruptable_ask(answers),
+        )
+        state = tour.run()
+        assert state["insert"] == "no"
+        assert "extra" not in state
+        assert state["second"] == "B"
+
+    def test_irreversible_step_blocks_back(self):
+        class Fixed(RecordingStep):
+            reversible = False
+
+        answers = ["A", INTERRUPT, "go back a step", "C"]
+        tour = Tour(
+            "t", [Fixed("first"), RecordingStep("second")],
+            ask=interruptable_ask(answers),
+        )
+        state = tour.run()
+        # back was refused, so "first" keeps its original answer
+        assert state["first"] == "A"
+        assert state["second"] == "C"
+
+
+class TestResumeVersioning:
+    def test_incompatible_version_rejected(self, tmp_path):
+        bad = tmp_path / "progress.yaml"
+        bad.write_text(
+            "tour: t\nversion: '2.0'\nresponses:\n- [first, A]\n",
+            encoding="utf8",
+        )
+        with pytest.raises(StepError):
+            Tour.load_progress(bad)
+
+    def test_not_a_session_file_rejected(self, tmp_path):
+        bad = tmp_path / "junk.yaml"
+        bad.write_text("just: stuff\n", encoding="utf8")
+        with pytest.raises(StepError):
+            Tour.load_progress(bad)

@@ -644,12 +644,71 @@ def segment_align(audio, transcript, output):
 
 @main.command("fetch-pretrained")
 @click.argument("model_kind", type=click.Choice(list(MODEL_CONFIGS)))
-def fetch_pretrained(model_kind):
-    """Download pretrained components (requires network access)."""
-    raise click.ClickException(
-        "This environment has no network egress; place pretrained "
-        "checkpoints manually and reference them from your config."
-    )
+@click.option("--config-path", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="Project text-to-wav config; defaults to the schema's "
+              "standard repo ids.")
+@click.option("--output-dir", type=click.Path(path_type=Path),
+              default=Path.home() / ".cache" / "everyvoice_tpu" / "pretrained",
+              show_default=True)
+def fetch_pretrained(model_kind, config_path, output_dir):
+    """Download the pretrained StyleTTS2 components — JDC F0 net, ASR
+    aligner, multilingual PL-BERT, and the WavLM SLM — from HuggingFace
+    into a local cache, then print the config overrides pointing at them
+    (parity: reference cli.py:622-644 fetch-pretrained text-to-wav)."""
+    if model_kind != "text-to-wav":
+        raise click.ClickException(
+            "Only text-to-wav (StyleTTS2) has pretrained components to fetch."
+        )
+    if config_path is not None:
+        config = _load_config("text-to-wav", config_path, ())
+    else:
+        from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+
+        config = StyleTTS2Config(
+            contact={
+                "contact_name": "fetch-pretrained",
+                "contact_email": "noreply@everyvoice.ca",
+            }
+        )
+    pre = config.pretrained
+    slm_repo = config.model.slm.model
+    output_dir = Path(output_dir).expanduser()
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    try:
+        from huggingface_hub import hf_hub_download, snapshot_download
+
+        fetched = {}
+        fetched["pretrained.f0.local_path"] = hf_hub_download(
+            pre.f0.repo_id, pre.f0.filename, cache_dir=output_dir
+        )
+        fetched["pretrained.asr.local_checkpoint"] = hf_hub_download(
+            pre.asr.repo_id, pre.asr.checkpoint_filename, cache_dir=output_dir
+        )
+        fetched["pretrained.asr.local_config"] = hf_hub_download(
+            pre.asr.repo_id, pre.asr.config_filename, cache_dir=output_dir
+        )
+        fetched["pretrained.plbert.local_checkpoint"] = hf_hub_download(
+            pre.plbert.repo_id, pre.plbert.checkpoint_filename,
+            cache_dir=output_dir,
+        )
+        fetched["pretrained.plbert.local_config"] = hf_hub_download(
+            pre.plbert.repo_id, pre.plbert.config_filename,
+            cache_dir=output_dir,
+        )
+        fetched["model.slm.model"] = snapshot_download(
+            slm_repo, cache_dir=output_dir
+        )
+    except Exception as exc:
+        raise click.ClickException(
+            f"Download failed ({exc}). If this machine has no network "
+            "egress, stage the files manually and set the "
+            "pretrained.*.local_* / model.slm.model config fields."
+        ) from exc
+    click.echo("Fetched pretrained components. Config overrides:")
+    for key, value in fetched.items():
+        click.echo(f"  -c {key}={value}")
 
 
 if __name__ == "__main__":

@@ -226,3 +226,73 @@ class TestEvaluateCLI:
         assert result.exit_code == 0, result.output
         data = json.loads(out.read_text())
         assert data[0]["si_sdr"] > 30
+
+
+class TestFetchPretrained:
+    def test_downloads_and_prints_overrides(self, tmp_path, monkeypatch):
+        """fetch-pretrained drives huggingface_hub for the StyleTTS2
+        components (reference cli.py:622-644); the hub is faked here since
+        CI has no egress."""
+        import sys
+        import types
+
+        calls = []
+        fake = types.ModuleType("huggingface_hub")
+
+        def hf_hub_download(repo_id, filename, cache_dir=None):
+            calls.append((repo_id, filename))
+            out = Path(cache_dir) / repo_id.replace("/", "--") / filename
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(b"weights")
+            return str(out)
+
+        def snapshot_download(repo_id, cache_dir=None):
+            calls.append((repo_id, "<snapshot>"))
+            out = Path(cache_dir) / repo_id.replace("/", "--")
+            out.mkdir(parents=True, exist_ok=True)
+            return str(out)
+
+        fake.hf_hub_download = hf_hub_download
+        fake.snapshot_download = snapshot_download
+        monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+
+        from click.testing import CliRunner
+
+        from everyvoice_tpu.cli import main
+
+        result = CliRunner().invoke(
+            main,
+            ["fetch-pretrained", "text-to-wav", "--output-dir", str(tmp_path)],
+        )
+        assert result.exit_code == 0, result.output
+        repos = {repo for repo, _ in calls}
+        assert "everyvoice/styletts2-jdc-f0" in repos
+        assert "everyvoice/styletts2-asr-aligner" in repos
+        assert "papercup-ai/multilingual-pl-bert" in repos
+        assert "microsoft/wavlm-base-plus" in repos
+        assert "-c pretrained.f0.local_path=" in result.output
+        assert "-c model.slm.model=" in result.output
+
+    def test_clean_error_without_network(self, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        fake = types.ModuleType("huggingface_hub")
+
+        def boom(*args, **kwargs):
+            raise OSError("no route to host")
+
+        fake.hf_hub_download = boom
+        fake.snapshot_download = boom
+        monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+
+        from click.testing import CliRunner
+
+        from everyvoice_tpu.cli import main
+
+        result = CliRunner().invoke(
+            main,
+            ["fetch-pretrained", "text-to-wav", "--output-dir", str(tmp_path)],
+        )
+        assert result.exit_code != 0
+        assert "stage the files manually" in result.output

@@ -642,6 +642,31 @@ def segment_align(audio, transcript, output):
     click.echo(f"Wrote {output}")
 
 
+@segment.command("extract")
+@click.argument("audio", type=click.Path(exists=True, path_type=Path))
+@click.argument("textgrid", type=click.Path(exists=True, path_type=Path))
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              default=Path("segments"), show_default=True)
+@click.option("--prefix", default="segment", show_default=True)
+def segment_extract(audio, textgrid, output_dir, prefix):
+    """Cut a TextGrid's aligned intervals out of long audio into per-segment
+    wavs plus a metadata filelist (parity: `everyvoice segment extract`,
+    reference cli.py:392-415)."""
+    from everyvoice_tpu.models.aligner.segment import (
+        extract_segments,
+        parse_textgrid,
+    )
+
+    segments = parse_textgrid(textgrid)
+    if not segments:
+        raise click.ClickException(f"No non-empty intervals found in {textgrid}")
+    rows = extract_segments(audio, segments, output_dir, prefix=prefix)
+    click.echo(
+        f"Wrote {len(rows)} segments to {output_dir}/wavs and "
+        f"{output_dir}/metadata.psv"
+    )
+
+
 @main.command("fetch-pretrained")
 @click.argument("model_kind", type=click.Choice(list(MODEL_CONFIGS)))
 @click.option("--config-path", type=click.Path(exists=True, path_type=Path),

@@ -201,6 +201,27 @@ def align_long_audio(
     return segments
 
 
+def parse_textgrid(path: Path | str) -> list:
+    """Read interval (text, start_s, end_s) triples back out of a TextGrid
+    (the inverse of `segments_to_textgrid`; accepts any Praat short/long
+    IntervalTier written in the long text format). Empty-text intervals are
+    skipped, matching the reference extractor's behavior."""
+    import re
+
+    content = Path(path).read_text(encoding="utf8")
+    segments = []
+    pattern = re.compile(
+        r"xmin\s*=\s*([0-9.eE+-]+)\s*\n\s*xmax\s*=\s*([0-9.eE+-]+)"
+        r"\s*\n\s*text\s*=\s*\"((?:[^\"]|\"\")*)\""
+    )
+    for match in pattern.finditer(content):
+        start, end = float(match.group(1)), float(match.group(2))
+        text = match.group(3).replace('\"\"', '\"')
+        if text.strip():
+            segments.append((text, start, end))
+    return segments
+
+
 def extract_segments(
     audio_path: Path | str,
     segments: list,

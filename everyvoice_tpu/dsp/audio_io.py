@@ -141,3 +141,19 @@ def write_wav(
         wf.setsampwidth(sampwidth)
         wf.setframerate(sample_rate)
         wf.writeframes(pcm.tobytes())
+
+
+def write_wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    """In-memory 16-bit PCM WAV encoding of (samples,) float audio
+    (TensorBoard audio summaries embed the file bytes)."""
+    import io
+
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -208,6 +208,8 @@ class FastSpeech2Trainer(TrainerBase):
             config.training.optimizer, self.model.dim,
             gradient_clip_val=gradient_clip_val,
         )
+        self._viz_step = None
+        self._vocoder = None  # lazy (generator, params) for audio logging
         self._train_step = None
         self._eval_step = None
 
@@ -410,10 +412,13 @@ class FastSpeech2Trainer(TrainerBase):
                 self.global_step += n_steps
                 self.tick_profile()
                 if self.global_step // log_every > prev_step // log_every:
-                    self.log_metrics(
-                        {f"training/{k}": v for k, v in losses.items()},
-                        self.global_step,
+                    from everyvoice_tpu.train.optim import learning_rate_at
+
+                    metrics = {f"training/{k}": v for k, v in losses.items()}
+                    metrics["training/lr"] = learning_rate_at(
+                        t.optimizer, self.global_step, self.model.dim
                     )
+                    self.log_metrics(metrics, self.global_step)
                 if self.global_step // val_interval > prev_step // val_interval or (
                     self.global_step >= max_steps
                 ):
@@ -451,7 +456,72 @@ class FastSpeech2Trainer(TrainerBase):
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             count += 1
+        self.log_validation_media(params)
         return {k: v / max(count, 1) for k, v in totals.items()}
+
+    # -- validation media (spectrogram images + vocoded audio, the role of
+    # the reference's TensorBoard audio logging when training.vocoder_path
+    # is set — docs/guides/fastspeech2.md:53)
+    def log_validation_media(self, params) -> None:
+        try:
+            batch = next(self.val_dataset.batches(1, shuffle=False))
+        except StopIteration:
+            return
+        batch.pop("basenames", None)
+        if self._viz_step is None:
+            model = self.model
+            model_kwargs = self._model_kwargs
+
+            @jax.jit
+            def viz(p, b):
+                out = model.apply(
+                    p, b["text"], b["text_lengths"], **model_kwargs(b)
+                )
+                mel = out.get("postnet_mel", out["mel"])
+                return mel
+
+            self._viz_step = viz
+        device_batch = {
+            k: jnp.asarray(v) for k, v in batch.items() if hasattr(v, "shape")
+        }
+        pred = np.asarray(self._viz_step(params, device_batch))
+        n_frames = int(batch["mel_lengths"][0])
+        step = self.global_step
+        self.tb_writer.add_mel(
+            "validation/mel_predicted", pred[0][:n_frames], step
+        )
+        self.tb_writer.add_mel(
+            "validation/mel_target", np.asarray(batch["mel"])[0][:n_frames], step
+        )
+        vocoder = self._maybe_vocoder()
+        if vocoder is not None:
+            generator, vparams, sample_rate = vocoder
+            wav = np.asarray(
+                generator.apply(vparams, jnp.asarray(pred[:1]))
+            )[0]
+            hop = self.config.preprocessing.audio.fft_hop_size
+            self.tb_writer.add_audio(
+                "validation/audio_predicted",
+                wav[: n_frames * hop],
+                sample_rate,
+                step,
+            )
+        self.tb_writer.flush()
+
+    def _maybe_vocoder(self):
+        if self._vocoder is None and self.training_config.vocoder_path:
+            from everyvoice_tpu.models.fs2.synthesize import (
+                load_vocoder_from_checkpoint,
+            )
+
+            generator, vparams, vconfig = load_vocoder_from_checkpoint(
+                self.training_config.vocoder_path
+            )
+            self._vocoder = (
+                generator, vparams,
+                vconfig.preprocessing.audio.output_sampling_rate,
+            )
+        return self._vocoder
 
 
 class HiFiGANTrainer(TrainerBase):

@@ -34,6 +34,18 @@ def noam_schedule(
     return schedule
 
 
+def learning_rate_at(optimizer_config, step: int, model_dim: int = 256) -> float:
+    """Current learning rate for logging (the reference's
+    LearningRateMonitor role, base_cli/helpers.py:234-251). Pure host math —
+    no device dispatch on the logging path."""
+    cfg = optimizer_config
+    if isinstance(cfg, NoamOptimizer):
+        s = step + 1  # matches noam_schedule's 1-indexing
+        scale = cfg.learning_rate * (cfg.warmup_steps**0.5)
+        return float(scale * min(s**-0.5, s * cfg.warmup_steps**-1.5))
+    return float(cfg.learning_rate)
+
+
 def build_optimizer(
     optimizer_config,
     model_dim: int = 256,

@@ -107,6 +107,70 @@ def encode_file_version_event(wall_time: float) -> bytes:
     return _double_field(1, wall_time) + _string_field(3, "brain.Event:2")
 
 
+def _event(summary_value: bytes, step: int, wall_time: float) -> bytes:
+    summary = _bytes_field(1, summary_value)
+    return (
+        _double_field(1, wall_time)
+        + _int64_field(2, int(step))
+        + _bytes_field(5, summary)
+    )
+
+
+def encode_audio_event(
+    tag: str, audio: np.ndarray, sample_rate: int, step: int, wall_time: float
+) -> bytes:
+    """Summary.Value.audio (field 6): WAV-encoded mono float audio
+    (the reference gets this via Lightning's TensorBoardLogger.add_audio)."""
+    from everyvoice_tpu.dsp.audio_io import write_wav_bytes
+
+    wav_bytes = write_wav_bytes(np.asarray(audio, np.float32), sample_rate)
+    # Summary.Audio { sample_rate=1 (float), num_channels=2, length_frames=3,
+    #                 encoded_audio_string=4, content_type=5 }
+    audio_proto = (
+        _float_field(1, float(sample_rate))
+        + _int64_field(2, 1)
+        + _int64_field(3, len(audio))
+        + _bytes_field(4, wav_bytes)
+        + _string_field(5, "audio/wav")
+    )
+    value = _string_field(1, tag) + _bytes_field(6, audio_proto)
+    return _event(value, step, wall_time)
+
+
+def mel_to_image(mel: np.ndarray) -> np.ndarray:
+    """(frames, n_mels) log-mel → (n_mels, frames, 3) uint8 heatmap
+    (low=dark blue, high=yellow; the role of the reference's
+    plot_spectrogram helper, utils/__init__.py:184)."""
+    m = np.asarray(mel, np.float32).T[::-1]  # mels on y, low freq at bottom
+    lo, hi = float(m.min()), float(m.max())
+    norm = (m - lo) / (hi - lo + 1e-9)
+    r = np.clip(3.0 * norm - 1.0, 0, 1)
+    g = np.clip(2.0 * norm - 0.2, 0, 1) * norm
+    b = np.clip(1.2 - 2.0 * np.abs(norm - 0.3), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def encode_image_event(
+    tag: str, image: np.ndarray, step: int, wall_time: float
+) -> bytes:
+    """Summary.Value.image (field 4): PNG-encoded (H, W, 3) uint8."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="PNG")
+    # Summary.Image { height=1, width=2, colorspace=3, encoded_image_string=4 }
+    image_proto = (
+        _int64_field(1, image.shape[0])
+        + _int64_field(2, image.shape[1])
+        + _int64_field(3, 3)
+        + _bytes_field(4, buf.getvalue())
+    )
+    value = _string_field(1, tag) + _bytes_field(4, image_proto)
+    return _event(value, step, wall_time)
+
+
 class SummaryWriter:
     """Append-only scalar event writer compatible with TensorBoard."""
 
@@ -137,6 +201,22 @@ class SummaryWriter:
         for tag, value in metrics.items():
             if np.isscalar(value) or hasattr(value, "item"):
                 self.add_scalar(tag, float(value), step)
+
+    def add_audio(
+        self, tag: str, audio: np.ndarray, sample_rate: int, step: int
+    ) -> None:
+        self._write_record(
+            encode_audio_event(tag, audio, sample_rate, step, time.time())
+        )
+
+    def add_image(self, tag: str, image: np.ndarray, step: int) -> None:
+        self._write_record(
+            encode_image_event(tag, image, step, time.time())
+        )
+
+    def add_mel(self, tag: str, mel: np.ndarray, step: int) -> None:
+        """Log a (frames, n_mels) spectrogram as a heatmap image."""
+        self.add_image(tag, mel_to_image(mel), step)
 
     def flush(self) -> None:
         self._file.flush()

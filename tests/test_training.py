@@ -347,3 +347,107 @@ class TestISTFTNetTraining:
         wav = trainer.generator.apply(gen_params, jnp.asarray(batch["mel"][:, :16]))
         assert wav.shape == (2, 16 * 256)
         assert np.isfinite(np.asarray(wav)).all()
+
+
+class TestObservability:
+    """LR monitoring + TensorBoard media summaries (the reference's
+    LearningRateMonitor and vocoder-gated audio logging, SURVEY.md §5)."""
+
+    def test_learning_rate_at_noam_peak(self):
+        from everyvoice_tpu.config.shared_types import (
+            AdamWOptimizer,
+            NoamOptimizer,
+        )
+        from everyvoice_tpu.train.optim import learning_rate_at
+
+        noam = NoamOptimizer(learning_rate=1e-3, warmup_steps=100)
+        # Peak (= the configured learning_rate) lands at the warmup boundary.
+        peak = max(learning_rate_at(noam, s) for s in range(0, 300))
+        assert abs(peak - 1e-3) / 1e-3 < 1e-9
+        assert learning_rate_at(noam, 10) < peak
+        assert learning_rate_at(noam, 10000) < peak
+        assert learning_rate_at(AdamWOptimizer(learning_rate=2e-4), 5) == 2e-4
+
+    def test_writer_audio_and_image_records(self, tmp_path):
+        import struct
+
+        from everyvoice_tpu.train.tensorboard import SummaryWriter, mel_to_image
+
+        writer = SummaryWriter(tmp_path)
+        audio = np.sin(np.linspace(0, 40 * np.pi, 4000)).astype(np.float32)
+        writer.add_audio("val/audio", audio, 22050, step=3)
+        mel = np.random.default_rng(0).standard_normal((120, 80))
+        writer.add_mel("val/mel", mel, step=3)
+        writer.flush()
+        data = writer.path.read_bytes()
+        assert b"val/audio" in data
+        assert b"audio/wav" in data
+        assert b"RIFF" in data  # embedded WAV bytes
+        assert b"val/mel" in data
+        assert b"\x89PNG" in data  # embedded PNG bytes
+        # TFRecord framing intact: walk every record.
+        pos, records = 0, 0
+        while pos < len(data):
+            (length,) = struct.unpack("<Q", data[pos : pos + 8])
+            pos += 12 + length + 4
+            records += 1
+        assert pos == len(data)
+        assert records == 3  # file-version + audio + image
+
+    def test_mel_image_shape_and_range(self):
+        from everyvoice_tpu.train.tensorboard import mel_to_image
+
+        mel = np.random.default_rng(1).standard_normal((50, 80))
+        img = mel_to_image(mel)
+        assert img.shape == (80, 50, 3)
+        assert img.dtype == np.uint8
+
+    def test_fit_logs_lr_and_validation_media(self, trained):
+        import json
+
+        trainer, params, run_dir = trained
+        lines = [
+            json.loads(line)
+            for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert any("training/lr" in rec for rec in lines)
+        events = list(run_dir.glob("events.out.tfevents.*"))
+        assert events
+        blob = events[0].read_bytes()
+        assert b"validation/mel_predicted" in blob
+        assert b"validation/mel_target" in blob
+
+
+# make the shared fixture visible to TestObservability
+TestObservability.trained = TestFS2Training.trained
+
+
+class TestVocoderAudioLogging:
+    def test_validation_audio_logged_with_vocoder_path(
+        self, lj_corpus, cpu_mesh, tmp_path_factory
+    ):
+        """training.vocoder_path enables vocoded audio summaries during
+        validation (reference docs/guides/fastspeech2.md:53)."""
+        from model_stubs import get_dummy_hifigan_checkpoint
+
+        config, save_dir = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 4
+        config.training.val_check_interval = 2
+        ckpt_dir = tmp_path_factory.mktemp("voc_ckpt")
+        config.training.vocoder_path = get_dummy_hifigan_checkpoint(ckpt_dir)
+        run_dir = tmp_path_factory.mktemp("fs2_audio_run")
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        val = generic_psv_filelist_reader(config.training.validation_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train, val))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        vds = FastSpeech2Dataset(val, config, lang2id, speaker2id,
+                                 text_processor=ds.text_processor)
+        trainer = FastSpeech2Trainer(
+            config, ds, vds, lang2id, speaker2id, mesh=cpu_mesh,
+            run_dir=run_dir,
+        )
+        trainer.fit(max_steps=2, log_every=1)
+        blob = next(run_dir.glob("events.out.tfevents.*")).read_bytes()
+        assert b"validation/audio_predicted" in blob
+        assert b"RIFF" in blob

@@ -257,3 +257,66 @@ class TestAudioIO:
         audio, sr = read_wav(p)
         assert audio.shape == (2, 100)
         assert np.abs(audio - x).max() < 1e-3
+
+
+class TestTorchSTFTParity:
+    """Golden comparison against torch.stft — the exact kernel the reference
+    pipeline uses for its mel-librosa spectrograms (utils/heavy.py:69-100).
+    Framing, centering, reflect padding, and window conventions must agree
+    for mel-MSE parity with reference-trained models."""
+
+    def test_power_spectrogram_matches_torch(self):
+        import torch
+
+        from everyvoice_tpu.dsp.spectral import stft_power
+
+        rng = np.random.default_rng(7)
+        audio = rng.standard_normal(22050).astype(np.float32) * 0.3
+        n_fft, hop = 1024, 256
+        ours = np.asarray(stft_power(jnp.asarray(audio), n_fft, n_fft, hop))
+        ref = torch.stft(
+            torch.from_numpy(audio),
+            n_fft=n_fft, hop_length=hop, win_length=n_fft,
+            window=torch.hann_window(n_fft),
+            center=True, pad_mode="reflect", return_complex=True,
+        )
+        ref_power = (ref.abs() ** 2).numpy()
+        n = min(ours.shape[-1], ref_power.shape[-1])
+        np.testing.assert_allclose(
+            ours[..., :n], ref_power[..., :n], rtol=2e-3, atol=2e-3
+        )
+
+    def test_log_mel_matches_torch_reference_pipeline(self):
+        """Full reference recipe rebuilt in torch: power STFT → sqrt(+1e-9)
+        → slaney mel basis matmul → log(clamp(1e-5)) vs our
+        get_spectral_transform('mel-librosa') + dynamic_range_compression."""
+        import torch
+
+        from everyvoice_tpu.dsp import get_spectral_transform
+        from everyvoice_tpu.dsp.spectral import (
+            dynamic_range_compression,
+            librosa_mel_basis,
+        )
+
+        rng = np.random.default_rng(8)
+        audio = rng.standard_normal(22050 * 2).astype(np.float32) * 0.2
+        sr, n_fft, hop, n_mels = 22050, 1024, 256, 80
+        mel_fn = get_spectral_transform(
+            "mel-librosa", n_fft, n_fft, hop, sr, n_mels, 0.0, 8000.0
+        )
+        ours = np.asarray(dynamic_range_compression(mel_fn(jnp.asarray(audio))))
+
+        spec = torch.stft(
+            torch.from_numpy(audio), n_fft=n_fft, hop_length=hop,
+            win_length=n_fft, window=torch.hann_window(n_fft),
+            center=True, pad_mode="reflect", return_complex=True,
+        )
+        mag = torch.sqrt(spec.abs() ** 2 + 1e-9)
+        basis = torch.from_numpy(
+            librosa_mel_basis(sr, n_fft, n_mels, 0.0, 8000.0)
+        )
+        ref = torch.log(torch.clamp(basis @ mag, min=1e-5)).numpy()
+        n = min(ours.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(
+            ours[..., :n], ref[..., :n], rtol=5e-3, atol=5e-3
+        )

@@ -47,7 +47,9 @@ def main() -> None:
     # reflect full-length utterances rather than mostly-padding compute.
     import flax
 
-    probe = jax.jit(lambda t, l: fs2.apply(fs2_params, t, l))(text, lengths)
+    probe = jax.jit(lambda p, t, l: fs2.apply(p, t, l))(
+        fs2_params, text, lengths
+    )
     measured = float(np.mean(np.asarray(probe["log_duration_prediction"])))
     target = float(np.log1p(960.0 / n_text))
     fs2_params = flax.core.unfreeze(fs2_params)
@@ -56,11 +58,18 @@ def main() -> None:
         bias + (target - measured)
     )
 
+    # Params are jit arguments (not closure constants) so the compiled
+    # executable stays small and the persistent compile cache is effective
+    # across processes.
     @jax.jit
-    def synthesize(text, lengths):
-        out = fs2.apply(fs2_params, text, lengths)
-        wav = gen.apply(gen_params, out["postnet_mel"])
+    def synthesize_p(fp, gp, text, lengths):
+        out = fs2.apply(fp, text, lengths)
+        wav = gen.apply(gp, out["postnet_mel"])
         return wav, out["predicted_frame_lengths"]
+
+    import functools
+
+    synthesize = functools.partial(synthesize_p, fs2_params, gen_params)
 
     # Warmup/compile
     wav, frames = synthesize(text, lengths)

@@ -148,12 +148,18 @@ class Synthesizer:
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
+        from functools import partial
 
-        model, params = self.model, self.params
-        vocoder, vparams = self.vocoder, self.vocoder_params
+        model = self.model
+        vocoder = self.vocoder
 
-        def fn(text, lengths, speaker_id, language_id, duration_control,
-               style_reference=None):
+        # Parameters are jit ARGUMENTS, not closure captures: captured
+        # params are baked into the executable as constants, which bloats
+        # it by the full model size (hundreds of MB), defeats the
+        # persistent compile cache across processes, and re-ships weights
+        # with every compiled shape variant.
+        def fn(params, vparams, text, lengths, speaker_id, language_id,
+               duration_control, style_reference=None):
             out = model.apply(
                 params, text, lengths,
                 speaker_id=speaker_id, language_id=language_id,
@@ -168,9 +174,10 @@ class Synthesizer:
                 return mel, frames, durations, wav
             return mel, frames, durations, None
 
-        jitted = jax.jit(fn, static_argnames=())
-        self._jit_cache[key] = jitted
-        return jitted
+        jitted = jax.jit(fn)
+        bound = partial(jitted, self.params, self.vocoder_params)
+        self._jit_cache[key] = bound
+        return bound
 
     def load_style_reference(self, wav_path: Path | str):
         """Reference wav → log-mel (1, T, M) for the GST module."""

@@ -58,6 +58,79 @@ def load_reference_style(model, params, ref_wav_path: Path | str, config):
     return np.asarray(acoustic)[0], np.asarray(prosodic)[0]
 
 
+# Cache of jitted inference pipelines keyed on (model, text bucket,
+# diffusion steps, embedding scale, ref-style presence). Params are jit
+# ARGUMENTS (closure-captured params would be baked into the executable as
+# constants — see docs/guides/tpu.md).
+_PIPELINE_CACHE: dict = {}
+_TEXT_BUCKET = 16
+
+
+def _jitted_pipeline(model, n_text: int, steps: int,
+                     embedding_scale: float, with_ref: bool):
+    key = (model, n_text, steps, embedding_scale, with_ref)
+    cached = _PIPELINE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from everyvoice_tpu.models.layers import regulate_length
+    from everyvoice_tpu.models.styletts2.model import sample_style_diffusion
+
+    def fn(params, tokens, lengths, rng, blends, ref_acoustic, ref_prosodic):
+        mask = jnp.arange(tokens.shape[1])[None, :] < lengths[:, None]
+        text_emb = model.apply(
+            params, tokens, mask, method="text_context_embedding"
+        )
+
+        def denoiser(noisy, sigma, emb):
+            return model.apply(
+                params, noisy, sigma, emb, method="denoise_style"
+            )
+
+        joint = sample_style_diffusion(
+            denoiser, rng, text_emb, model.style_dim * 2,
+            steps=steps, embedding_scale=embedding_scale,
+        )
+        acoustic = joint[:, : model.style_dim]
+        prosodic = joint[:, model.style_dim :]
+        if with_ref:
+            acoustic = blends[0] * acoustic + (1 - blends[0]) * ref_acoustic
+            prosodic = blends[1] * prosodic + (1 - blends[1]) * ref_prosodic
+
+        text_enc = model.apply(params, tokens, mask, method="encode_text")
+        dur_logits, f0_tok, energy_tok = model.apply(
+            params, text_enc, prosodic, mask, method="predict_prosody"
+        )
+        durations = jnp.clip(jnp.argmax(dur_logits, axis=-1), 1, model.max_dur)
+        durations = jnp.where(mask, durations, 0)
+        frames, frame_mask, total = regulate_length(
+            text_enc, durations, model.max_frames
+        )
+        frames = model.apply(
+            params, frames, method=lambda m, x: m.frame_proj(x)
+        )
+        f0_frames, _, _ = regulate_length(
+            f0_tok[..., None], durations, model.max_frames
+        )
+        f0_frames = f0_frames[..., 0]
+        energy_frames, _, _ = regulate_length(
+            energy_tok[..., None], durations, model.max_frames
+        )
+        energy_frames = energy_frames[..., 0]
+        frames = frames + model.apply(
+            params, f0_frames[..., None], method=lambda m, x: m.f0_embed(x)
+        )
+        wav = model.apply(
+            params, frames, f0_frames, energy_frames, acoustic, None,
+            method="decode",
+        )
+        return wav, total
+
+    jitted = jax.jit(fn)
+    _PIPELINE_CACHE[key] = jitted
+    return jitted
+
+
 def synthesize_text(
     model,
     params,
@@ -72,11 +145,10 @@ def synthesize_text(
     prosody_blend: float = 0.5,
     rng: Optional[jax.Array] = None,
 ) -> np.ndarray:
-    """Text → waveform. Styles come from diffusion sampling, optionally
-    blended with reference-audio styles (the reference's acoustic/prosody
-    blend sliders)."""
-    from everyvoice_tpu.models.styletts2.model import sample_style_diffusion
-
+    """Text → waveform, one jitted program end to end (text is padded to a
+    length bucket so repeat queries reuse the compilation). Styles come from
+    diffusion sampling, optionally blended with reference-audio styles (the
+    reference's acoustic/prosody blend sliders)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     level = config.model.target_text_representation_level.value
     ids = text_processor.encode_text(
@@ -84,56 +156,25 @@ def synthesize_text(
     )
     if not ids:
         raise ValueError(f"No valid symbols found in {text!r}")
-    tokens = jnp.asarray([ids], jnp.int32)
+    n_text = -(-len(ids) // _TEXT_BUCKET) * _TEXT_BUCKET
+    tokens = np.zeros((1, n_text), np.int32)
+    tokens[0, : len(ids)] = ids
     lengths = jnp.asarray([len(ids)], jnp.int32)
-    mask = jnp.ones_like(tokens, dtype=bool)
 
-    text_emb = model.apply(
-        params, tokens, mask, method="text_context_embedding"
-    )
-
-    def denoiser(noisy, sigma, emb):
-        return model.apply(params, noisy, sigma, emb, method="denoise_style")
-
-    joint = sample_style_diffusion(
-        denoiser, rng, text_emb, model.style_dim * 2,
-        steps=diffusion_steps, embedding_scale=embedding_scale,
-    )
-    acoustic = joint[:, : model.style_dim]
-    prosodic = joint[:, model.style_dim :]
-    if ref_styles is not None:
+    with_ref = ref_styles is not None
+    if with_ref:
         ref_acoustic = jnp.asarray(ref_styles[0])[None, :]
         ref_prosodic = jnp.asarray(ref_styles[1])[None, :]
-        acoustic = acoustic_blend * acoustic + (1 - acoustic_blend) * ref_acoustic
-        prosodic = prosody_blend * prosodic + (1 - prosody_blend) * ref_prosodic
-
-    text_enc = model.apply(
-        params, tokens, mask, method="encode_text"
+    else:
+        ref_acoustic = jnp.zeros((1, model.style_dim))
+        ref_prosodic = jnp.zeros((1, model.style_dim))
+    pipeline = _jitted_pipeline(
+        model, n_text, int(diffusion_steps), float(embedding_scale), with_ref
     )
-    dur_logits, f0_tok, energy_tok = model.apply(
-        params, text_enc, prosodic, mask, method="predict_prosody"
-    )
-    durations = jnp.clip(jnp.argmax(dur_logits, axis=-1), 1, model.max_dur)
-    from everyvoice_tpu.models.layers import regulate_length
-
-    frames, frame_mask, total = regulate_length(
-        text_enc, durations, model.max_frames
-    )
-    frames = model.apply(params, frames, method=lambda m, x: m.frame_proj(x))
-    f0_frames, _, _ = regulate_length(
-        f0_tok[..., None], durations, model.max_frames
-    )
-    f0_frames = f0_frames[..., 0]
-    energy_frames, _, _ = regulate_length(
-        energy_tok[..., None], durations, model.max_frames
-    )
-    energy_frames = energy_frames[..., 0]
-    frames = frames + model.apply(
-        params, f0_frames[..., None], method=lambda m, x: m.f0_embed(x)
-    )
-    wav = model.apply(
-        params, frames, f0_frames, energy_frames, acoustic, None,
-        method="decode",
+    wav, total = pipeline(
+        params, jnp.asarray(tokens), lengths, rng,
+        jnp.asarray([acoustic_blend, prosody_blend], jnp.float32),
+        ref_acoustic, ref_prosodic,
     )
     n_frames = int(np.asarray(total)[0])
     hop = config.preprocessing.audio.fft_hop_size

@@ -43,7 +43,13 @@ def load_fs2_from_checkpoint(ckpt_path: Path | str):
         n_speakers=max(len(speaker2id), 1),
         n_langs=max(len(lang2id), 1),
     )
-    return model, ckpt["state_dict"], config, text_processor, lang2id, speaker2id
+    import jax
+
+    # Device-resident once at load: checkpoint tensors arrive as host numpy
+    # arrays, and passing those to jitted calls would re-upload the whole
+    # model on every invocation.
+    params = jax.device_put(ckpt["state_dict"])
+    return model, params, config, text_processor, lang2id, speaker2id
 
 
 def load_vocoder_from_checkpoint(ckpt_path: Path | str,
@@ -70,7 +76,9 @@ def load_vocoder_from_checkpoint(ckpt_path: Path | str,
         params = state
     else:
         raise ValueError(f"Expected a vocoder checkpoint, got {name}")
-    return generator, params, config
+    import jax
+
+    return generator, jax.device_put(params), config
 
 
 def export_generator(full_ckpt: Path | str, out_path: Path | str) -> Path:

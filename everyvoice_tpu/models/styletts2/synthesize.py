@@ -35,6 +35,9 @@ def load_styletts2_model(ckpt_path: Path | str):
         n_langs=max(len(hp.get("lang2id", {})), 1),
     )
     params = ckpt["state_dict"].get("generator", ckpt["state_dict"])
+    # Device-resident once at load (host numpy params would re-upload the
+    # whole model on every jitted synthesis call).
+    params = jax.device_put(params)
     return model, params, config, text_processor, hp.get("lang2id", {})
 
 

@@ -748,10 +748,13 @@ class HiFiGANTrainer(TrainerBase):
                 prev_step = self.global_step
                 self.global_step += n_steps
                 if self.global_step // log_every > prev_step // log_every:
-                    self.log_metrics(
-                        {f"training/{k}": v for k, v in metrics.items()},
-                        self.global_step,
+                    from everyvoice_tpu.train.optim import learning_rate_at
+
+                    logged = {f"training/{k}": v for k, v in metrics.items()}
+                    logged["training/lr"] = learning_rate_at(
+                        t.optimizer, self.global_step
                     )
+                    self.log_metrics(logged, self.global_step)
                 if self.global_step // val_interval > prev_step // val_interval or (
                     self.global_step >= max_steps
                 ):

@@ -43,7 +43,8 @@ def learning_rate_at(optimizer_config, step: int, model_dim: int = 256) -> float
         s = step + 1  # matches noam_schedule's 1-indexing
         scale = cfg.learning_rate * (cfg.warmup_steps**0.5)
         return float(scale * min(s**-0.5, s * cfg.warmup_steps**-1.5))
-    return float(cfg.learning_rate)
+    # StyleTTS2's optimizer config names the field `lr`.
+    return float(getattr(cfg, "learning_rate", None) or getattr(cfg, "lr", 0.0))
 
 
 def build_optimizer(

@@ -114,8 +114,8 @@ class TextProcessor:
         for symbol in missing:
             if not quiet:
                 logger.warning(
-                    f"Symbol '{symbol}' occurs in the text '{normalized_text}' "
-                    "but was not declared in your configuration so it is being ignored."
+                    f"Dropping '{symbol}' from '{normalized_text}': it is "
+                    "missing from the symbol inventory in your text config."
                 )
             self.missing_symbols[symbol] += 1
         return missing
@@ -188,9 +188,8 @@ class TextProcessor:
             else:
                 if find_missing and not quiet:
                     logger.warning(
-                        f"Symbol '{token}' occurs in the text "
-                        f"'{normalized_text}' but was not declared in your "
-                        "configuration so it is being ignored."
+                        f"Dropping '{token}' from '{normalized_text}': it is "
+                        "missing from the symbol inventory in your text config."
                     )
                 self.missing_symbols[token] += 1
         return valid_tokens
@@ -232,15 +231,15 @@ class TextProcessor:
         """
         if encode_as_phonological_features and not apply_g2p:
             raise ValueError(
-                "'encode_as_phonological_features' was set to True but "
-                "'apply_g2p' was set to False. In order to calculate "
-                "phonological features, you must first apply g2p to the text. "
-                "Please set 'apply_g2p' to True."
+                "Phonological-feature encoding needs phone tokens, which only "
+                "exist after G2P runs — pass apply_g2p=True together with "
+                "encode_as_phonological_features=True."
             )
         if apply_g2p and (lang_id is None or lang_id not in AVAILABLE_G2P_ENGINES):
             raise ValueError(
-                f"You tried to apply g2p for language '{lang_id}', but no g2p "
-                "engine exists for that language."
+                f"No G2P engine is registered for language '{lang_id}', so "
+                "apply_g2p cannot run. Register one in your text config's "
+                "g2p_engines map or pick a supported language."
             )
         if normalize_text:
             text = self.normalize_text(

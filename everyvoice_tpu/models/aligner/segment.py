@@ -35,38 +35,41 @@ def ctc_forced_alignment(
     ext.append(blank_id)
     s_max = len(ext)
 
-    trellis = np.full((t_max, s_max), NEG_INF, np.float64)
+    # Vectorized over the state axis: each time step is one numpy pass, so an
+    # hour-long recording (~180k wav2vec2 frames) aligns in seconds rather
+    # than the minutes-to-hours a per-(t,s) Python double loop would take.
+    ext_arr = np.asarray(ext, np.int64)
+    emit = log_probs[:, ext_arr].astype(np.float64)  # (T, S)
+    skip_ok = np.zeros(s_max, bool)
+    if s_max > 2:
+        skip_ok[2:] = (ext_arr[2:] != blank_id) & (ext_arr[2:] != ext_arr[:-2])
+
+    scores = np.full(s_max, NEG_INF, np.float64)
+    scores[: min(2, s_max)] = emit[0, : min(2, s_max)]
     backptr = np.zeros((t_max, s_max), np.int8)
-    trellis[0, 0] = log_probs[0, ext[0]]
-    if s_max > 1:
-        trellis[0, 1] = log_probs[0, ext[1]]
+    state_idx = np.arange(s_max)
     for t in range(1, t_max):
-        for s in range(s_max):
-            best = trellis[t - 1, s]
-            move = 0
-            if s > 0 and trellis[t - 1, s - 1] > best:
-                best = trellis[t - 1, s - 1]
-                move = 1
-            if (
-                s > 1
-                and ext[s] != blank_id
-                and ext[s] != ext[s - 2]
-                and trellis[t - 1, s - 2] > best
-            ):
-                best = trellis[t - 1, s - 2]
-                move = 2
-            trellis[t, s] = best + log_probs[t, ext[s]]
-            backptr[t, s] = move
+        stay = scores
+        advance = np.concatenate(([NEG_INF], scores[:-1]))
+        skip = np.where(
+            skip_ok, np.concatenate(([NEG_INF, NEG_INF], scores[:-2])), NEG_INF
+        ) if s_max > 2 else np.full(s_max, NEG_INF)
+        candidates = np.stack((stay, advance, skip))
+        # argmax takes the first maximum, so ties prefer stay > advance >
+        # skip — matching a strict-greater sequential comparison.
+        move = candidates.argmax(axis=0)
+        scores = candidates[move, state_idx] + emit[t]
+        backptr[t] = move
 
     # Backtrace from the better of the last two states.
     s = s_max - 1
-    if s_max > 1 and trellis[t_max - 1, s_max - 2] > trellis[t_max - 1, s_max - 1]:
+    if s_max > 1 and scores[s_max - 2] > scores[s_max - 1]:
         s = s_max - 2
     path = np.zeros(t_max, np.int32)
     for t in range(t_max - 1, -1, -1):
         path[t] = s
         if t > 0:
-            s -= backptr[t, s]
+            s -= int(backptr[t, s])
 
     spans = []
     for i in range(len(targets)):

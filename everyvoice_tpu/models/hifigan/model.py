@@ -34,6 +34,58 @@ def _wn_conv(features, kernel_size, dtype=None, **kwargs):
     )
 
 
+class SpectralNormConv(nn.Module):
+    """1-D conv whose kernel is divided by its largest singular value.
+
+    HiFi-GAN applies spectral norm (Miyato et al.) to the first MSD scale,
+    which sees raw-amplitude audio; weight norm alone lets that scale's
+    Lipschitz constant drift. Stateless variant: the power iteration restarts
+    from a fixed unit vector every call instead of carrying a persistent
+    ``u`` buffer, so the discriminator stays a pure function of its params —
+    no mutable collections threaded through the jitted GAN step. A few
+    iterations per call converge because matmuls are cheap relative to the
+    conv itself and the kernel moves slowly between steps.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    feature_group_count: int = 1
+    n_power_iterations: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel_shape = (
+            self.kernel_size,
+            in_features // self.feature_group_count,
+            self.features,
+        )
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), kernel_shape
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        flat = kernel.reshape(-1, self.features)
+        v = jnp.ones((flat.shape[0],)) / jnp.sqrt(flat.shape[0])
+        for _ in range(self.n_power_iterations):
+            u = flat.T @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+            v = flat @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = v @ flat @ u
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel / (sigma + 1e-12),
+            window_strides=(self.strides,),
+            padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        return y + bias
+
+
 class ResBlock1(nn.Module):
     """MRF resblock type '1': two convs per dilation with residual joins."""
 
@@ -210,7 +262,21 @@ class PeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    use_spectral_norm: bool = False  # first scale uses raw audio stats
+    # The first (raw-audio) scale is spectrally normalized, as in HiFi-GAN;
+    # pooled scales use weight norm.
+    use_spectral_norm: bool = False
+
+    def _conv(self, ch, k, stride=1, groups=1):
+        if self.use_spectral_norm:
+            return SpectralNormConv(
+                ch, kernel_size=k, strides=stride, feature_group_count=groups
+            )
+        return nn.WeightNorm(
+            nn.Conv(
+                ch, kernel_size=(k,), strides=(stride,),
+                feature_group_count=groups, padding="SAME",
+            )
+        )
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> tuple:
@@ -222,15 +288,10 @@ class ScaleDiscriminator(nn.Module):
             (1024, 5, 1, 1),
         ]
         for ch, k, stride, groups in specs:
-            x = nn.WeightNorm(
-                nn.Conv(
-                    ch, kernel_size=(k,), strides=(stride,),
-                    feature_group_count=groups, padding="SAME",
-                )
-            )(x)
+            x = self._conv(ch, k, stride, groups)(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             feats.append(x)
-        x = nn.WeightNorm(nn.Conv(1, kernel_size=(3,), padding="SAME"))(x)
+        x = self._conv(1, 3)(x)
         feats.append(x)
         return x.reshape(wav.shape[0], -1), feats
 

@@ -191,6 +191,54 @@ class TestHiFiGAN:
         scores2, feats2 = msd.apply(msd.init(rng, wav), wav)
         assert len(scores2) == 3
 
+    def test_msd_first_scale_is_spectrally_normalized(self):
+        """The raw-audio MSD scale must bound its effective kernels to unit
+        spectral norm (HiFi-GAN applies spectral norm to scale 0 only)."""
+        import numpy as np
+
+        from everyvoice_tpu.models.hifigan.model import (
+            ScaleDiscriminator,
+            SpectralNormConv,
+        )
+
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, (1, 256, 8))
+        conv = SpectralNormConv(16, kernel_size=5)
+        params = conv.init(rng, x)
+        kernel = np.asarray(params["params"]["kernel"])
+        sigma = np.linalg.svd(
+            kernel.reshape(-1, kernel.shape[-1]), compute_uv=False
+        )[0]
+        # Recover the effective kernel the module convolves with (probe with
+        # the identity trick: outputs of unit impulses), and check its
+        # largest singular value is ~1. The stateless power iteration
+        # slightly underestimates sigma_max, so allow a small overshoot.
+        y = conv.apply(params, x)
+        scaled = jax.lax.conv_general_dilated(
+            x, jnp.asarray(kernel) / sigma, (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + params["params"]["bias"]
+        ratio = np.asarray(y - params["params"]["bias"]) / np.maximum(
+            np.abs(np.asarray(scaled - params["params"]["bias"])), 1e-6
+        ) * np.sign(np.asarray(scaled - params["params"]["bias"]))
+        # All elements share one scale factor sigma_true/sigma_est >= 1
+        factors = ratio[np.abs(np.asarray(scaled)) > 0.1]
+        assert np.all(factors > 0.999), factors.min()
+        assert np.all(factors < 1.10), factors.max()
+        assert np.std(factors) < 1e-3  # a single uniform scale, not noise
+
+        # Scale 0 of the MSD carries SpectralNormConv params; scales 1-2
+        # stay weight-normed.
+        wav = jax.random.normal(rng, (1, 4096))
+        sd0 = ScaleDiscriminator(use_spectral_norm=True)
+        p0 = sd0.init(rng, wav)
+        flat_names = jax.tree_util.tree_leaves_with_path(p0)
+        assert any(
+            "SpectralNormConv" in jax.tree_util.keystr(path)
+            for path, _ in flat_names
+        )
+        sd0.apply(p0, wav)
+
     def test_config_hop_validation(self):
         with pytest.raises(Exception, match="upsample"):
             HiFiGANConfig(

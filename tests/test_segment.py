@@ -6,6 +6,7 @@ since no wav2vec2 weights ship with this environment)."""
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 from everyvoice_tpu.models.aligner.segment import (
     align_long_audio,
@@ -60,6 +61,76 @@ class TestCTCForcedAlignment:
         lp = make_log_probs([1], 3)
         spans = ctc_forced_alignment(lp, [1, 2])
         assert spans[1][1] == spans[1][2]
+
+    def test_matches_per_cell_reference_dp(self):
+        """The state-vectorized trellis must agree span-for-span with a
+        straightforward per-(t,s) dynamic program on random inputs."""
+
+        def reference_spans(log_probs, targets, blank_id=0):
+            neg = -1e9
+            ext = []
+            for label in targets:
+                ext += [blank_id, int(label)]
+            ext.append(blank_id)
+            t_max, s_max = len(log_probs), len(ext)
+            trellis = np.full((t_max, s_max), neg, np.float64)
+            back = np.zeros((t_max, s_max), np.int8)
+            trellis[0, 0] = log_probs[0, ext[0]]
+            if s_max > 1:
+                trellis[0, 1] = log_probs[0, ext[1]]
+            for t in range(1, t_max):
+                for s in range(s_max):
+                    best, move = trellis[t - 1, s], 0
+                    if s > 0 and trellis[t - 1, s - 1] > best:
+                        best, move = trellis[t - 1, s - 1], 1
+                    if (s > 1 and ext[s] != blank_id and ext[s] != ext[s - 2]
+                            and trellis[t - 1, s - 2] > best):
+                        best, move = trellis[t - 1, s - 2], 2
+                    trellis[t, s] = best + log_probs[t, ext[s]]
+                    back[t, s] = move
+            s = s_max - 1
+            if s_max > 1 and trellis[-1, s_max - 2] > trellis[-1, s_max - 1]:
+                s = s_max - 2
+            path = np.zeros(t_max, np.int32)
+            for t in range(t_max - 1, -1, -1):
+                path[t] = s
+                if t > 0:
+                    s -= back[t, s]
+            spans = []
+            for i in range(len(targets)):
+                frames = np.nonzero(path == 2 * i + 1)[0]
+                if len(frames):
+                    spans.append((i, int(frames[0]), int(frames[-1]) + 1))
+                else:
+                    prev_end = spans[-1][2] if spans else 0
+                    spans.append((i, prev_end, prev_end))
+            return spans
+
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            t_max = int(rng.integers(20, 60))
+            vocab = 8
+            n_targets = int(rng.integers(2, 8))
+            targets = rng.integers(1, vocab, n_targets).tolist()
+            lp = np.log(rng.dirichlet(np.ones(vocab), size=t_max))
+            assert ctc_forced_alignment(lp, targets) == reference_spans(
+                lp, targets
+            )
+
+    @pytest.mark.slow
+    def test_long_audio_scale(self):
+        """An hour-scale trellis (50k frames x 400 labels) must run in
+        seconds — this was a pure-Python double loop before."""
+        import time
+
+        rng = np.random.default_rng(0)
+        lp = np.log(rng.dirichlet(np.ones(30), size=50_000)).astype(np.float32)
+        targets = rng.integers(1, 30, 400).tolist()
+        start = time.monotonic()
+        spans = ctc_forced_alignment(lp, targets)
+        elapsed = time.monotonic() - start
+        assert len(spans) == 400
+        assert elapsed < 30.0
 
 
 class TestAlignAndExtract:

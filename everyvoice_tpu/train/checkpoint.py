@@ -114,6 +114,64 @@ def load_checkpoint(path: Path | str) -> dict:
     return out
 
 
+def changed_config_values(old, new, prefix: str = "") -> list:
+    """(path, old, new) triples where both configs define a key but disagree.
+
+    Mirrors the reference's resume gate, which only acts on DeepDiff
+    ``values_changed``/``types_changed`` (base_cli/helpers.py:308-317):
+    keys or list items present on just one side are ignored, so adding a new
+    config field never blocks a resume.
+    """
+    if isinstance(old, dict) and isinstance(new, dict):
+        diffs = []
+        for key in sorted(old.keys() & new.keys(), key=str):
+            child = f"{prefix}.{key}" if prefix else str(key)
+            diffs += changed_config_values(old[key], new[key], child)
+        return diffs
+    if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):
+        diffs = []
+        for i, (a, b) in enumerate(zip(old, new)):
+            diffs += changed_config_values(a, b, f"{prefix}[{i}]")
+        return diffs
+    if old != new or type(old) is not type(new):
+        return [(prefix, old, new)]
+    return []
+
+
+def resume_mode(old_config: dict, new_config: dict, model_name: str) -> str:
+    """Three-way resume gate (reference base_cli/helpers.py:278-375):
+
+    - model-architecture diff  → raise InvalidConfiguration (weights would
+      not even load, or would silently mean something different);
+    - optimizer diff           → ``"fresh_optimizer"``: keep the weights,
+      restart optimizer state and step/epoch counters;
+    - otherwise                → ``"full"``: weights + optimizer + counters.
+
+    StyleTTS2 skips the gate entirely (as the reference does), because its
+    two-stage recipe changes the config between stages by design.
+    """
+    from everyvoice_tpu.exceptions import InvalidConfiguration
+
+    if model_name == "StyleTTS2Module":
+        return "full"
+    model_diff = changed_config_values(
+        (old_config or {}).get("model", {}), (new_config or {}).get("model", {})
+    )
+    if model_diff:
+        pretty = "\n".join(f"  {p}: {a!r} -> {b!r}" for p, a, b in model_diff)
+        raise InvalidConfiguration(
+            "The model architecture in your configuration differs from the "
+            "one this checkpoint was trained with — fine-tuning across "
+            "architectures is not supported. Fix the configuration or pick "
+            f"a matching checkpoint. Changed values:\n{pretty}"
+        )
+    optimizer_diff = changed_config_values(
+        (old_config or {}).get("training", {}).get("optimizer", {}),
+        (new_config or {}).get("training", {}).get("optimizer", {}),
+    )
+    return "fresh_optimizer" if optimizer_diff else "full"
+
+
 def summarize_statedict(tree, prefix: str = "") -> list:
     """Flat (name, shape, n_params) listing
     (reference base_cli/checkpoint.py:18)."""

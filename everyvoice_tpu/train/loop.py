@@ -169,8 +169,13 @@ class TrainerBase:
                 logger.info(f"Wrote profiler trace to {self.run_dir}/profile")
 
     def load_finetune_checkpoint(self, params):
-        """Weights-only restore from training.finetune_checkpoint
-        (the reference's config-diff-gated resume, base_cli/helpers.py:278)."""
+        """Config-diff-gated restore from training.finetune_checkpoint
+        (reference base_cli/helpers.py:278-375): an architecture diff is a
+        hard error, an optimizer diff keeps the weights but restarts the
+        optimizer and counters, and otherwise the full trainer state
+        (weights + optimizer + step/epoch) resumes."""
+        from everyvoice_tpu.train.checkpoint import resume_mode
+
         path = self.training_config.finetune_checkpoint
         if path is None:
             return params, None
@@ -180,6 +185,20 @@ class TrainerBase:
                 f"Checkpoint is a {ckpt['model_info']['name']}; expected "
                 f"{self.model_name}"
             )
+        old_config = ckpt.get("hyper_parameters", {}).get("config", {})
+        new_config = (
+            self.config.model_checkpoint_dump()
+            if hasattr(self.config, "model_checkpoint_dump")
+            else self.config
+        )
+        mode = resume_mode(old_config, new_config, self.model_name)
+        if mode == "fresh_optimizer":
+            logger.warning(
+                f"Optimizer hyperparameters changed since '{path}' — keeping "
+                "the checkpoint weights but restarting the optimizer, so "
+                "training logs will start again from step 0/epoch 0."
+            )
+            return ckpt["state_dict"], None
         self.global_step = ckpt.get("global_step", 0)
         self.epoch = ckpt.get("epoch", 0)
         return ckpt["state_dict"], ckpt.get("optimizer_states")

@@ -53,6 +53,7 @@ def cpu_mesh():
     return make_mesh(jax.devices("cpu")[:4])
 
 
+@pytest.mark.slow
 class TestFS2Training:
     @pytest.fixture(scope="class")
     def trained(self, lj_corpus, cpu_mesh, tmp_path_factory):
@@ -125,6 +126,57 @@ class TestFS2Training:
         b = jax.tree.leaves(p0)[0]
         assert a.shape == np.asarray(b).shape
 
+    def test_resume_blocked_on_architecture_diff(
+        self, trained, cpu_mesh, tmp_path_factory, lj_corpus
+    ):
+        """Reference base_cli/helpers.py:318-330: changing the model
+        architecture between pre-training and fine-tuning is a hard error."""
+        from everyvoice_tpu.exceptions import InvalidConfiguration
+
+        trainer, params, run_dir = trained
+        config, _ = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 4
+        config.training.finetune_checkpoint = run_dir / "checkpoints" / "last.ckpt"
+        config.model.encoder.layers += 1
+        trainer2 = FastSpeech2Trainer(
+            config, trainer.dataset, trainer.val_dataset,
+            trainer.lang2id, trainer.speaker2id, mesh=cpu_mesh,
+            run_dir=tmp_path_factory.mktemp("fs2_archdiff"),
+        )
+        trainer2.build_steps()
+        p0 = trainer2.init_params()
+        with pytest.raises(InvalidConfiguration, match="architecture"):
+            trainer2.load_finetune_checkpoint(p0)
+
+    def test_resume_restarts_optimizer_on_optimizer_diff(
+        self, trained, cpu_mesh, tmp_path_factory, lj_corpus
+    ):
+        """Reference base_cli/helpers.py:340-358: an optimizer
+        hyperparameter change keeps the weights but restarts optimizer
+        state and the step/epoch counters."""
+        trainer, params, run_dir = trained
+        config, _ = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 4
+        config.training.finetune_checkpoint = run_dir / "checkpoints" / "last.ckpt"
+        config.training.optimizer.learning_rate = (
+            config.training.optimizer.learning_rate * 0.5
+        )
+        trainer2 = FastSpeech2Trainer(
+            config, trainer.dataset, trainer.val_dataset,
+            trainer.lang2id, trainer.speaker2id, mesh=cpu_mesh,
+            run_dir=tmp_path_factory.mktemp("fs2_optdiff"),
+        )
+        trainer2.build_steps()
+        p0 = trainer2.init_params()
+        restored, opt = trainer2.load_finetune_checkpoint(p0)
+        assert opt is None  # fresh optimizer
+        assert trainer2.global_step == 0  # counters restart
+        assert jax.tree.leaves(restored)[0].shape == np.asarray(
+            jax.tree.leaves(p0)[0]
+        ).shape
+
     def test_inference_after_training(self, trained):
         import jax.numpy as jnp
 
@@ -176,6 +228,7 @@ class TestTinyDatasetBatches:
             trainer.fit(max_steps=1, log_every=1)
 
 
+@pytest.mark.slow
 class TestStepsPerExecution:
     """steps_per_execution scans K optimizer steps inside one jitted
     dispatch; the parameter trajectory must match per-step execution."""
@@ -220,6 +273,7 @@ class TestStepsPerExecution:
         assert np.isfinite(np.asarray(jax.tree.leaves(params)[0])).all()
 
 
+@pytest.mark.slow
 class TestHiFiGANTraining:
     def test_short_gan_run(self, lj_corpus, cpu_mesh, tmp_path_factory):
         config, save_dir = lj_corpus
@@ -282,6 +336,7 @@ class TestCheckpointTools:
             rename_speaker(path, "nope", "x", tmp_path / "y.ckpt")
 
 
+@pytest.mark.slow
 class TestLegacyDurations:
     """learn_alignment=False consumes pre-extracted duration/ artifacts
     (the retired DFAligner's output; reference preprocessor.py:644-651)."""
@@ -325,6 +380,7 @@ class TestLegacyDurations:
         assert (run_dir / "checkpoints" / "last.ckpt").exists()
 
 
+@pytest.mark.slow
 class TestISTFTNetTraining:
     """iSTFTNet variant end to end (BASELINE config #3)."""
 
@@ -349,6 +405,7 @@ class TestISTFTNetTraining:
         assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 class TestObservability:
     """LR monitoring + TensorBoard media summaries (the reference's
     LearningRateMonitor and vocoder-gated audio logging, SURVEY.md §5)."""
@@ -422,6 +479,7 @@ class TestObservability:
 TestObservability.trained = TestFS2Training.trained
 
 
+@pytest.mark.slow
 class TestVocoderAudioLogging:
     def test_validation_audio_logged_with_vocoder_path(
         self, lj_corpus, cpu_mesh, tmp_path_factory
@@ -451,3 +509,34 @@ class TestVocoderAudioLogging:
         blob = next(run_dir.glob("events.out.tfevents.*")).read_bytes()
         assert b"validation/audio_predicted" in blob
         assert b"RIFF" in blob
+
+class TestResumeGateUnits:
+    def test_changed_config_values_ignores_additions(self):
+        from everyvoice_tpu.train.checkpoint import (
+            changed_config_values,
+            resume_mode,
+        )
+
+        old = {"model": {"dim": 256, "old_only": 1}, "training": {}}
+        new = {"model": {"dim": 256, "new_only": 2}, "training": {}}
+        assert changed_config_values(old, new) == []
+        assert resume_mode(old, new, "FastSpeech2") == "full"
+        # StyleTTS2 skips the gate even with an arch diff (two-stage recipe)
+        old_diff = {"model": {"dim": 128}}
+        assert resume_mode(old_diff, new, "StyleTTS2Module") == "full"
+
+    def test_arch_diff_raises(self):
+        from everyvoice_tpu.exceptions import InvalidConfiguration
+        from everyvoice_tpu.train.checkpoint import resume_mode
+
+        old = {"model": {"dim": 256}, "training": {"optimizer": {"lr": 1e-4}}}
+        new = {"model": {"dim": 512}, "training": {"optimizer": {"lr": 1e-4}}}
+        with pytest.raises(InvalidConfiguration, match="architecture"):
+            resume_mode(old, new, "FastSpeech2")
+
+    def test_optimizer_diff_restarts(self):
+        from everyvoice_tpu.train.checkpoint import resume_mode
+
+        old = {"model": {"dim": 256}, "training": {"optimizer": {"lr": 1e-4}}}
+        new = {"model": {"dim": 256}, "training": {"optimizer": {"lr": 5e-5}}}
+        assert resume_mode(old, new, "FastSpeech2") == "fresh_optimizer"

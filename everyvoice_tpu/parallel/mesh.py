@@ -20,6 +20,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+NODE_AXIS = "node"
+
+
+def init_distributed(
+    nodes: int,
+    node_rank: Optional[int] = None,
+    coordinator_address: Optional[str] = None,
+) -> bool:
+    """Join a multi-process jax runtime when --nodes > 1.
+
+    Each node (host/slice) runs the same CLI command; the coordinator is
+    node 0. Rank and coordinator come from flags or the environment
+    (EVERYVOICE_NODE_RANK / EVERYVOICE_COORDINATOR_ADDRESS, falling back to
+    the conventional NODE_RANK / MASTER_ADDR+MASTER_PORT pair). After this,
+    `jax.devices()` is the global device list and collectives ride DCN
+    between processes — the reference's Trainer(num_nodes=N) analog
+    (base_cli/interfaces.py:76-98) without NCCL/torch.distributed.
+    """
+    import os
+
+    if nodes <= 1:
+        return False
+    if node_rank is None:
+        node_rank = int(
+            os.environ.get(
+                "EVERYVOICE_NODE_RANK", os.environ.get("NODE_RANK", "0")
+            )
+        )
+    if coordinator_address is None:
+        coordinator_address = os.environ.get(
+            "EVERYVOICE_COORDINATOR_ADDRESS"
+        ) or "{}:{}".format(
+            os.environ.get("MASTER_ADDR", "127.0.0.1"),
+            os.environ.get("MASTER_PORT", "12355"),
+        )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=nodes,
+        process_id=node_rank,
+    )
+    return True
 
 
 def resolve_devices(
@@ -47,21 +88,53 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     data_parallel: Optional[int] = None,
     model_parallel: int = 1,
+    nodes: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh. With model_parallel=1 this is pure DP."""
+    """Build a (data, model) mesh — or (node, data, model) when nodes > 1.
+
+    With model_parallel=1 this is pure DP. The node axis is outermost so its
+    collectives cross the slow DCN link while data/model collectives stay on
+    ICI; `jax.devices()` is already process-major after
+    `jax.distributed.initialize`, so a plain reshape puts each node's local
+    devices together.
+    """
     if devices is None:
         devices = resolve_devices()
     devices = list(devices)
     if data_parallel is None:
-        data_parallel = len(devices) // model_parallel
-    used = devices[: data_parallel * model_parallel]
+        data_parallel = len(devices) // (model_parallel * max(nodes, 1))
+    used = devices[: nodes * data_parallel * model_parallel]
+    if nodes > 1:
+        grid = np.asarray(used).reshape(nodes, data_parallel, model_parallel)
+        return Mesh(grid, (NODE_AXIS, DATA_AXIS, MODEL_AXIS))
     grid = np.asarray(used).reshape(data_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def setup_mesh(
+    accelerator: str = "auto",
+    devices: str | int = "auto",
+    nodes: int = 1,
+    model_parallel: int = 1,
+) -> Mesh:
+    """One-stop CLI entry: join the multi-node runtime if requested, then
+    build the training mesh over the (global) device list."""
+    init_distributed(nodes)
+    devs = resolve_devices(accelerator, devices)
+    return make_mesh(devs, model_parallel=model_parallel, nodes=nodes)
+
+
+def _batch_axes(mesh: Mesh):
+    """Mesh axes the batch dimension splits over (node-and-data when the
+    mesh has a node axis)."""
+    if NODE_AXIS in mesh.axis_names:
+        return (NODE_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading batch axis split over the data axis; rest replicated."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading batch axis split over the (node×)data axes; rest replicated."""
+    return NamedSharding(mesh, P(_batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -110,7 +183,7 @@ def stack_batches(group: list) -> dict:
 def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a (steps, batch, ...) stacked batch onto the mesh: the steps
     axis stays whole (scanned over inside jit), axis 1 splits over `data`."""
-    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    sharding = NamedSharding(mesh, P(None, _batch_axes(mesh)))
     return {
         k: jax.device_put(v, sharding) if hasattr(v, "shape") else v
         for k, v in batch.items()

@@ -8,6 +8,8 @@ axis, with XLA-inserted collectives. TP must be numerically equivalent to
 DP: same loss, same updated parameters.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -210,3 +212,74 @@ class TestGradientClipping:
         norm = float(jnp.linalg.norm(upd["w"]))
         np.testing.assert_allclose(norm, 1.0, rtol=1e-5)
         assert clipped["w"].shape == plain["w"].shape
+
+
+class TestNodeMesh:
+    """--nodes wiring: a (node, data, model) mesh whose node axis crosses
+    process (DCN) boundaries — SURVEY.md §2.8 'DCN across slices'."""
+
+    def test_node_axis_shape_and_batch_sharding(self, cpu_devices):
+        from everyvoice_tpu.parallel import NODE_AXIS, batch_sharding
+
+        mesh = make_mesh(cpu_devices[:8], nodes=2, model_parallel=2)
+        assert mesh.axis_names == ("node", "data", "model")
+        assert mesh.devices.shape == (2, 2, 2)
+        spec = batch_sharding(mesh).spec
+        assert spec[0] == (NODE_AXIS, "data")
+        # single-node meshes keep the original 2-axis layout
+        flat = make_mesh(cpu_devices[:8])
+        assert flat.axis_names == ("data", "model")
+
+    def test_two_process_distributed_psum(self, tmp_path):
+        """Launch two real OS processes, each owning 2 virtual CPU devices,
+        join them with jax.distributed (the DCN analog), and check a
+        collective over the global (node, data, model) mesh agrees on both
+        ranks."""
+        import socket
+        import subprocess
+        import sys
+
+        script = tmp_path / "node.py"
+        script.write_text(
+            "import os, sys\n"
+            "import numpy as np\n"
+            "rank = int(os.environ['EVERYVOICE_NODE_RANK'])\n"
+            f"sys.path.insert(0, {str(Path(__file__).parent.parent)!r})\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from everyvoice_tpu.parallel import init_distributed, make_mesh\n"
+            "init_distributed(2)\n"
+            "assert jax.process_count() == 2\n"
+            "import jax.numpy as jnp\n"
+            "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+            "devs = jax.devices('cpu')\n"
+            "assert len(devs) == 4\n"
+            "mesh = make_mesh(devs, nodes=2)\n"
+            "sharding = NamedSharding(mesh, P(('node', 'data')))\n"
+            "local = np.arange(8, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)\n"
+            "local = local[rank * 4:(rank + 1) * 4]\n"
+            "arr = jax.make_array_from_process_local_data(sharding, local, (8, 4))\n"
+            "total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(arr)\n"
+            "print('RESULT', float(jax.device_get(total)))\n"
+        )
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            port = sock.getsockname()[1]
+        procs = []
+        for rank in range(2):
+            env = dict(
+                __import__("os").environ,
+                EVERYVOICE_NODE_RANK=str(rank),
+                MASTER_PORT=str(port),
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            )
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(script)], env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                )
+            )
+        outs = [p.communicate(timeout=180) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-2000:]
+            assert "RESULT 112.0" in out

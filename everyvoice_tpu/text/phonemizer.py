@@ -94,6 +94,18 @@ AVAILABLE_G2P_ENGINES: Dict[str, Union[G2PCallable, str]] = {
     lang: DEFERRED_ENGINE for lang in _BUILTIN_FACTORIES
 }
 
+# Human-readable names for the wizard's language picker
+# (role parity: g2p.get_arpabet_langs()'s full-name map).
+G2P_LANGUAGE_NAMES: Dict[str, str] = {
+    "eng": "English",
+    "und": "Undetermined",
+    "spa": "Spanish",
+    "ita": "Italian",
+    "fin": "Finnish",
+    "deu": "German",
+    "fra": "French",
+}
+
 
 def get_g2p_engine(lang_id: str) -> G2PCallable:
     """Fetch (lazily instantiating) the G2P engine for a language

@@ -1,11 +1,13 @@
 """The main new-project wizard tour
-(parity: everyvoice/wizard/main_tour.py:13)."""
+(parity: everyvoice/wizard/main_tour.py:13). The OOD and config-format
+steps are inserted dynamically by MoreDatasetsStep when the user is done
+adding datasets, mirroring the reference's flow
+(wizard/basic.py:828-891)."""
 
 from __future__ import annotations
 
 from everyvoice_tpu.wizard.steps import (
     ContactEmailStep,
-    OODDataStep,
     ContactNameStep,
     MoreDatasetsStep,
     NameStep,
@@ -22,7 +24,6 @@ def get_main_wizard_tour(ask=interactive_ask) -> Tour:
         ContactEmailStep(),
         OutputPathStep(),
         *get_dataset_steps(0),
-        OODDataStep(),
         MoreDatasetsStep(),
     ]
     return Tour("EveryVoice TPU new-project wizard", steps, ask=ask)

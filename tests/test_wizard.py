@@ -25,29 +25,52 @@ def scripted_ask(answers):
     return ask
 
 
-def lj_answers(tmp_path, more="no"):
-    return [
-        "Test Project",                       # name
-        "Test Runner",                        # contact name
-        "info@everyvoice.ca",                 # contact email
-        str(tmp_path),                        # output path
-        str(LJ_DATA / "metadata.psv"),        # filelist
-        "yes",                                # permissions
-        "characters",                         # representation
-        "eng",                                # language
-        "",                                   # custom g2p (skip)
-        str(LJ_DATA / "lj" / "wavs"),         # wav dir
-        "yes",                                # discover symbols
-        "mixdown to mono",                    # sox effects
-        "lj",                                 # dataset name
-        "",                                   # OOD data (skip)
-        more,                                 # more datasets?
+def dataset_answers(filelist, wavs_dir, name="lj", language=None):
+    """Answers for one dataset subtour over a psv filelist that already has
+    speaker and language columns (like metadata.psv)."""
+    answers = [
+        str(filelist),    # filelist
+        "yes",            # permissions
+        "psv",            # format
+        "characters",     # representation
+        "none",           # text processing
+        "yes",            # has speaker column (auto-picks 'speaker')
+        "yes" if language is None else "no",  # has language column
     ]
+    if language is not None:
+        answers.append(language)  # SelectLanguageStep
+    answers += [
+        "keep",           # custom g2p
+        str(wavs_dir),    # wav dir (ValidateWavs passes silently)
+        "22050",          # sample rate (symbols discovered automatically)
+        "none",           # sox effects
+        name,             # dataset name
+    ]
+    return answers
+
+
+def closing_answers(n_languages=1):
+    return ["validation"] * n_languages + ["yaml"]
+
+
+def lj_answers(tmp_path, more="no"):
+    return (
+        [
+            "Test Project",                 # name
+            "Test Runner",                  # contact name
+            "info@everyvoice.ca",           # contact email
+            str(tmp_path),                  # output path
+        ]
+        + dataset_answers(LJ_DATA / "metadata.psv", LJ_DATA / "lj" / "wavs")
+        + [more]                            # more datasets?
+    )
 
 
 class TestMainTour:
     def test_full_tour_writes_project(self, tmp_path):
-        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        tour = get_main_wizard_tour(
+            ask=scripted_ask(lj_answers(tmp_path) + closing_answers())
+        )
         state = tour.run()
         project = state["project_dir"]
         config_dir = project / "config"
@@ -62,7 +85,9 @@ class TestMainTour:
         assert (project / "lj-filelist.psv").exists()
 
     def test_written_configs_load(self, tmp_path):
-        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        tour = get_main_wizard_tour(
+            ask=scripted_ask(lj_answers(tmp_path) + closing_answers())
+        )
         state = tour.run()
         config_dir = state["project_dir"] / "config"
         from everyvoice_tpu.models.fs2.config import FastSpeech2Config
@@ -82,11 +107,15 @@ class TestMainTour:
         )
 
     def test_symbol_discovery(self, tmp_path):
-        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        tour = get_main_wizard_tour(
+            ask=scripted_ask(lj_answers(tmp_path) + closing_answers())
+        )
         state = tour.run()
         symbols = state["datasets"][0]["symbols"]
-        assert "a" in symbols or "e" in symbols
-        assert "." not in symbols  # punctuation excluded
+        assert "a" in symbols["characters"] or "e" in symbols["characters"]
+        assert "." not in symbols["characters"]  # punctuation excluded
+        # metadata.psv also carries a phones column; both kinds discovered
+        assert symbols["phones"]
 
     def test_permission_denied_exits(self, tmp_path):
         answers = lj_answers(tmp_path)
@@ -97,11 +126,11 @@ class TestMainTour:
 
     def test_more_datasets_loops(self, tmp_path):
         answers = lj_answers(tmp_path, more="yes")
-        answers += [
-            str(LJ_DATA / "metadata.psv"), "yes", "characters", "fra", "",
-            str(LJ_DATA / "lj" / "wavs"), "no", "mixdown to mono", "second",
-            "no",
-        ]
+        answers += dataset_answers(
+            LJ_DATA / "metadata.psv", LJ_DATA / "lj" / "wavs",
+            name="second", language="fra",
+        )
+        answers += ["no"] + closing_answers(n_languages=2)
         tour = get_main_wizard_tour(ask=scripted_ask(answers))
         state = tour.run()
         assert len(state["datasets"]) == 2
@@ -171,21 +200,28 @@ class TestColumnMapping:
         filelist.write_text("basename|text\nitem1|hello there\n")
         answers = [
             "Col Project", "Test Runner", "info@everyvoice.ca", str(tmp_path),
-            str(filelist),
-            "text",              # column mapping answer
-            "yes", "characters", "eng", "",
-            str(tmp_path),       # wav dir (any dir)
-            "yes", "mixdown to mono", "cols", "", "no",
+            str(filelist), "yes", "psv", "characters", "none",
+            "no",                # know-speaker (has-speaker auto-answers no)
+            "eng",               # select language (no language column)
+            "keep", str(tmp_path),
+            "no",                # validate wavs: continue despite missing
+            "22050", "none", "cols",
+            "no",                # more datasets?
+            "skip", "yaml",      # OOD + config format
         ]
         tour = get_main_wizard_tour(ask=scripted_ask(answers))
         state = tour.run()
         rows = state["datasets"][0]["rows"]
         assert rows[0]["characters"] == "hello there"
+        assert rows[0]["language"] == "eng"
+        assert rows[0]["speaker"] == "speaker_0"
 
     def test_standard_columns_skip_mapping(self, tmp_path):
         # lj_answers contains no column-mapping answer; the step must
         # auto-skip because metadata.psv already has 'characters'.
-        tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(tmp_path)))
+        tour = get_main_wizard_tour(
+            ask=scripted_ask(lj_answers(tmp_path) + closing_answers())
+        )
         state = tour.run()
         assert state["datasets"][0]["rows"][0]["characters"]
 
@@ -327,3 +363,136 @@ class TestResumeVersioning:
         bad.write_text("just: stuff\n", encoding="utf8")
         with pytest.raises(StepError):
             Tour.load_progress(bad)
+
+
+class TestFilelistFormats:
+    """Format sniffing + header mapping parity
+    (reference wizard/dataset.py:189-538)."""
+
+    def _base(self, tmp_path):
+        return ["P", "Test Runner", "info@everyvoice.ca", str(tmp_path)]
+
+    def test_festival_format(self, tmp_path):
+        answers = self._base(tmp_path) + [
+            str(LJ_DATA / "metadata.festival"), "yes", "festival",
+            "characters", "none",
+            "no",   # know speaker (has-speaker auto-no: festival has no columns)
+            "eng",  # select language
+            "keep", str(LJ_DATA / "lj" / "wavs"), "22050", "none", "fest",
+            "no", "validation", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        assert rows[0]["basename"].startswith("LJ")
+        assert rows[0]["language"] == "eng"
+        assert rows[0]["speaker"] == "speaker_0"
+        # festival's text column became the chosen representation
+        assert "essential" in rows[0]["characters"]
+
+    def test_tsv_with_language_column(self, tmp_path):
+        answers = self._base(tmp_path) + [
+            str(LJ_DATA / "language-col.tsv"), "yes", "tsv",
+            "characters", "none",
+            "yes",  # has speaker column (auto-picks 'speaker')
+            "yes",  # has language column (auto-picks 'language')
+            "keep", str(tmp_path),
+            "no",   # validate wavs: continue despite missing
+            "22050", "none", "langcol",
+            "no", "validation", "validation", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        langs = sorted({r["language"] for r in rows})
+        speakers = sorted({r["speaker"] for r in rows})
+        assert langs == ["en", "es"]
+        assert speakers == ["speaker-en", "speaker-es"]
+        # the written project reflects both languages -> multilingual
+        fs2 = yaml.safe_load(
+            (state["project_dir"] / "config" / "everyvoice-text-to-spec.yaml")
+            .read_text()
+        )
+        assert fs2["model"]["multilingual"] is True
+        assert fs2["model"]["multispeaker"] is True
+
+    def test_headerless_filelist_mapping(self, tmp_path):
+        filelist = tmp_path / "noheader.psv"
+        filelist.write_text("item1|hello world\nitem2|more text\n")
+        answers = self._base(tmp_path) + [
+            str(filelist), "yes", "psv",
+            "no",   # is the first row a header? no -> first row is kept as a record
+            "1",    # which column is the text?
+            "0",    # which column is the basename?
+            "characters", "none",
+            "no", "eng", "keep", str(tmp_path), "no",
+            "22050", "none", "nh",
+            "no", "skip", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        assert len(rows) == 2  # first row kept as a record
+        assert rows[0]["basename"] == "item1"
+        assert rows[0]["characters"] == "hello world"
+
+    def test_validate_wavs_retry_path(self, tmp_path):
+        good_wavs = LJ_DATA / "lj" / "wavs"
+        answers = self._base(tmp_path) + [
+            str(LJ_DATA / "metadata.psv"), "yes", "psv", "characters", "none",
+            "yes", "yes", "keep",
+            str(tmp_path),   # wrong wav dir -> validation finds missing files
+            "yes",           # yes, pick a different directory
+            str(good_wavs),  # retry wav dir; retry validation passes silently
+            "22050", "none", "lj",
+            "no", "validation", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        assert state["datasets"][0]["data_dir"] == good_wavs
+
+
+class TestOODAndFormat:
+    def test_ood_local_path_and_json_format(self, tmp_path):
+        ood = tmp_path / "ood.txt"
+        ood.write_text("A sentence.\nAnother sentence.\n")
+        answers = [
+            "P", "Test Runner", "info@everyvoice.ca", str(tmp_path),
+        ] + dataset_answers(
+            LJ_DATA / "metadata.psv", LJ_DATA / "lj" / "wavs"
+        ) + [
+            "no",          # more datasets
+            "local", str(ood),  # OOD source for the one language
+            "json",        # config format
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        config_dir = state["project_dir"] / "config"
+        assert (config_dir / "everyvoice-text-to-wav.json").exists()
+        assert not (config_dir / "everyvoice-text-to-wav.yaml").exists()
+        import json as json_mod
+
+        e2e = json_mod.loads(
+            (config_dir / "everyvoice-text-to-wav.json").read_text()
+        )
+        ood_config = e2e["training"]["ood_raw_data"]
+        (lang, spec), = ood_config.items()
+        assert spec["source_type"] == "local"
+        assert spec["local_path"] == str(ood)
+
+    def test_sample_rate_recorded(self, tmp_path):
+        answers = [
+            "P", "Test Runner", "info@everyvoice.ca", str(tmp_path),
+            str(LJ_DATA / "metadata.psv"), "yes", "psv", "characters", "none",
+            "yes", "yes", "keep", str(LJ_DATA / "lj" / "wavs"),
+            "16000",       # non-default sample rate
+            "none", "lj", "no", "validation", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        assert state["datasets"][0]["sample_rate"] == 16000
+        data = yaml.safe_load(
+            (state["project_dir"] / "config" / "everyvoice-shared-data.yaml")
+            .read_text()
+        )
+        assert data["audio"]["input_sampling_rate"] == 16000

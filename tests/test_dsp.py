@@ -1,6 +1,8 @@
 """DSP core tests: golden comparisons against float64 numpy/scipy references
 (model: reference everyvoice/tests/test_preprocessing.py spectral parts)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -167,6 +169,117 @@ class TestPitch:
         f0 = np.asarray(estimate_f0(jnp.asarray(x), SR, 256))
         gap = f0[8000 // 256 + 2 : 12000 // 256 - 2]
         assert (gap > 100).all() and (gap < 200).all()
+
+
+def _acf_reference_f0(audio, sr, hop, f0_floor=71.0, f0_ceil=800.0):
+    """Independent normalized-autocorrelation F0 tracker (pure numpy).
+
+    pyworld cannot be installed in this environment (SURVEY §7 asked for a
+    DIO/StoneMask golden), so the cross-check is a second, algorithmically
+    unrelated tracker: ACF peak picking with parabolic interpolation, vs the
+    shipped YIN/CMNDF tracker. Agreement between the two on real speech is
+    strong evidence both are tracking the true F0."""
+    tau_min = max(2, int(sr / f0_ceil))
+    tau_max = int(sr / f0_floor) + 2
+    win = 2 * tau_max
+    n_frames = len(audio) // hop + 1
+    pad = win // 2
+    x = np.pad(audio.astype(np.float64), (pad, pad + win + tau_max))
+    f0 = np.zeros(n_frames)
+    voiced = np.zeros(n_frames, bool)
+    for i in range(n_frames):
+        frame = x[i * hop : i * hop + win + tau_max]
+        frame = frame - frame.mean()
+        if np.sqrt(np.mean(frame[:win] ** 2)) < 1e-4:
+            continue
+        # r(tau) = sum x[t] x[t+tau] over the window, normalized by r(0)
+        acf = np.array(
+            [np.dot(frame[:win], frame[tau : tau + win])
+             for tau in range(tau_max + 1)]
+        )
+        if acf[0] <= 0:
+            continue
+        r = acf / acf[0]
+        seg = r[tau_min:tau_max]
+        best = int(np.argmax(seg)) + tau_min
+        if r[best] < 0.5:
+            continue
+        # Octave-error mitigation: among local maxima nearly as strong as
+        # the best, prefer the smallest lag (the true period's first peak).
+        is_peak = np.zeros_like(r, bool)
+        is_peak[1:-1] = (r[1:-1] > r[:-2]) & (r[1:-1] >= r[2:])
+        candidates = [
+            tau for tau in range(tau_min, tau_max)
+            if is_peak[tau] and r[tau] >= 0.9 * r[best]
+        ]
+        peak = min(candidates) if candidates else best
+        # parabolic refinement around the peak
+        if 0 < peak < tau_max:
+            denom = r[peak - 1] - 2 * r[peak] + r[peak + 1]
+            shift = (
+                0.5 * (r[peak - 1] - r[peak + 1]) / denom if denom != 0 else 0.0
+            )
+        else:
+            shift = 0.0
+        f0[i] = sr / (peak + shift)
+        voiced[i] = True
+    return f0, voiced
+
+
+class TestPitchGoldenLJ:
+    """Golden validation on real LJ speech (VERDICT round 1 weak #5 /
+    SURVEY §7 hard part (a))."""
+
+    WAVS = Path("/root/reference/everyvoice/tests/data/lj/wavs")
+    GOLDEN = Path(__file__).parent / "data" / "golden_f0" / "lj_f0_golden.npz"
+
+    @pytest.fixture(scope="class")
+    def tracks(self):
+        from everyvoice_tpu.dsp import read_wav
+
+        out = {}
+        for wav in sorted(self.WAVS.glob("*.wav")):
+            audio, sr = read_wav(wav)
+            mono = np.asarray(audio.mean(axis=0))
+            est = np.asarray(
+                estimate_f0(jnp.asarray(mono), sr, 256, interpolate=False)
+            )
+            out[wav.stem] = (mono, sr, est)
+        return out
+
+    def test_agrees_with_independent_acf_tracker(self, tracks):
+        for name, (mono, sr, est) in tracks.items():
+            ref_f0, ref_voiced = _acf_reference_f0(mono, sr, 256)
+            est_voiced = est > 0
+            both = ref_voiced & est_voiced
+            assert both.sum() > 50, name
+            rel_err = np.abs(est[both] - ref_f0[both]) / ref_f0[both]
+            # The bulk of frames must agree closely; a small octave-ambiguous
+            # tail (creaky/transition frames where CMNDF and ACF legitimately
+            # disagree by 2x) is tolerated but bounded.
+            assert np.median(rel_err) < 0.02, name
+            assert (rel_err < 0.05).mean() > 0.88, name
+            inliers = rel_err < 0.2
+            assert inliers.mean() > 0.88, name
+            corr = np.corrcoef(est[both][inliers], ref_f0[both][inliers])[0, 1]
+            assert corr > 0.95, f"{name}: inlier correlation {corr:.3f}"
+            # voicing agreement (F1)
+            tp = (ref_voiced & est_voiced).sum()
+            precision = tp / max(est_voiced.sum(), 1)
+            recall = tp / max(ref_voiced.sum(), 1)
+            f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+            assert f1 > 0.85, f"{name}: voicing F1 {f1:.3f}"
+
+    def test_matches_committed_golden(self, tracks):
+        """Drift gate: the committed golden tracks pin today's output."""
+        golden = np.load(self.GOLDEN)
+        for name, (_, _, est) in tracks.items():
+            ref = golden[name]
+            assert est.shape == ref.shape, name
+            both = (est > 0) & (ref > 0)
+            np.testing.assert_allclose(est[both], ref[both], rtol=1e-3)
+            # voicing decisions stable within 2%
+            assert ((est > 0) != (ref > 0)).mean() < 0.02, name
 
 
 class TestPrior:

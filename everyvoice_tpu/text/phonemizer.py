@@ -79,14 +79,17 @@ def _make_rule_engine(lang_id: str) -> Callable[[], CachingG2PEngine]:
     return factory
 
 
+_RULE_LANGS = (
+    "spa", "ita", "fin", "deu", "fra",
+    # see rule_g2p_tables.py for these additions
+    "tur", "pol", "ces", "hrv", "ron", "por", "cat", "hun", "ind", "swa",
+    "dan", "swe", "est", "eus", "rus", "ukr", "ell",
+)
+
 _BUILTIN_FACTORIES: Dict[str, Callable[[], CachingG2PEngine]] = {
     "eng": _make_eng_engine,
     "und": _make_und_engine,
-    "spa": _make_rule_engine("spa"),
-    "ita": _make_rule_engine("ita"),
-    "fin": _make_rule_engine("fin"),
-    "deu": _make_rule_engine("deu"),
-    "fra": _make_rule_engine("fra"),
+    **{lang: _make_rule_engine(lang) for lang in _RULE_LANGS},
 }
 
 # lang id -> engine instance, DEFERRED marker, or user plugin callable.
@@ -105,6 +108,15 @@ G2P_LANGUAGE_NAMES: Dict[str, str] = {
     "deu": "German",
     "fra": "French",
 }
+
+
+def _load_extra_language_names():
+    from everyvoice_tpu.text.rule_g2p_tables import EXTRA_LANGUAGE_NAMES
+
+    G2P_LANGUAGE_NAMES.update(EXTRA_LANGUAGE_NAMES)
+
+
+_load_extra_language_names()
 
 
 def get_g2p_engine(lang_id: str) -> G2PCallable:

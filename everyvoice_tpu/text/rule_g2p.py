@@ -278,5 +278,14 @@ BUILTIN_RULE_TABLES = {
 }
 
 
+def _load_extra_tables():
+    from everyvoice_tpu.text.rule_g2p_tables import EXTRA_RULE_TABLES
+
+    BUILTIN_RULE_TABLES.update(EXTRA_RULE_TABLES)
+
+
+_load_extra_tables()
+
+
 def make_rule_engine(lang_id: str) -> RuleG2P:
     return RuleG2P(BUILTIN_RULE_TABLES[lang_id], name=f"{lang_id}-rules")

@@ -348,3 +348,49 @@ class TestRuleG2P:
         tp = TextProcessor(config)
         tokens = tp.apply_g2p_and_tokenization("queso", "spa")
         assert tokens == ["k", "e", "s", "o"]
+
+
+class TestRuleG2PBreadth:
+    """The built-in registry covers ~24 languages — the reference's
+    g2p-seeded breadth class (reference phonemizer.py:20-28)."""
+
+    def test_registry_size(self):
+        from everyvoice_tpu.text.phonemizer import (
+            AVAILABLE_G2P_ENGINES,
+            G2P_LANGUAGE_NAMES,
+        )
+
+        from everyvoice_tpu.text.phonemizer import _BUILTIN_FACTORIES
+
+        assert len(AVAILABLE_G2P_ENGINES) >= 20
+        # every built-in language has a display name for the wizard picker
+        # (user plugins registered by other tests may not)
+        assert set(_BUILTIN_FACTORIES) <= set(G2P_LANGUAGE_NAMES)
+
+    @pytest.mark.parametrize(
+        "lang,word,expected",
+        [
+            ("tur", "çiçek", "t͡ʃit͡ʃek"),
+            ("pol", "szkoła", "ʂkow"),       # prefix: final 'a' passes through
+            ("ces", "čaj", "t͡ʃaj"),
+            ("hrv", "džep", "d͡ʒep"),
+            ("ron", "și", "ʃi"),
+            ("por", "chave", "ʃave"),
+            ("cat", "queixa", "keʃ"),        # prefix
+            ("hun", "gyerek", "ɟerek"),
+            ("ind", "nyanyi", "ɲaɲi"),
+            ("swa", "chakula", "t͡ʃakula"),
+            ("swe", "kära", "ɕɛra"),
+            ("est", "sõna", "sɤna"),
+            ("eus", "etxe", "et͡ʃe"),
+            ("rus", "мама", "mama"),
+            ("ukr", "дякую", "djakuju"),
+            ("ell", "καλημέρα", "kalimera"),
+            ("dan", "rød", "ʁøð"),
+        ],
+    )
+    def test_language_spot_checks(self, lang, word, expected):
+        from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+        out = "".join(get_g2p_engine(lang)(word))
+        assert out.startswith(expected), f"{lang}: {word} -> {out}"

@@ -76,8 +76,10 @@ def new_project(resume_from):
 @click.argument("config_path", type=click.Path(exists=True, path_type=Path))
 @click.option("-s", "--steps", multiple=True,
               type=click.Choice(["audio", "text", "pfs", "spec", "attn",
-                                 "energy", "pitch"]),
-              help="Steps to run (default: all relevant for the model kind).")
+                                 "energy", "pitch", "ood"]),
+              help="Steps to run (default: all relevant for the model kind; "
+              "'ood' stages out-of-domain text for StyleTTS2 SLM-adversarial "
+              "training).")
 @click.option("-O", "--overwrite", is_flag=True)
 @click.option("--cpus", default=1, help="Host workers for audio IO.")
 @click.option("-c", "--config-args", multiple=True,
@@ -90,11 +92,89 @@ def preprocess(model_kind, config_path, steps, overwrite, cpus, config_args):
     if not steps:
         if model_kind == "spec-to-wav":
             steps = ("audio", "spec")
+        elif model_kind == "text-to-wav":
+            steps = ("audio", "text", "spec", "attn", "energy", "pitch", "ood")
         else:
             steps = ("audio", "text", "spec", "attn", "energy", "pitch")
-    Preprocessor(config).preprocess(
-        to_process=tuple(steps), overwrite=overwrite, cpus=cpus
-    )
+    run_ood = "ood" in steps
+    steps = tuple(s for s in steps if s != "ood")
+    pre = Preprocessor(config)
+    if steps:
+        pre.preprocess(to_process=steps, overwrite=overwrite, cpus=cpus)
+    if run_ood:
+        ood_texts = _gather_ood_texts(config)
+        if ood_texts:
+            pre.preprocess_ood(ood_texts)
+            click.echo(
+                "Wrote OOD text for languages: " + ", ".join(sorted(ood_texts))
+            )
+        elif model_kind == "text-to-wav":
+            click.echo(
+                "No OOD sources configured (training.ood_raw_data / "
+                "use_validation_as_ood) — skipping the ood step."
+            )
+
+
+def _gather_ood_texts(config) -> dict:
+    """Collect per-language OOD sentences from the config's sources
+    (reference preprocessor.py:1242-1321: local file, HF download, or the
+    validation split)."""
+    texts: dict = {}
+    training = config.training
+    for lang, source in getattr(training, "ood_raw_data", {}).items():
+        lines: list = []
+        if source.local_path is not None and Path(source.local_path).is_file():
+            raw = Path(source.local_path).read_text(encoding="utf8").splitlines()
+            lines = _ood_lines_from_raw(raw)
+        elif source.hf is not None and source.hf.repo_id:
+            try:
+                from huggingface_hub import hf_hub_download
+
+                local = hf_hub_download(
+                    source.hf.repo_id, repo_type="dataset",
+                    filename=source.hf.filename, revision=source.hf.revision,
+                )
+                raw = Path(local).read_text(encoding="utf8").splitlines()
+                lines = _ood_lines_from_raw(raw)
+            except Exception as e:
+                click.echo(
+                    f"Could not fetch OOD data for '{lang}' from HuggingFace "
+                    f"({e}); skipping that language.", err=True,
+                )
+        if lines:
+            texts[lang] = lines
+    if getattr(training, "use_validation_as_ood", False):
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        try:
+            rows = generic_psv_filelist_reader(training.validation_filelist)
+        except OSError:
+            rows = []
+        by_lang: dict = {}
+        for row in rows:
+            text = row.get("characters") or row.get("raw_text") or ""
+            if text.strip():
+                by_lang.setdefault(row.get("language") or "und", []).append(text)
+        for lang, lines in by_lang.items():
+            texts.setdefault(lang, lines)
+    return texts
+
+
+def _ood_lines_from_raw(raw_lines: list) -> list:
+    """Plain text (one sentence per line) or a psv with a characters/phones
+    column both work as OOD sources."""
+    if not raw_lines:
+        return []
+    header = [f.strip() for f in raw_lines[0].split("|")]
+    for column in ("phones", "characters", "text"):
+        if column in header:
+            idx = header.index(column)
+            return [
+                line.split("|")[idx].strip()
+                for line in raw_lines[1:]
+                if len(line.split("|")) > idx and line.split("|")[idx].strip()
+            ]
+    return [line.strip() for line in raw_lines if line.strip()]
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +215,7 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
                        steps_per_execution):
     """Train a FastSpeech2 feature-prediction model."""
     from everyvoice_tpu.dataloader import FastSpeech2Dataset
-    from everyvoice_tpu.parallel import make_mesh, parse_strategy, resolve_devices
+    from everyvoice_tpu.parallel import parse_strategy, setup_mesh
     from everyvoice_tpu.text.lookups import lookuptables_from_data
     from everyvoice_tpu.train import FastSpeech2Trainer
 
@@ -147,8 +227,8 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
     vds = FastSpeech2Dataset(
         val_list, config, lang2id, speaker2id, text_processor=ds.text_processor
     )
-    mesh = make_mesh(resolve_devices(accelerator, devices),
-                     model_parallel=parse_strategy(strategy))
+    mesh = setup_mesh(accelerator, devices, nodes=nodes,
+                      model_parallel=parse_strategy(strategy))
     stats_path = Path(config.preprocessing.save_dir) / "stats.json"
     stats = json.loads(stats_path.read_text()) if stats_path.exists() else {}
     trainer = FastSpeech2Trainer(
@@ -169,7 +249,7 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
                       steps_per_execution):
     """Train a HiFiGAN (or iSTFTNet) vocoder."""
     from everyvoice_tpu.dataloader import HiFiGANDataset
-    from everyvoice_tpu.parallel import make_mesh, parse_strategy, resolve_devices
+    from everyvoice_tpu.parallel import parse_strategy, setup_mesh
     from everyvoice_tpu.train import HiFiGANTrainer
 
     config = _load_config("spec-to-wav", config_path, config_args)
@@ -177,8 +257,8 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
     val_list = config.training.filelist_loader(config.training.validation_filelist)
     ds = HiFiGANDataset(train_list, config, finetune=config.training.finetune)
     vds = HiFiGANDataset(val_list, config, finetune=config.training.finetune)
-    mesh = make_mesh(resolve_devices(accelerator, devices),
-                     model_parallel=parse_strategy(strategy))
+    mesh = setup_mesh(accelerator, devices, nodes=nodes,
+                      model_parallel=parse_strategy(strategy))
     trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh,
                              gradient_clip_val=gradient_clip_val)
     trainer.fit()
@@ -195,7 +275,7 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     """Train a StyleTTS2-class end-to-end model (two stages)."""
     from everyvoice_tpu.dataloader import StyleTTS2Dataset
     from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
-    from everyvoice_tpu.parallel import make_mesh, parse_strategy, resolve_devices
+    from everyvoice_tpu.parallel import parse_strategy, setup_mesh
     from everyvoice_tpu.text.lookups import lookuptables_from_data
 
     config = _load_config("text-to-wav", config_path, config_args)
@@ -204,8 +284,8 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     lang2id, _ = lookuptables_from_data((train_list, val_list))
     ds = StyleTTS2Dataset(train_list, config)
     vds = StyleTTS2Dataset(val_list, config, text_processor=ds.text_processor)
-    mesh = make_mesh(resolve_devices(accelerator, devices),
-                     model_parallel=parse_strategy(strategy))
+    mesh = setup_mesh(accelerator, devices, nodes=nodes,
+                      model_parallel=parse_strategy(strategy))
     trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
                                mode=mode, gradient_clip_val=gradient_clip_val)
     trainer.fit()
@@ -612,16 +692,33 @@ def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
 @click.option("-r", "--reference-dir", type=click.Path(exists=True, path_type=Path),
               default=None,
               help="Ground-truth wavs (same filenames) for intrusive metrics.")
+@click.option("-n", "--non-matching-references",
+              type=click.Path(exists=True, path_type=Path), default=None,
+              help="Directory of clean speech wavs (any content) used as "
+              "non-matching references for subjective MOS estimation "
+              "(requires torchaudio SQUIM weights).")
 @click.option("-o", "--output", type=click.Path(path_type=Path),
               default=Path("evaluation.json"))
-def evaluate(wav_dir, reference_dir, output):
-    """Objective evaluation (SI-SDR/STOI + signal reports) of synthesized
-    wavs; intrusive metrics require --reference-dir."""
+def evaluate(wav_dir, reference_dir, non_matching_references, output):
+    """Objective evaluation (SI-SDR/STOI + signal reports) and, when
+    available, SQUIM objective/subjective-MOS scores of synthesized wavs;
+    intrusive metrics require --reference-dir."""
     from everyvoice_tpu.evaluation import evaluate_directory
 
-    results = evaluate_directory(wav_dir, reference_dir=reference_dir)
+    results = evaluate_directory(
+        wav_dir, reference_dir=reference_dir,
+        non_matching_reference_dir=non_matching_references,
+    )
     Path(output).write_text(json.dumps(results, indent=1), encoding="utf8")
+    n_quality = sum(1 for r in results if r.get("has_quality_metrics"))
     click.echo(f"Wrote {output} ({len(results)} files)")
+    if results and n_quality == 0:
+        click.echo(
+            "WARNING: only signal diagnostics were produced — no quality "
+            "scores. Pass --reference-dir for intrusive SI-SDR/STOI, or "
+            "install torchaudio with cached SQUIM weights (and optionally "
+            "--non-matching-references for subjective MOS).", err=True,
+        )
 
 
 @main.group()

@@ -151,8 +151,46 @@ def try_squim_objective(audio_16k: np.ndarray) -> Optional[dict]:
         return None
 
 
+_SQUIM_SUBJECTIVE = None
+
+
+def try_squim_subjective(
+    audio_16k: np.ndarray, non_matching_references_16k: list
+) -> Optional[float]:
+    """Subjective MOS via TorchAudio SQUIM-Subjective against non-matching
+    reference recordings, averaged across references — the reference's
+    subjective path (everyvoice/evaluation.py:18-28,58-67). Returns None
+    when torchaudio/weights are unavailable (no egress here)."""
+    global _SQUIM_SUBJECTIVE
+    if _SQUIM_SUBJECTIVE is False or not non_matching_references_16k:
+        return None
+    try:
+        import torch
+
+        if _SQUIM_SUBJECTIVE is None:
+            from torchaudio.pipelines import SQUIM_SUBJECTIVE
+
+            _SQUIM_SUBJECTIVE = SQUIM_SUBJECTIVE.get_model().eval()
+        wav = torch.from_numpy(
+            np.ascontiguousarray(audio_16k, np.float32)
+        )[None, :]
+        scores = []
+        with torch.no_grad():
+            for nmr in non_matching_references_16k:
+                nmr_t = torch.from_numpy(
+                    np.ascontiguousarray(nmr, np.float32)
+                )[None, :]
+                scores.append(float(_SQUIM_SUBJECTIVE(wav, nmr_t)[0]))
+        return round(float(np.mean(scores)), 3)
+    except Exception:
+        _SQUIM_SUBJECTIVE = False
+        return None
+
+
 def calculate_objective_metrics_from_single_path(
-    wav_path: Path | str, reference_path: Optional[Path | str] = None
+    wav_path: Path | str,
+    reference_path: Optional[Path | str] = None,
+    non_matching_references_16k: Optional[list] = None,
 ) -> dict:
     from everyvoice_tpu.dsp import read_wav
 
@@ -161,21 +199,48 @@ def calculate_objective_metrics_from_single_path(
     metrics = {"file": str(wav_path)}
     metrics.update(signal_report(mono, sr))
     est_mono = resample_to_16k(mono, sr)
+    quality_metrics = False
     squim = try_squim_objective(est_mono)
     if squim is not None:
         metrics.update(squim)
+        quality_metrics = True
+    mos = try_squim_subjective(est_mono, non_matching_references_16k or [])
+    if mos is not None:
+        metrics["squim_mos"] = mos
+        quality_metrics = True
     if reference_path is not None:
         ref_audio, ref_sr = read_wav(reference_path)
         ref_mono = resample_to_16k(ref_audio.mean(axis=0), ref_sr)
         metrics["si_sdr"] = round(si_sdr(est_mono, ref_mono), 3)
         metrics["stoi"] = round(stoi_proxy(est_mono, ref_mono, 16000), 4)
+        quality_metrics = True
+    metrics["has_quality_metrics"] = quality_metrics
     return metrics
 
 
+def load_non_matching_references(
+    nmr_dir: Optional[Path | str], limit: int = 5
+) -> list:
+    """Load up to `limit` 16 kHz mono non-matching reference recordings for
+    subjective MOS estimation."""
+    if nmr_dir is None:
+        return []
+    from everyvoice_tpu.dsp import read_wav
+
+    refs = []
+    for wav_path in sorted(Path(nmr_dir).glob("**/*.wav"))[:limit]:
+        audio, sr = read_wav(wav_path)
+        refs.append(resample_to_16k(audio.mean(axis=0), sr))
+    return refs
+
+
 def evaluate_directory(
-    wav_dir: Path | str, reference_dir: Optional[Path | str] = None
+    wav_dir: Path | str,
+    reference_dir: Optional[Path | str] = None,
+    non_matching_reference_dir: Optional[Path | str] = None,
 ) -> list:
     wav_dir = Path(wav_dir)
+    nmr = load_non_matching_references(non_matching_reference_dir)
     results = []
     for wav_path in sorted(wav_dir.glob("**/*.wav")):
         ref = None
@@ -183,6 +248,8 @@ def evaluate_directory(
             candidate = Path(reference_dir) / wav_path.name
             ref = candidate if candidate.exists() else None
         results.append(
-            calculate_objective_metrics_from_single_path(wav_path, ref)
+            calculate_objective_metrics_from_single_path(
+                wav_path, ref, non_matching_references_16k=nmr
+            )
         )
     return results

@@ -465,8 +465,12 @@ class FastSpeech2Trainer(TrainerBase):
     def validate(self, params) -> dict:
         totals: dict = {}
         count = 0
+        # Validate at the training batch size: a smaller batch would give the
+        # jitted eval step a second batch shape, costing an extra 20-40s XLA
+        # compile per run on TPU. Short rows are padded (and masked) anyway.
         for batch in self.val_dataset.batches(
-            max(self.n_devices, 1), shuffle=False
+            max(self.training_config.batch_size, self.n_devices, 1),
+            shuffle=False,
         ):
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch.pop("basenames", None)

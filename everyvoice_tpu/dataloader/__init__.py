@@ -451,6 +451,17 @@ class StyleTTS2Dataset:
         if dur_path.exists():
             durations = np.load(dur_path).astype(np.int32)[: len(ids)]
         else:
+            if not getattr(self, "_warned_uniform_durations", False):
+                self._warned_uniform_durations = True
+                from everyvoice_tpu.logger import logger
+
+                logger.warning(
+                    "No duration/ artifacts found — falling back to uniform "
+                    "durations for StyleTTS2 stage-1 bootstrapping. These "
+                    "are wrong alignments; the trainer's TMA aligner takes "
+                    "over at tma_epoch, or provide durations from the CTC "
+                    "segmenter / a trained FastSpeech2 alignment."
+                )
             base = n_frames // max(len(ids), 1)
             durations = np.full(len(ids), base, np.int32)
             durations[-1] += n_frames - durations.sum()

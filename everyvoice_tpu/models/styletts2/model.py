@@ -80,11 +80,20 @@ class StyleTTS2Module(nn.Module):
         )
 
     def setup(self):
+        from everyvoice_tpu.models.fs2.alignment import AlignmentEncoder
+
         self.text_encoder = TextEncoder(self.n_symbols, self.hidden_dim)
         # Trainable context encoder standing in for PL-BERT (see module doc).
         self.context_encoder = TextEncoder(
             self.n_symbols, self.hidden_dim, n_convs=2
         )
+        # TPU-native TMA (text-mel aligner): where the reference fine-tunes a
+        # pretrained ASR's attention (styletts2 text_aligner; losses mono/s2s,
+        # schema everyvoice-text-to-wav-0.5.json lambda_mono/lambda_s2s), this
+        # learns the alignment directly with the fixed-shape soft-attention +
+        # forward-sum + Viterbi machinery shared with FastSpeech2 — no torch
+        # ASR checkpoint needed, and every DP is a lax.scan.
+        self.tma_aligner = AlignmentEncoder(dim=self.hidden_dim // 2)
         self.acoustic_style_encoder = StyleEncoder(self.style_dim)
         self.prosodic_style_encoder = StyleEncoder(self.style_dim)
         self.predictor = ProsodyPredictor(
@@ -138,6 +147,17 @@ class StyleTTS2Module(nn.Module):
     def predict_prosody(self, text_enc, prosodic_style, mask, deterministic=True):
         return self.predictor(text_enc, prosodic_style, mask, deterministic)
 
+    def align_text_mel(
+        self, tokens, text_lengths, mel, mel_lengths,
+        language_id=None, deterministic=True,
+    ):
+        """Soft + log attention (B, T_mel, N_text) between text and mel —
+        the TMA path feeding the mono/s2s losses and joint durations."""
+        mask = lengths_to_mask(text_lengths, tokens.shape[1])
+        mel_mask = lengths_to_mask(mel_lengths, mel.shape[1])
+        text_enc = self.encode_text(tokens, mask, language_id, deterministic)
+        return self.tma_aligner(text_enc, mel, mask, mel_mask)
+
     def decode(
         self, frames, f0_frames, energy_frames, acoustic_style, noise_key=None
     ):
@@ -155,12 +175,22 @@ class StyleTTS2Module(nn.Module):
         f0_frames: Optional[jnp.ndarray] = None,   # (B, T)
         energy_frames: Optional[jnp.ndarray] = None,
         language_id: Optional[jnp.ndarray] = None,
+        mel_lengths: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> dict:
         """Training-style forward with teacher durations/F0 (stage 1)."""
         mask = lengths_to_mask(text_lengths, tokens.shape[1])
         text_enc = self.encode_text(tokens, mask, language_id, deterministic)
         acoustic_style, prosodic_style = self.extract_styles(ref_mel)
+        # TMA attention over the reference mel (also guarantees the aligner
+        # parameters exist from init).
+        if mel_lengths is None:
+            mel_mask = jnp.ones(ref_mel.shape[:2], bool)
+        else:
+            mel_mask = lengths_to_mask(mel_lengths, ref_mel.shape[1])
+        attn_soft, attn_logprob = self.tma_aligner(
+            text_enc, ref_mel, mask, mel_mask
+        )
         dur_logits, f0_pred, energy_pred = self.predict_prosody(
             text_enc, prosodic_style, mask, deterministic
         )
@@ -180,6 +210,8 @@ class StyleTTS2Module(nn.Module):
             "energy_prediction": energy_pred,
             "acoustic_style": acoustic_style,
             "prosodic_style": prosodic_style,
+            "attn_soft": attn_soft,
+            "attn_logprob": attn_logprob,
         }
         if durations is None:
             durations = jnp.clip(

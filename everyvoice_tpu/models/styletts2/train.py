@@ -101,6 +101,12 @@ class StyleTTS2Trainer(TrainerBase):
             feature_matching_loss,
             generator_adversarial_loss,
         )
+        from everyvoice_tpu.models.fs2.alignment import (
+            binarization_loss,
+            durations_from_hard_attention,
+            forward_sum_loss,
+            viterbi_alignment,
+        )
         from everyvoice_tpu.models.styletts2.loss import (
             diffusion_edm_loss,
             duration_ce_loss,
@@ -138,15 +144,71 @@ class StyleTTS2Trainer(TrainerBase):
                 return stack_hidden_states(slm_module.apply(slm_params, wav16))
         sigma_data = self.config.model.diffusion.dist.sigma_data
 
-        def gen_loss_fn(gen_params, disc_params, batch, rng, slm_params):
-            rng_noise, rng_diff, rng_drop = jax.random.split(rng, 3)
+        # Out-of-domain text bank for SLM-adversarial generation
+        # (reference slmadv; only meaningful when the SLM is active).
+        ood_bank = self._load_ood_bank() if slm_on else None
+        if ood_bank is not None:
+            ood_tokens = jnp.asarray(ood_bank["tokens"])
+            ood_lengths = jnp.asarray(ood_bank["lengths"])
+            logger.info(
+                f"SLM-adversarial OOD bank: {ood_tokens.shape[0]} sentences"
+            )
+
+            def synthesize_ood(gen_params, batch, rng):
+                rng_pick, rng_noise, rng_drop = jax.random.split(rng, 3)
+                idx = jax.random.randint(
+                    rng_pick, (batch["text"].shape[0],), 0,
+                    ood_tokens.shape[0],
+                )
+                out = model.apply(
+                    gen_params,
+                    ood_tokens[idx], ood_lengths[idx], batch["mel"],
+                    mel_lengths=batch["mel_lengths"],
+                    deterministic=False,
+                    rngs={"noise": rng_noise, "dropout": rng_drop},
+                )
+                return out["wav"]
+        else:
+            synthesize_ood = None
+
+        def tma_durations(attn_logprob, batch):
+            """Monotonic (Viterbi) durations from the aligner attention —
+            used as joint targets once the TMA phase begins."""
+            hard = viterbi_alignment(
+                jax.lax.stop_gradient(attn_logprob),
+                batch["text_lengths"], batch["mel_lengths"],
+            )
+            return hard, durations_from_hard_attention(hard)
+
+        def gen_loss_fn(gen_params, disc_params, batch, rng, slm_params,
+                        phase):
+            # phase = [tma_on, diff_on, joint_on] as 0/1 floats — dynamic so
+            # epoch transitions never trigger a recompile.
+            tma_on, diff_on, joint_on = phase[0], phase[1], phase[2]
+            rng_noise, rng_diff, rng_drop, rng_ood = jax.random.split(rng, 4)
+            # TMA attention first: after tma_epoch its Viterbi durations
+            # replace the (possibly absent) teacher durations everywhere.
+            attn_soft, attn_logprob = model.apply(
+                gen_params,
+                batch["text"], batch["text_lengths"], batch["mel"],
+                batch["mel_lengths"],
+                language_id=batch.get("language_id"),
+                deterministic=False,
+                rngs={"dropout": rng_drop},
+                method="align_text_mel",
+            )
+            attn_hard, aligned_durs = tma_durations(attn_logprob, batch)
+            dur_targets = jnp.where(
+                tma_on > 0.5, aligned_durs, batch["durations"]
+            )
             out = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
-                durations=batch["durations"],
+                durations=dur_targets,
                 f0_frames=batch["f0_frames"],
                 energy_frames=batch["energy_frames"],
                 language_id=batch.get("language_id"),
+                mel_lengths=batch["mel_lengths"],
                 deterministic=False,
                 rngs={"noise": rng_noise, "dropout": rng_drop},
             )
@@ -159,11 +221,19 @@ class StyleTTS2Trainer(TrainerBase):
             src_mask = jnp.arange(batch["text"].shape[1])[None, :] < (
                 batch["text_lengths"][:, None]
             )
+            # TMA losses (schema lambda_s2s / lambda_mono): forward-sum is
+            # the alignment-likelihood analog of the reference's seq2seq ASR
+            # CE; binarization against the Viterbi path is the monotonicity
+            # term.
+            losses["s2s"] = forward_sum_loss(
+                attn_logprob, batch["text_lengths"], batch["mel_lengths"]
+            )
+            losses["mono"] = binarization_loss(attn_soft, attn_hard)
             losses["ce"] = duration_ce_loss(
-                out["duration_logits"], batch["durations"], src_mask, max_dur
+                out["duration_logits"], dur_targets, src_mask, max_dur
             )
             losses["dur"] = duration_l1_loss(
-                out["duration_logits"], batch["durations"], src_mask
+                out["duration_logits"], dur_targets, src_mask
             )
             # Token-level prosody targets: average frame targets by duration.
             losses["f0"] = f0_loss(
@@ -187,6 +257,8 @@ class StyleTTS2Trainer(TrainerBase):
                 + lc.lambda_f0 * losses["f0"]
                 + lc.lambda_norm * losses["norm"]
                 + lc.lambda_gen * (losses["gen"] + losses["fm"])
+                + lc.lambda_s2s * losses["s2s"]
+                + lc.lambda_mono * losses["mono"]
             )
             if stage2:
                 joint_style = jnp.concatenate(
@@ -213,8 +285,10 @@ class StyleTTS2Trainer(TrainerBase):
                     text_emb,
                 )
                 losses["sty"] = style_reconstruction_loss(denoised, joint_style)
-                total = total + lc.lambda_diff * losses["diff"] + (
-                    lc.lambda_sty * losses["sty"]
+                # Diffusion losses phase in at diff_epoch (schema diff_epoch).
+                total = total + diff_on * (
+                    lc.lambda_diff * losses["diff"]
+                    + lc.lambda_sty * losses["sty"]
                 )
             if slm_on:
                 feats_fake = slm_feats(slm_params, wav_fake)
@@ -222,17 +296,32 @@ class StyleTTS2Trainer(TrainerBase):
                     slm_head.apply(disc_params["slm"], feats_fake)
                 )
                 total = total + lc.lambda_slm * losses["slm"]
+            if slm_on and ood_bank is not None:
+                # SLM-adversarial generation on out-of-domain text (the
+                # reference's slmadv, fed by preprocessor.py:1242-1321's ood/
+                # artifacts): synthesize OOD sentences end-to-end (predicted
+                # durations/F0/energy, style from in-domain references) and
+                # ask the SLM discriminator to call them real. Phases in at
+                # joint_epoch.
+                ood_wav = synthesize_ood(gen_params, batch, rng_ood)
+                feats_ood = slm_feats(slm_params, ood_wav)
+                losses["slm_ood"] = slm_generator_loss(
+                    slm_head.apply(disc_params["slm"], feats_ood)
+                )
+                total = total + joint_on * lc.lambda_slm * losses["slm_ood"]
             losses["total"] = total
             return total, losses
 
-        def disc_loss_fn(disc_params, gen_params, batch, rng, slm_params):
-            rng_noise, rng_drop = jax.random.split(rng)
+        def disc_loss_fn(disc_params, gen_params, batch, rng, slm_params,
+                         phase):
+            rng_noise, rng_drop, rng_ood = jax.random.split(rng, 3)
             out = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
                 durations=batch["durations"],
                 f0_frames=batch["f0_frames"],
                 energy_frames=batch["energy_frames"],
+                mel_lengths=batch["mel_lengths"],
                 deterministic=False,
                 rngs={"noise": rng_noise, "dropout": rng_drop},
             )
@@ -253,24 +342,40 @@ class StyleTTS2Trainer(TrainerBase):
                 )
                 loss = loss + slm_loss
                 metrics = {"disc/total": loss, "disc/slm": slm_loss}
+                if ood_bank is not None:
+                    # Real = in-domain recordings; fake = OOD-text synthesis
+                    # (the slmadv discriminator side), from joint_epoch on.
+                    ood_wav = jax.lax.stop_gradient(
+                        synthesize_ood(gen_params, batch, rng_ood)
+                    )
+                    feats_ood = jax.lax.stop_gradient(
+                        slm_feats(slm_params, ood_wav)
+                    )
+                    slm_ood = slm_discriminator_loss(
+                        slm_head.apply(disc_params["slm"], feats_r),
+                        slm_head.apply(disc_params["slm"], feats_ood),
+                    )
+                    loss = loss + phase[2] * slm_ood
+                    metrics["disc/slm_ood"] = slm_ood
+                    metrics["disc/total"] = loss
             return loss, metrics
 
         gen_opt, disc_opt = self.gen_opt, self.disc_opt
 
         @jax.jit
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
-                       batch, rng, slm_params):
+                       batch, rng, slm_params, phase):
             rng, rng_d, rng_g = jax.random.split(rng, 3)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
-            )(disc_params, gen_params, batch, rng_d, slm_params)
+            )(disc_params, gen_params, batch, rng_d, slm_params, phase)
             d_updates, disc_opt_state = disc_opt.update(
                 d_grads, disc_opt_state, disc_params
             )
             disc_params = optax.apply_updates(disc_params, d_updates)
             (g_loss, g_metrics), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True
-            )(gen_params, disc_params, batch, rng_g, slm_params)
+            )(gen_params, disc_params, batch, rng_g, slm_params, phase)
             g_updates, gen_opt_state = gen_opt.update(
                 g_grads, gen_opt_state, gen_params
             )
@@ -280,6 +385,142 @@ class StyleTTS2Trainer(TrainerBase):
                     metrics, rng)
 
         self._train_step = train_step
+
+        @jax.jit
+        def val_step(gen_params, batch):
+            """Held-out reconstruction metrics, deterministic forward."""
+            out = model.apply(
+                gen_params,
+                batch["text"], batch["text_lengths"], batch["mel"],
+                durations=batch["durations"],
+                f0_frames=batch["f0_frames"],
+                energy_frames=batch["energy_frames"],
+                mel_lengths=batch["mel_lengths"],
+                deterministic=True,
+            )
+            wav_fake = out["wav"]
+            wav_real = batch["audio"][:, : wav_fake.shape[1]]
+            mel_fake = dynamic_range_compression(mel_fn(wav_fake))
+            mel_real = dynamic_range_compression(mel_fn(wav_real))
+            src_mask = jnp.arange(batch["text"].shape[1])[None, :] < (
+                batch["text_lengths"][:, None]
+            )
+            losses = {
+                "mel": jnp.mean(jnp.abs(mel_fake - mel_real)),
+                "ce": duration_ce_loss(
+                    out["duration_logits"], batch["durations"], src_mask,
+                    max_dur,
+                ),
+                "dur": duration_l1_loss(
+                    out["duration_logits"], batch["durations"], src_mask
+                ),
+                "f0": f0_loss(
+                    out["f0_prediction"], batch["f0_tokens"], src_mask
+                ),
+                "norm": norm_loss(
+                    out["energy_prediction"], batch["energy_tokens"], src_mask
+                ),
+            }
+            losses["total"] = (
+                lc.lambda_mel * losses["mel"]
+                + lc.lambda_ce * losses["ce"]
+                + lc.lambda_dur * losses["dur"]
+                + lc.lambda_f0 * losses["f0"]
+                + lc.lambda_norm * losses["norm"]
+            )
+            return losses
+
+        self._val_step = val_step
+
+    def _load_ood_bank(self, max_sentences: int = 512):
+        """Tokenize the preprocessed OOD sentences ({save_dir}/ood/<lang>.psv,
+        written by `everyvoice-tpu preprocess ... -s ood`) into a fixed-shape
+        token bank for in-jit sampling. Returns None when no OOD data exists."""
+        ood_dir = Path(self.config.preprocessing.save_dir) / "ood"
+        files = sorted(ood_dir.glob("*.psv")) if ood_dir.is_dir() else []
+        if not files:
+            logger.warning(
+                "SLM-adversarial training is on but no OOD sentences were "
+                "found — run `everyvoice-tpu preprocess text-to-wav <config> "
+                "-s ood` to stage them; continuing with in-domain SLM loss "
+                "only."
+            )
+            return None
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        tp = self.dataset.text_processor
+        level = self.dataset.level.value
+        max_len = self.dataset.max_text_len
+        tokens, lengths = [], []
+        for path in files:
+            lang = path.stem
+            for row in generic_psv_filelist_reader(path):
+                text = row.get("text") or row.get("characters") or ""
+                if not text.strip():
+                    continue
+                try:
+                    ids = tp.encode_text(
+                        text,
+                        apply_g2p=(level == "phones"),
+                        lang_id=lang if level == "phones" else None,
+                        quiet=True,
+                    )
+                except Exception:
+                    ids = tp.encode_text(text, quiet=True)
+                if not ids:
+                    continue
+                ids = ids[:max_len]
+                lengths.append(len(ids))
+                tokens.append(ids + [0] * (max_len - len(ids)))
+                if len(tokens) >= max_sentences:
+                    break
+            if len(tokens) >= max_sentences:
+                break
+        if not tokens:
+            return None
+        return {
+            "tokens": np.asarray(tokens, np.int32),
+            "lengths": np.asarray(lengths, np.int32),
+        }
+
+    def phase_weights(self, epoch: int) -> "jnp.ndarray":
+        """[tma_on, diff_on, joint_on] for this epoch (schema tma_epoch /
+        diff_epoch / joint_epoch). Stage 1 phases the TMA joint durations in
+        at tma_epoch; stage 2 keeps TMA on and phases diffusion and
+        SLM-adversarial OOD training in at diff_epoch / joint_epoch."""
+        t = self.training_config
+        if self.mode == "first":
+            tma_on = float(epoch >= t.losses.tma_epoch)
+            return jnp.asarray([tma_on, 0.0, 0.0], jnp.float32)
+        return jnp.asarray(
+            [
+                1.0,
+                float(epoch >= t.losses.diff_epoch),
+                float(epoch >= t.losses.joint_epoch),
+            ],
+            jnp.float32,
+        )
+
+    def validate(self, gen_params, max_batches: int = 8) -> dict:
+        t = self.training_config
+        totals: dict = {}
+        count = 0
+        for host_batch in self.val_dataset.batches(
+            t.batch_size, shuffle=False, drop_last=False
+        ):
+            host_batch.pop("basenames", None)
+            host_batch = pad_batch_to_devices(host_batch, self.n_devices)
+            losses = self._val_step(
+                gen_params, shard_batch(host_batch, self.mesh)
+            )
+            for key, value in losses.items():
+                totals[key] = totals.get(key, 0.0) + float(value)
+            count += 1
+            if count >= max_batches:
+                break
+        if count == 0:
+            return {}
+        return {f"validation/{k}": v / count for k, v in totals.items()}
 
     def init_params(self, example_batch, rng=None):
         rng = rng or jax.random.PRNGKey(0)
@@ -348,8 +589,10 @@ class StyleTTS2Trainer(TrainerBase):
         )
         rng = jax.random.PRNGKey(17)
         stop = False
+        val_metrics: dict = {}
         while not stop and self.epoch < max_epochs:
             steps_at_epoch_start = self.global_step
+            phase = self.phase_weights(self.epoch)
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
             def device_batches():
@@ -364,7 +607,7 @@ class StyleTTS2Trainer(TrainerBase):
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
                  metrics, rng) = self._train_step(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
-                    sharded, rng, slm_params,
+                    sharded, rng, slm_params, phase,
                 )
                 self.global_step += 1
                 if self.global_step % log_every == 0:
@@ -381,8 +624,16 @@ class StyleTTS2Trainer(TrainerBase):
                     "empty (check filelists and preprocessed artifacts)."
                 )
             self.epoch += 1
+            # Held-out validation each epoch: top-k checkpoints rank on
+            # validation loss, not the last training batch.
+            val_metrics = self.validate(gen_params)
+            if val_metrics:
+                self.log_metrics(val_metrics, self.global_step)
+        monitored = val_metrics.get(
+            "validation/total", float(metrics["gen/total"])
+        )
         self.maybe_checkpoint(
-            float(metrics["gen/total"]),
+            float(monitored),
             {"generator": gen_params, "discriminators": disc_params},
             None,
             extra={"stage": self.mode},

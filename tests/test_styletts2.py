@@ -113,6 +113,7 @@ class TestModule:
         assert not np.allclose(np.asarray(style), np.asarray(style2))
 
 
+@pytest.mark.slow
 class TestStage1Training:
     def test_one_training_step(self, lj_corpus, tmp_path):
         """Stage-1 GAN step over real preprocessed LJ data."""
@@ -236,6 +237,7 @@ class TestWavLM:
         assert np.isfinite(float(slm_discriminator_loss(scores, scores)))
 
 
+@pytest.mark.slow
 class TestStage2SLMTraining:
     def test_stage2_with_slm(self, lj_corpus, tmp_path):
         """Stage-2 training with SLM-adversarial losses enabled through a
@@ -289,6 +291,138 @@ class TestStage2SLMTraining:
             .read_text()
             .splitlines()
         ]
-        rec = records[-1]
+        rec = next(
+            r for r in reversed(records) if "training/gen/slm" in r
+        )
         assert np.isfinite(rec["training/gen/slm"])
         assert np.isfinite(rec["training/disc/slm"])
+        # A validation record exists too (top-k ranks on held-out loss now).
+        assert any("validation/total" in r for r in records)
+
+    def test_stage2_slm_sees_ood_text(self, lj_corpus, tmp_path):
+        """The slmadv path: with ood/<lang>.psv staged and joint_epoch
+        reached, the SLM generator and discriminator losses include
+        OOD-text synthesis terms (reference preprocessor.py:1242-1321 +
+        SURVEY §2.5)."""
+        pytest.importorskip("torch")
+        import json
+
+        from everyvoice_tpu.dataloader import StyleTTS2Dataset
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+        from everyvoice_tpu.parallel import make_mesh
+        from everyvoice_tpu.utils import (
+            generic_psv_filelist_reader,
+            write_filelist,
+        )
+
+        _, wavlm_dir = _tiny_torch_wavlm(tmp_path)
+        fs2_config, save_dir = lj_corpus
+        config = StyleTTS2Config(
+            contact=CONTACT,
+            model={
+                "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
+                "slm": {"model": str(wavlm_dir), "hidden": 32, "nlayers": 3,
+                        "initial_channel": 8},
+                "decoder": {
+                    "upsample_initial_channel": 32,
+                    "resblock_kernel_sizes": [3],
+                    "resblock_dilation_sizes": [[1, 3]],
+                    "mpd_layers": [2], "msd_layers": 1,
+                },
+                "diffusion": {"transformer": {"num_layers": 1, "num_heads": 2,
+                                              "head_features": 16}},
+            },
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.preprocessing.save_dir = save_dir
+        config.training.training_filelist = save_dir / "training_filelist.psv"
+        config.training.validation_filelist = (
+            save_dir / "validation_filelist.psv"
+        )
+        config.training.batch_size = 2
+        config.training.max_len = 128
+        # slmadv active from the first epoch
+        config.training.losses.joint_epoch = 0
+        config.training.losses.diff_epoch = 0
+        # Stage OOD sentences as `preprocess -s ood` would.
+        ood_dir = save_dir / "ood"
+        ood_dir.mkdir(exist_ok=True)
+        write_filelist(
+            [{"text": "an out of domain sentence"},
+             {"text": "another unseen line of text"}],
+            ood_dir / "eng.psv",
+        )
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        ds = StyleTTS2Dataset(train, config)
+        mesh = make_mesh(jax.devices("cpu")[:2])
+        trainer = StyleTTS2Trainer(
+            config, ds, ds, mesh=mesh, run_dir=tmp_path / "run2",
+            mode="second",
+        )
+        trainer.fit(max_steps=1, log_every=1)
+        records = [
+            json.loads(line)
+            for line in (tmp_path / "run2" / "metrics.jsonl")
+            .read_text()
+            .splitlines()
+        ]
+        rec = next(
+            r for r in reversed(records) if "training/gen/slm_ood" in r
+        )
+        assert np.isfinite(rec["training/gen/slm_ood"])
+        assert np.isfinite(rec["training/disc/slm_ood"])
+
+
+class TestRecipeSchedule:
+    """The schema's tma/diff/joint epoch schedule is consumed
+    (everyvoice-text-to-wav-0.5.json tma_epoch/diff_epoch/joint_epoch)."""
+
+    def _trainer(self, lj_corpus, tmp_path, mode):
+        from everyvoice_tpu.dataloader import StyleTTS2Dataset
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+        from everyvoice_tpu.parallel import make_mesh
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        fs2_config, save_dir = lj_corpus
+        config = StyleTTS2Config(
+            contact=CONTACT,
+            model={"hidden_dim": 32, "style_dim": 16, "max_dur": 20,
+                   "decoder": {"upsample_initial_channel": 32,
+                               "resblock_kernel_sizes": [3],
+                               "resblock_dilation_sizes": [[1, 3]],
+                               "mpd_layers": [2], "msd_layers": 1},
+                   "diffusion": {"transformer": {"num_layers": 1,
+                                                 "num_heads": 2,
+                                                 "head_features": 8}}},
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.preprocessing.save_dir = save_dir
+        config.training.training_filelist = save_dir / "training_filelist.psv"
+        config.training.validation_filelist = (
+            save_dir / "validation_filelist.psv"
+        )
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        ds = StyleTTS2Dataset(train, config)
+        return StyleTTS2Trainer(
+            config, ds, ds, mesh=make_mesh(jax.devices("cpu")[:2]),
+            run_dir=tmp_path / "sched", mode=mode,
+        )
+
+    def test_stage1_phases(self, lj_corpus, tmp_path):
+        trainer = self._trainer(lj_corpus, tmp_path, "first")
+        tma = trainer.config.training.losses.tma_epoch
+        assert list(np.asarray(trainer.phase_weights(0))) == [0.0, 0.0, 0.0]
+        assert list(np.asarray(trainer.phase_weights(tma))) == [1.0, 0.0, 0.0]
+
+    def test_stage2_phases(self, lj_corpus, tmp_path):
+        trainer = self._trainer(lj_corpus, tmp_path, "second")
+        losses = trainer.config.training.losses
+        assert list(np.asarray(trainer.phase_weights(0))) == [1.0, 0.0, 0.0]
+        assert list(
+            np.asarray(trainer.phase_weights(losses.diff_epoch))
+        ) == [1.0, 1.0, 0.0]
+        assert list(
+            np.asarray(trainer.phase_weights(losses.joint_epoch))
+        ) == [1.0, 1.0, 1.0]

@@ -42,13 +42,18 @@ def _load_config(model_kind: str, config_path: Path, overrides):
 def main():
     """EveryVoice-TPU: a TPU-native text-to-speech framework."""
     # EVERYVOICE_DEVICE=cpu forces computation onto the host CPU backend
-    # (useful when the TPU is busy or for CI).
+    # (useful when the TPU is busy or for CI). Pinning jax_platforms (not
+    # just the default device) keeps the accelerator backend from even
+    # initializing — on single-tenant TPU links another process's claim
+    # would otherwise block this one. This works even where JAX_PLATFORMS
+    # is ineffective because a site hook already forced a platform.
     import os
 
     device = os.environ.get("EVERYVOICE_DEVICE")
     if device:
         import jax
 
+        jax.config.update("jax_platforms", device)
         jax.config.update("jax_default_device", jax.devices(device)[0])
 
 

@@ -133,3 +133,78 @@ class TestStyleTTS2Demo:
         with urllib.request.urlopen(url + "/") as resp:
             page = resp.read().decode()
         assert "Diffusion steps" in page
+
+
+@pytest.mark.slow
+class TestDemoSubprocess:
+    """The reference drives its live demo with Playwright
+    (tests/regression/test-demo-app-lj-full.py:17-52): denylist rejection,
+    empty-text error, and a successful synthesis — here against the real
+    `everyvoice-tpu demo` CLI running in a separate OS process, over real
+    HTTP (everything a browser does except rendering)."""
+
+    def test_cli_demo_end_to_end(self, tmp_path):
+        import base64
+        import socket
+        import subprocess
+        import sys
+        import time
+
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        gen = get_dummy_hifigan_checkpoint(tmp_path, generator_only=True)
+        denylist = tmp_path / "denylist.txt"
+        denylist.write_text("forbidden\n")
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            port = sock.getsockname()[1]
+        import os
+
+        env = dict(os.environ, EVERYVOICE_DEVICE="cpu")
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "everyvoice_tpu", "demo", str(fs2),
+                "--vocoder-path", str(gen), "--port", str(port),
+                "--server-name", "127.0.0.1", "--denylist", str(denylist),
+            ],
+            env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        base = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.monotonic() + 120
+            last_err = None
+            while time.monotonic() < deadline:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"demo exited early:\n{proc.stdout.read()[-3000:]}"
+                    )
+                try:
+                    with urllib.request.urlopen(base + "/", timeout=5) as r:
+                        assert r.status == 200
+                    break
+                except OSError as e:
+                    last_err = e
+                    time.sleep(1.0)
+            else:
+                raise AssertionError(f"demo never came up: {last_err}")
+
+            status, body = post_json(base + "/api/synthesize", {"text": " "})
+            assert status == 400 and "enter some text" in body["error"]
+
+            status, body = post_json(
+                base + "/api/synthesize", {"text": "totally forbidden words"}
+            )
+            assert status == 400 and "not allowed" in body["error"]
+
+            status, body = post_json(
+                base + "/api/synthesize", {"text": "hello world"}
+            )
+            assert status == 200, body
+            wav = base64.b64decode(body["wav_base64"])
+            assert wav[:4] == b"RIFF" and len(wav) > 100  # untrained model -> short
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()

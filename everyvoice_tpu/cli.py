@@ -678,15 +678,24 @@ def update_schemas(output_dir):
 @click.option("--denylist", type=click.Path(path_type=Path), default=None)
 @click.option("--ref-audio-dir", type=click.Path(path_type=Path), default=None,
               help="Reference speaker wavs for StyleTTS2 style vectors.")
+@click.option("--ui-config", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="JSON with UI label overrides; 'speakers'/'languages' "
+              "entries restrict the dropdowns to their keys and rename them "
+              "to their values.")
 def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
-         ref_audio_dir):
+         ref_audio_dir, ui_config):
     """Serve an interactive synthesis demo over HTTP (model type is
     auto-detected from the checkpoint)."""
     from everyvoice_tpu.demo.app import create_demo_app_auto
 
+    ui_labels = (
+        json.loads(Path(ui_config).read_text(encoding="utf8"))
+        if ui_config else None
+    )
     app = create_demo_app_auto(
         model_path, vocoder_path=vocoder_path, ref_audio_dir=ref_audio_dir,
-        allowlist=allowlist, denylist=denylist,
+        allowlist=allowlist, denylist=denylist, ui_labels=ui_labels,
     )
     click.echo(f"Serving demo at http://{server_name}:{port}")
     app.serve(host=server_name, port=port)

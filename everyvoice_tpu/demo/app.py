@@ -117,10 +117,39 @@ class DemoApp:
             "subtitle": "Type a sentence and press Synthesize.",
             "text_placeholder": "Hello world",
         }
-        if ui_labels:
-            self.ui.update(ui_labels)
         self.languages = sorted(self.synthesizer.lang2id) or ["default"]
         self.speakers = sorted(self.synthesizer.speaker2id) or ["default"]
+        # Display-name maps (reference demo/app.py UI-config JSON): keys are
+        # model values, values are what the dropdown shows.
+        self.language_labels = {v: v for v in self.languages}
+        self.speaker_labels = {v: v for v in self.speakers}
+        if ui_labels:
+            self._apply_ui_config(ui_labels)
+
+    def _apply_ui_config(self, ui_labels: dict) -> None:
+        """Apply a UI-config dict: string entries override page labels;
+        'speakers'/'languages' dicts restrict the selectable values to
+        their keys and rename them to their values (unknown keys are
+        rejected, as the reference does)."""
+        for key, value in ui_labels.items():
+            if key in ("speakers", "languages"):
+                if not isinstance(value, dict):
+                    raise ValueError(f"UI config '{key}' must map values to display names")
+                known = self.speakers if key == "speakers" else self.languages
+                unknown = set(value) - set(known)
+                if unknown:
+                    raise ValueError(
+                        f"UI config lists {key} the model was not trained "
+                        f"with: {sorted(unknown)} (model has {known})"
+                    )
+                if key == "speakers":
+                    self.speakers = sorted(value)
+                    self.speaker_labels = dict(value)
+                else:
+                    self.languages = sorted(value)
+                    self.language_labels = dict(value)
+            elif isinstance(value, str):
+                self.ui[key] = value
 
     # -- request handling --------------------------------------------------
     def check_lists(self, text: str) -> Optional[str]:
@@ -144,6 +173,10 @@ class DemoApp:
             return 400, {"error": refusal}
         language = payload.get("language") or self.languages[0]
         speaker = payload.get("speaker") or self.speakers[0]
+        if language not in self.languages:
+            return 400, {"error": f"Language '{language}' is not served here."}
+        if speaker not in self.speakers:
+            return 400, {"error": f"Speaker '{speaker}' is not served here."}
         duration = float(payload.get("duration_control", 1.0))
         results = self.synthesizer.synthesize(
             [text], language=language, speaker=speaker, duration_control=duration,
@@ -165,15 +198,18 @@ class DemoApp:
         return 200, {"wav_base64": base64.b64encode(buf.getvalue()).decode("ascii")}
 
     def render_page(self) -> str:
-        def options(values):
-            return "".join(f"<option value='{v}'>{v}</option>" for v in values)
+        def options(values, labels):
+            return "".join(
+                f"<option value='{v}'>{labels.get(v, v)}</option>"
+                for v in values
+            )
 
         return PAGE_TEMPLATE.format(
             title=self.ui["title"],
             subtitle=self.ui["subtitle"],
             text_placeholder=self.ui["text_placeholder"],
-            language_options=options(self.languages),
-            speaker_options=options(self.speakers),
+            language_options=options(self.languages, self.language_labels),
+            speaker_options=options(self.speakers, self.speaker_labels),
         )
 
     # -- server -------------------------------------------------------------
@@ -285,8 +321,6 @@ class StyleTTS2DemoApp(DemoApp):
             "subtitle": "Type a sentence and press Synthesize.",
             "text_placeholder": "Hello world",
         }
-        if ui_labels:
-            self.ui.update(ui_labels)
         self.languages = sorted(self.lang2id) or ["default"]
         # Precompute style vectors for named reference speakers.
         self.ref_styles = {}
@@ -296,6 +330,10 @@ class StyleTTS2DemoApp(DemoApp):
                     self.model, self.params, wav, self.config
                 )
         self.speakers = sorted(self.ref_styles) or ["default"]
+        self.language_labels = {v: v for v in self.languages}
+        self.speaker_labels = {v: v for v in self.speakers}
+        if ui_labels:
+            self._apply_ui_config(ui_labels)
 
     def synthesize_api(self, payload: dict) -> tuple:
         import base64

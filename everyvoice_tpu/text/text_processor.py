@@ -73,9 +73,12 @@ class TextProcessor:
             set(self.punctuation_characters) == self.config.symbols.punctuation.all
         )
 
-        symbols = self.config.symbols.for_representation_level(
-            self.target_text_representation_level
-        )
+        # The ID table always covers the FULL declared inventory, matching
+        # the reference (its TextProcessor has no level parameter): training
+        # datasets and inference-time loaders must agree on symbol IDs even
+        # when a config declares both <label>_characters and <label>_phones.
+        # target_text_representation_level only affects encode-time choices.
+        symbols = self.config.symbols.all_except_punctuation
         symbols |= set(self.punctuation_internal_hash.values())
         symbols |= self.config.symbols.punctuation.all
         hardcoded_initial_symbols = [self._pad_symbol, " "]

@@ -59,11 +59,13 @@ def main() -> None:
 
     # ---- stage 0: wizard (scripted, like the reference's resume file)
     log("wizard new-project (scripted)")
-    from test_wizard import lj_answers, scripted_ask
+    from test_wizard import closing_answers, lj_answers, scripted_ask
 
     from everyvoice_tpu.wizard.main_tour import get_main_wizard_tour
 
-    tour = get_main_wizard_tour(ask=scripted_ask(lj_answers(workdir)))
+    tour = get_main_wizard_tour(
+        ask=scripted_ask(lj_answers(workdir) + closing_answers())
+    )
     state = tour.run()
     project = state["project_dir"]
     config_dir = project / "config"

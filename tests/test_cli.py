@@ -173,6 +173,7 @@ class TestSynthesizeCLI:
 
 
 class TestStyleTTS2SynthesizeCLI:
+    @pytest.mark.slow
     def test_direct_text_to_wav(self, runner, tmp_path):
         from model_stubs import get_dummy_styletts2_checkpoint
 

@@ -208,3 +208,42 @@ class TestDemoSubprocess:
                 proc.wait(timeout=15)
             except subprocess.TimeoutExpired:
                 proc.kill()
+
+
+class TestUIConfig:
+    """UI-label JSON overrides (reference demo/app.py load_app_ui_labels):
+    rename page strings and restrict/rename dropdown entries."""
+
+    def test_labels_and_restrictions(self, tmp_path):
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        gen = get_dummy_hifigan_checkpoint(tmp_path, generator_only=True)
+        app = create_demo_app(
+            fs2, gen,
+            ui_labels={
+                "title": "Ma Démo",
+                "speakers": {"default": "Narrator"},
+                "languages": {"default": "Undetermined"},
+            },
+        )
+        page = app.render_page()
+        assert "Ma Démo" in page
+        assert "Narrator" in page
+        # form values stay the model's values
+        assert "value='default'" in page.replace('"', "'")
+
+    def test_unknown_speaker_rejected(self, tmp_path):
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        gen = get_dummy_hifigan_checkpoint(tmp_path, generator_only=True)
+        with pytest.raises(ValueError, match="not trained"):
+            create_demo_app(
+                fs2, gen, ui_labels={"speakers": {"nobody": "Nobody"}}
+            )
+
+    def test_api_rejects_unserved_language(self, tmp_path):
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        gen = get_dummy_hifigan_checkpoint(tmp_path, generator_only=True)
+        app = create_demo_app(fs2, gen)
+        status, body = app.synthesize_api(
+            {"text": "hello", "language": "klingon"}
+        )
+        assert status == 400 and "not served" in body["error"]

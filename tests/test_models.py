@@ -181,6 +181,7 @@ class TestHiFiGAN:
         wav = gen.apply(gen.init(rng, mel), mel)
         assert wav.shape == (1, 20 * 256)
 
+    @pytest.mark.slow
     def test_discriminators(self):
         rng = jax.random.PRNGKey(0)
         wav = jax.random.normal(rng, (2, 8192))

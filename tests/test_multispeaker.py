@@ -72,6 +72,7 @@ def multispeaker_corpus(tmp_path_factory):
     return config, save_dir
 
 
+@pytest.mark.slow
 class TestMultiSpeaker:
     def test_speakers_preserved_through_pipeline(self, multispeaker_corpus):
         config, save_dir = multispeaker_corpus
@@ -130,6 +131,7 @@ class TestMultiSpeaker:
         )
 
 
+@pytest.mark.slow
 class TestMultiLingual:
     def test_two_language_pipeline(self, tmp_path):
         """Language columns propagate through preprocessing, lookups, and

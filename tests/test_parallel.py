@@ -97,6 +97,7 @@ class TestStrategyParsing:
 
 
 class TestParamShardings:
+    @pytest.mark.slow
     def test_dp_mesh_replicates_everything(self, cpu_devices):
         mesh = make_mesh(cpu_devices[:8], model_parallel=1)
         model = _small_fs2()
@@ -144,6 +145,7 @@ class TestParamShardings:
             pytest.fail("no FF kernel found")
 
 
+@pytest.mark.slow
 class TestTPEquivalence:
     def test_tp_train_step_matches_dp(self, cpu_devices):
         """One full train step (loss → grads → adamw update) under a (4,2)

@@ -236,7 +236,12 @@ class TestEdgeCases:
             ids = base_tp.encode_text(symbol, quiet=True)
             assert len(ids) == 1, symbol
 
-    def test_representation_level_filtering(self):
+    def test_symbol_table_is_level_independent(self):
+        """The ID table covers the full declared inventory regardless of the
+        target representation level — the reference's TextProcessor has no
+        level parameter, and training datasets vs checkpoint loaders must
+        agree on symbol IDs when a config declares both characters and
+        phones sets."""
         from everyvoice_tpu.config.type_definitions import (
             TargetTrainingTextRepresentationLevel as Level,
         )
@@ -252,9 +257,10 @@ class TestEdgeCases:
         tp_phones = TextProcessor(
             cfg, target_text_representation_level=Level.ipa_phones
         )
-        assert "c" in tp_chars._symbol_to_id and "p" not in tp_chars._symbol_to_id
-        assert "p" in tp_phones._symbol_to_id and "c" not in tp_phones._symbol_to_id
-        assert "s" in tp_chars._symbol_to_id and "s" in tp_phones._symbol_to_id
+        tp_plain = TextProcessor(cfg)
+        assert tp_chars.symbols == tp_phones.symbols == tp_plain.symbols
+        for sym in ("c", "p", "s"):
+            assert sym in tp_plain._symbol_to_id
 
     def test_language_specific_cleaners_applied(self):
         cfg = TextConfig(

@@ -7,6 +7,7 @@ of an epoch has identical shapes, so one compilation serves the whole run).
 from __future__ import annotations
 
 import math
+import os
 from pathlib import Path
 from typing import Iterator, Optional, Sequence
 
@@ -210,12 +211,106 @@ class FastSpeech2Dataset:
         # every batch to it — one compilation serves the entire run.
         max_frames = self.max_frames
         n_batches = _n_batches(n, batch_size, drop_last)
+        use_native = self._native_io()
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
+            if use_native:
+                yield self._native_batch(
+                    [int(i) for i in idxs], batch_size, max_text, max_frames
+                )
+                continue
             items = [self.load_item(int(i)) for i in idxs]
             while len(items) < batch_size:  # pad the ragged final batch
                 items.append(items[-1])
             yield self.pad_batch(items, max_text, max_frames)
+
+    def _native_io(self) -> bool:
+        """Use the C thread-pool npy loader unless every item already sits
+        in the in-memory cache (or the loader/env rules it out)."""
+        if os.environ.get("EVERYVOICE_NO_NATIVE_IO"):
+            return False
+        if len(self._cache) >= len(self.items):
+            return False
+        from everyvoice_tpu.native import npy
+
+        return npy.available()
+
+    def _native_batch(self, idxs: list, batch_size: int, max_text: int,
+                      max_frames: int) -> dict:
+        """Assemble one padded batch with a single GIL-free parallel read of
+        every artifact file straight into the batch arrays (no per-item
+        intermediates) — the role the reference's DataLoader worker
+        processes play, without pickling or forking."""
+        from everyvoice_tpu.native import npy
+
+        while len(idxs) < batch_size:  # pad the ragged final batch
+            idxs.append(idxs[-1])
+        b = len(idxs)
+        n_mels = self.audio_config.n_mels
+        batch = {
+            "text": np.zeros((b, max_text), np.int32),
+            "text_lengths": np.zeros((b,), np.int32),
+            "mel": np.zeros((b, max_frames, n_mels), np.float32),
+            "mel_lengths": np.zeros((b,), np.int32),
+            "pitch": np.zeros((b, max_frames), np.float32),
+            "energy": np.zeros((b, max_frames), np.float32),
+            "speaker_id": np.zeros((b,), np.int32),
+            "language_id": np.zeros((b,), np.int32),
+            "basenames": [],
+        }
+        if self.learn_alignment:
+            batch["attn_prior"] = np.zeros(
+                (b, max_frames, max_text), np.float32
+            )
+            rep = (
+                "characters"
+                if self.level == TargetTrainingTextRepresentationLevel.characters
+                else "phones"
+            )
+        else:
+            batch["durations"] = np.zeros((b, max_text), np.int32)
+        tasks = []
+        mel_task_idx = []
+        for i, idx in enumerate(idxs):
+            item = self.items[idx]
+            batch["basenames"].append(item["basename"])
+            ids = self._token_ids(item)
+            n = min(len(ids), max_text)
+            batch["text"][i, :n] = np.asarray(ids[:n], np.int32)
+            batch["text_lengths"][i] = n
+            batch["speaker_id"][i] = self.speaker2id.get(
+                item.get("speaker") or "default", 0
+            )
+            batch["language_id"][i] = self.lang2id.get(
+                item.get("language") or "default", 0
+            )
+            mel_task_idx.append(len(tasks))
+            tasks.append(
+                (self._path(item, "spec", self._spec_name()), batch["mel"][i],
+                 True)
+            )
+            tasks.append(
+                (self._path(item, "pitch", "pitch.npy"),
+                 batch["pitch"][i : i + 1], False)
+            )
+            tasks.append(
+                (self._path(item, "energy", "energy.npy"),
+                 batch["energy"][i : i + 1], False)
+            )
+            if self.learn_alignment:
+                prior = self._path(item, "attn", f"{rep}-attn-prior.npy")
+                if prior.exists():
+                    tasks.append((prior, batch["attn_prior"][i], False))
+            else:
+                dur = self._path(item, "duration", "duration.npy")
+                if dur.exists():
+                    tasks.append((dur, batch["durations"][i : i + 1], False))
+        rows = npy.read_npy_many(tasks)
+        for i, task_index in enumerate(mel_task_idx):
+            if rows[task_index] < 0:
+                raise OSError(f"Failed to read {tasks[task_index][0]}")
+            batch["mel_lengths"][i] = rows[task_index]
+        return batch
 
 
 def it_mel_frames(dataset: FastSpeech2Dataset, idx: int) -> int:

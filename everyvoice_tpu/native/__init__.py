@@ -19,26 +19,31 @@ from typing import Optional
 _SOURCE = Path(__file__).parent / "wav_io.c"
 
 
-def _build_library() -> Optional[ctypes.CDLL]:
-    source = _SOURCE.read_text(encoding="utf8")
-    digest = hashlib.sha256(source.encode()).hexdigest()[:16]
+def build_shared_library(source: Path, extra_flags: tuple = ()) -> ctypes.CDLL:
+    """Compile a C source into a content-addressed cached .so and load it."""
+    text = Path(source).read_text(encoding="utf8")
+    digest = hashlib.sha256(text.encode()).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
     ) / "everyvoice_tpu"
     cache_dir.mkdir(parents=True, exist_ok=True)
-    lib_path = cache_dir / f"wav_io-{digest}.so"
+    lib_path = cache_dir / f"{Path(source).stem}-{digest}.so"
     if not lib_path.exists():
         compiler = os.environ.get("CC", "cc")
         tmp_path = lib_path.with_suffix(f".tmp{os.getpid()}.so")
         result = subprocess.run(
             [compiler, "-O3", "-shared", "-fPIC", "-o", str(tmp_path),
-             str(_SOURCE)],
+             str(source), *extra_flags],
             capture_output=True, text=True,
         )
         if result.returncode != 0:
             raise RuntimeError(f"C compilation failed: {result.stderr}")
         tmp_path.replace(lib_path)
-    lib = ctypes.CDLL(str(lib_path))
+    return ctypes.CDLL(str(lib_path))
+
+
+def _build_library() -> Optional[ctypes.CDLL]:
+    lib = build_shared_library(_SOURCE)
     lib.wav_info.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),

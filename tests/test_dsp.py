@@ -433,3 +433,46 @@ class TestTorchSTFTParity:
         np.testing.assert_allclose(
             ours[..., :n], ref[..., :n], rtol=5e-3, atol=5e-3
         )
+
+
+class TestNativeNpyLoader:
+    """The C thread-pool .npy loader must agree byte-for-byte with np.load
+    (everyvoice_tpu/native/npy_loader.c)."""
+
+    def test_roundtrip_and_batch(self, tmp_path):
+        from everyvoice_tpu.native import npy as native_npy
+
+        if not native_npy.available():
+            pytest.skip("no C compiler in this environment")
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((80, 123)).astype(np.float32)
+        b = np.arange(50, dtype=np.int32)
+        np.save(tmp_path / "a.npy", a)
+        np.save(tmp_path / "b.npy", b)
+        assert native_npy.npy_header(tmp_path / "a.npy") == (80, 123, True)
+        assert native_npy.npy_header(tmp_path / "b.npy") == (1, 50, False)
+        # transposed read into a padded slice of a batch array
+        batch = np.zeros((2, 150, 80), np.float32)
+        ints = np.zeros((1, 64), np.int32)
+        rows = native_npy.read_npy_many(
+            [
+                (tmp_path / "a.npy", batch[0], True),
+                (tmp_path / "a.npy", batch[1][:60], True),  # truncation
+                (tmp_path / "b.npy", ints, False),
+            ]
+        )
+        assert rows == [123, 60, 1]
+        assert np.array_equal(batch[0, :123], a.T)
+        assert (batch[0, 123:] == 0).all()
+        assert np.array_equal(batch[1, :60], a.T[:60])
+        assert np.array_equal(ints[0, :50], b)
+
+    def test_unsupported_dtype_reports_failure(self, tmp_path):
+        from everyvoice_tpu.native import npy as native_npy
+
+        if not native_npy.available():
+            pytest.skip("no C compiler in this environment")
+        np.save(tmp_path / "f64.npy", np.zeros(4, np.float64))
+        dst = np.zeros((1, 4), np.float32)
+        rows = native_npy.read_npy_many([(tmp_path / "f64.npy", dst, False)])
+        assert rows == [-1]

@@ -323,3 +323,41 @@ class TestOODExport:
         assert (ood / "eng.psv").exists()
         assert (ood / "fra.psv").exists()
         assert "out of domain" in (ood / "eng.psv").read_text()
+
+
+class TestNativeBatchLoader:
+    def test_native_batches_match_python_path(self, lj_corpus):
+        """The C thread-pool batch assembly must produce byte-identical
+        batches to the np.load path over real preprocessed artifacts."""
+        from everyvoice_tpu.dataloader import FastSpeech2Dataset
+        from everyvoice_tpu.native import npy as native_npy
+        from everyvoice_tpu.text.lookups import lookuptables_from_data
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        if not native_npy.available():
+            pytest.skip("no C compiler in this environment")
+        config, save_dir = lj_corpus
+        rows = generic_psv_filelist_reader(save_dir / "training_filelist.psv")
+        lang2id, speaker2id = lookuptables_from_data((rows,))
+        ds_native = FastSpeech2Dataset(rows, config, lang2id, speaker2id)
+        ds_python = FastSpeech2Dataset(
+            rows, config, lang2id, speaker2id,
+            text_processor=ds_native.text_processor,
+        )
+        assert ds_native._native_io()
+        native_batches = list(ds_native.batches(2, shuffle=False))
+        import os
+
+        os.environ["EVERYVOICE_NO_NATIVE_IO"] = "1"
+        try:
+            assert not ds_python._native_io()
+            python_batches = list(ds_python.batches(2, shuffle=False))
+        finally:
+            del os.environ["EVERYVOICE_NO_NATIVE_IO"]
+        assert len(native_batches) == len(python_batches) > 0
+        for nb, pb in zip(native_batches, python_batches):
+            assert nb["basenames"] == pb["basenames"]
+            for key in pb:
+                if key == "basenames":
+                    continue
+                assert np.array_equal(nb[key], pb[key]), key

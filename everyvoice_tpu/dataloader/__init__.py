@@ -20,6 +20,28 @@ from everyvoice_tpu.text import TextProcessor
 from everyvoice_tpu.text.lookups import lookuptables_from_data
 
 
+_ITEM_POOL = None
+
+
+def _parallel_load(load_fn, idxs: list) -> list:
+    """Load a batch's items concurrently. The native wav/npy codecs release
+    the GIL inside their C calls, so a shared thread pool overlaps file IO
+    across the batch — the reference gets this from DataLoader worker
+    processes (dataloader/__init__.py:80-94); threads avoid the fork and
+    pickling cost."""
+    global _ITEM_POOL
+    if len(idxs) <= 1 or os.environ.get("EVERYVOICE_NO_NATIVE_IO"):
+        return [load_fn(int(i)) for i in idxs]
+    if _ITEM_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ITEM_POOL = ThreadPoolExecutor(
+            max_workers=min(os.cpu_count() or 4, 8),
+            thread_name_prefix="evtpu-io",
+        )
+    return list(_ITEM_POOL.map(lambda i: load_fn(int(i)), idxs))
+
+
 def _n_batches(n: int, batch_size: int, drop_last: bool) -> int:
     """Batches per epoch. Unlike torch's drop_last, a non-empty dataset
     smaller than one batch still yields a single (duplicate-padded) batch —
@@ -219,7 +241,7 @@ class FastSpeech2Dataset:
                     [int(i) for i in idxs], batch_size, max_text, max_frames
                 )
                 continue
-            items = [self.load_item(int(i)) for i in idxs]
+            items = _parallel_load(self.load_item, list(idxs))
             while len(items) < batch_size:  # pad the ragged final batch
                 items.append(items[-1])
             yield self.pad_batch(items, max_text, max_frames)
@@ -401,7 +423,7 @@ class HiFiGANDataset:
         n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
-            items = [self.load_item(int(i)) for i in idxs]
+            items = _parallel_load(self.load_item, list(idxs))
             while len(items) < batch_size:
                 items.append(items[-1])
             b = len(items)
@@ -438,7 +460,7 @@ class HiFiGANDataset:
         n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
-            items = [self.load_item(int(i)) for i in idxs]
+            items = _parallel_load(self.load_item, list(idxs))
             while len(items) < batch_size:
                 items.append(items[-1])
             b = len(items)
@@ -594,7 +616,7 @@ class StyleTTS2Dataset:
         n_batches = _n_batches(n, batch_size, drop_last)
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
-            items = [self.load_item(int(i)) for i in idxs]
+            items = _parallel_load(self.load_item, list(idxs))
             while len(items) < batch_size:
                 items.append(items[-1])
             b = len(items)

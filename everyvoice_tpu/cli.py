@@ -726,6 +726,20 @@ def evaluate(wav_dir, reference_dir, non_matching_references, output):
     Path(output).write_text(json.dumps(results, indent=1), encoding="utf8")
     n_quality = sum(1 for r in results if r.get("has_quality_metrics"))
     click.echo(f"Wrote {output} ({len(results)} files)")
+    # Mean +/- std summary over numeric metrics (the reference prints the
+    # same aggregate table, cli.py:338-360).
+    numeric: dict = {}
+    for row in results:
+        for key, value in row.items():
+            if isinstance(value, (int, float)) and not isinstance(value, bool):
+                numeric.setdefault(key, []).append(float(value))
+    if numeric:
+        click.echo("Averages:")
+        for key in sorted(numeric):
+            values = numeric[key]
+            mean = sum(values) / len(values)
+            std = (sum((v - mean) ** 2 for v in values) / len(values)) ** 0.5
+            click.echo(f"  {key}: {mean:.4f} ± {std:.4f} (n={len(values)})")
     if results and n_quality == 0:
         click.echo(
             "WARNING: only signal diagnostics were produced — no quality "

@@ -702,7 +702,8 @@ def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
 
 
 @main.command()
-@click.argument("wav_dir", type=click.Path(exists=True, path_type=Path))
+@click.argument("wav_dir", type=click.Path(exists=True, path_type=Path),
+                metavar="WAV_DIR_OR_FILE")
 @click.option("-r", "--reference-dir", type=click.Path(exists=True, path_type=Path),
               default=None,
               help="Ground-truth wavs (same filenames) for intrusive metrics.")

@@ -242,7 +242,9 @@ def evaluate_directory(
     wav_dir = Path(wav_dir)
     nmr = load_non_matching_references(non_matching_reference_dir)
     results = []
-    for wav_path in sorted(wav_dir.glob("**/*.wav")):
+    # A single wav file works too (the reference's -f/--audio-file mode).
+    wavs = [wav_dir] if wav_dir.is_file() else sorted(wav_dir.glob("**/*.wav"))
+    for wav_path in wavs:
         ref = None
         if reference_dir is not None:
             candidate = Path(reference_dir) / wav_path.name

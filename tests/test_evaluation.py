@@ -84,3 +84,19 @@ class TestReports:
         metrics = calculate_objective_metrics_from_single_path(tmp_path / "x.wav")
         assert "si_sdr" not in metrics
         assert metrics["duration_s"] == 2.0
+
+
+class TestSingleFile:
+    def test_evaluate_accepts_one_wav(self, tmp_path):
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import write_wav
+        from everyvoice_tpu.evaluation import evaluate_directory
+
+        t = np.arange(22050) / 22050
+        wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        path = tmp_path / "one.wav"
+        write_wav(path, jnp.asarray(wav), 22050)
+        results = evaluate_directory(path)
+        assert len(results) == 1
+        assert results[0]["duration_s"] == 1.0

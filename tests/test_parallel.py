@@ -285,3 +285,66 @@ class TestNodeMesh:
         for p, (out, err) in zip(procs, outs):
             assert p.returncode == 0, err[-2000:]
             assert "RESULT 112.0" in out
+
+
+@pytest.mark.slow
+class TestNodeMeshTrainStep:
+    def test_full_train_step_on_node_mesh(self, cpu_devices):
+        """One real FastSpeech2 training step over the (node, data, model)
+        layout: same program the multi-node --nodes path compiles, with
+        batch sharding over (node x data)."""
+        import __graft_entry__ as graft
+        import jax.numpy as jnp
+        import optax
+
+        from everyvoice_tpu.models.fs2.loss import compute_fs2_losses
+        from everyvoice_tpu.parallel import shard_batch
+
+        mesh = make_mesh(cpu_devices[:8], nodes=2, model_parallel=1)
+        fs2, _ = graft._build_models(small=True)
+        b, n_text, n_frames = 8, 16, 64
+        rng = jax.random.PRNGKey(0)
+        batch = _batch(b=b, n_text=n_text, n_frames=n_frames)
+        kwargs = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k not in ("text", "text_lengths")
+        }
+        params = fs2.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
+            **kwargs,
+        )
+        optimizer = optax.adamw(1e-4)
+        opt_state = optimizer.init(params)
+
+        def loss_fn(p, sb, step_rng):
+            out = fs2.apply(
+                p, sb["text"], sb["text_lengths"], deterministic=False,
+                rngs={"dropout": step_rng},
+                **{k: sb[k] for k in kwargs},
+            )
+            losses = compute_fs2_losses(out, sb, {}, learn_alignment=True)
+            return losses["total"], losses
+
+        @jax.jit
+        def train_step(p, o, sb, step_rng):
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, sb, step_rng
+            )
+            updates, o = optimizer.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, losses
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+        sharded = shard_batch(batch, mesh)
+        # batch really splits over (node, data)
+        spec = sharded["mel"].sharding.spec
+        assert spec[0] == ("node", "data")
+        _, _, losses = train_step(
+            params, opt_state, sharded, jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(losses["total"]))

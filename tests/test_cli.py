@@ -154,6 +154,28 @@ class TestSynthesizeCLI:
         specs = list((tmp_path / "synthesized_spec").glob("*.npy"))
         assert len(specs) == 1
 
+    def test_all_output_formats(self, runner, dummy_ckpts, tmp_path):
+        """Every SynthesizeOutputFormat writes its artifact (reference
+        regression-test.sh:75 exercises the same five)."""
+        result = runner.invoke(
+            main,
+            ["synthesize", "from-text", str(dummy_ckpts["fs2"]),
+             "-t", "hello world",
+             "-O", "wav", "-O", "spec", "-O", "textgrid",
+             "-O", "readalong-xml", "-O", "readalong-html",
+             "--vocoder-path", str(dummy_ckpts["generator"]),
+             "-o", str(tmp_path)],
+        )
+        assert result.exit_code == 0, result.output
+        assert list((tmp_path / "wav").glob("*.wav"))
+        assert list((tmp_path / "synthesized_spec").glob("*.npy"))
+        grids = list((tmp_path / "textgrids").glob("*.TextGrid"))
+        assert grids and "IntervalTier" in grids[0].read_text()
+        ras = list((tmp_path / "readalongs").glob("*.readalong"))
+        assert ras and "<read-along" in ras[0].read_text()
+        html = list((tmp_path / "readalongs").glob("*.html"))
+        assert html and "read-along" in html[0].read_text()
+
     def test_full_text_to_wav(self, runner, dummy_ckpts, tmp_path):
         result = runner.invoke(
             main,

@@ -247,6 +247,7 @@ class TestPitchGoldenLJ:
             out[wav.stem] = (mono, sr, est)
         return out
 
+    @pytest.mark.slow
     def test_agrees_with_independent_acf_tracker(self, tracks):
         for name, (mono, sr, est) in tracks.items():
             ref_f0, ref_voiced = _acf_reference_f0(mono, sr, 256)

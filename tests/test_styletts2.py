@@ -183,6 +183,7 @@ def _tiny_torch_wavlm(tmp_path):
     return model, path
 
 
+@pytest.mark.slow
 class TestWavLM:
     def test_numerical_parity_with_torch(self, tmp_path):
         """The flax WavLM reproduces transformers.WavLMModel hidden states

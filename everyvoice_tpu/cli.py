@@ -128,9 +128,18 @@ def _gather_ood_texts(config) -> dict:
     training = config.training
     for lang, source in getattr(training, "ood_raw_data", {}).items():
         lines: list = []
-        if source.local_path is not None and Path(source.local_path).is_file():
-            raw = Path(source.local_path).read_text(encoding="utf8").splitlines()
-            lines = _ood_lines_from_raw(raw)
+        if source.local_path is not None:
+            if Path(source.local_path).is_file():
+                raw = Path(source.local_path).read_text(
+                    encoding="utf8"
+                ).splitlines()
+                lines = _ood_lines_from_raw(raw)
+            else:
+                click.echo(
+                    f"OOD source for '{lang}' points at a missing file "
+                    f"({source.local_path}); skipping that language.",
+                    err=True,
+                )
         elif source.hf is not None and source.hf.repo_id:
             try:
                 from huggingface_hub import hf_hub_download

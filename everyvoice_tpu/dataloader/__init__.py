@@ -328,9 +328,12 @@ class FastSpeech2Dataset:
                 if dur.exists():
                     tasks.append((dur, batch["durations"][i : i + 1], False))
         rows = npy.read_npy_many(tasks)
-        for i, task_index in enumerate(mel_task_idx):
-            if rows[task_index] < 0:
+        # Any failed read is an error, matching the np.load path's behavior
+        # — silently-zero pitch/energy/prior targets would poison training.
+        for task_index, row_count in enumerate(rows):
+            if row_count < 0:
                 raise OSError(f"Failed to read {tasks[task_index][0]}")
+        for i, task_index in enumerate(mel_task_idx):
             batch["mel_lengths"][i] = rows[task_index]
         return batch
 

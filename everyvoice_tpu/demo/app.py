@@ -351,7 +351,14 @@ class StyleTTS2DemoApp(DemoApp):
         refusal = self.check_lists(text)
         if refusal:
             return 400, {"error": refusal}
-        speaker = payload.get("speaker")
+        language = payload.get("language") or self.languages[0]
+        speaker = payload.get("speaker") or self.speakers[0]
+        # Enforce the served (possibly ui-config-restricted) value lists,
+        # matching the base app's API behavior.
+        if language not in self.languages:
+            return 400, {"error": f"Language '{language}' is not served here."}
+        if speaker not in self.speakers:
+            return 400, {"error": f"Speaker '{speaker}' is not served here."}
         ref = self.ref_styles.get(speaker)
         try:
             wav = synthesize_text(

@@ -128,12 +128,18 @@ def try_squim_objective(audio_16k: np.ndarray) -> Optional[dict]:
     global _SQUIM_MODEL
     if _SQUIM_MODEL is False:
         return None
-    try:
-        if _SQUIM_MODEL is None:
+    if _SQUIM_MODEL is None:
+        try:
             import torch  # noqa: F401
             from torchaudio.pipelines import SQUIM_OBJECTIVE
 
             _SQUIM_MODEL = SQUIM_OBJECTIVE.get_model().eval()
+        except Exception:
+            # Only a failed *load* disables the metric for the run; per-file
+            # inference errors below must not poison the remaining files.
+            _SQUIM_MODEL = False
+            return None
+    try:
         import torch
 
         with torch.no_grad():
@@ -147,7 +153,6 @@ def try_squim_objective(audio_16k: np.ndarray) -> Optional[dict]:
             "squim_si_sdr": round(float(sdr_v[0]), 3),
         }
     except Exception:
-        _SQUIM_MODEL = False
         return None
 
 
@@ -164,13 +169,19 @@ def try_squim_subjective(
     global _SQUIM_SUBJECTIVE
     if _SQUIM_SUBJECTIVE is False or not non_matching_references_16k:
         return None
-    try:
-        import torch
-
-        if _SQUIM_SUBJECTIVE is None:
+    if _SQUIM_SUBJECTIVE is None:
+        try:
             from torchaudio.pipelines import SQUIM_SUBJECTIVE
 
             _SQUIM_SUBJECTIVE = SQUIM_SUBJECTIVE.get_model().eval()
+        except Exception:
+            # A failed load disables MOS for the run; per-file inference
+            # errors below must not.
+            _SQUIM_SUBJECTIVE = False
+            return None
+    try:
+        import torch
+
         wav = torch.from_numpy(
             np.ascontiguousarray(audio_16k, np.float32)
         )[None, :]
@@ -183,7 +194,6 @@ def try_squim_subjective(
                 scores.append(float(_SQUIM_SUBJECTIVE(wav, nmr_t)[0]))
         return round(float(np.mean(scores)), 3)
     except Exception:
-        _SQUIM_SUBJECTIVE = False
         return None
 
 

@@ -315,10 +315,26 @@ class StyleTTS2Trainer(TrainerBase):
         def disc_loss_fn(disc_params, gen_params, batch, rng, slm_params,
                          phase):
             rng_noise, rng_drop, rng_ood = jax.random.split(rng, 3)
+            # Fakes must come from the same duration source the generator
+            # uses, or the discriminator trains against a distribution the
+            # generator no longer produces once TMA durations take over.
+            attn_for_durs, logprob_for_durs = model.apply(
+                gen_params,
+                batch["text"], batch["text_lengths"], batch["mel"],
+                batch["mel_lengths"],
+                language_id=batch.get("language_id"),
+                deterministic=True,
+                method="align_text_mel",
+            )
+            del attn_for_durs
+            _, aligned_durs = tma_durations(logprob_for_durs, batch)
+            dur_used = jnp.where(
+                phase[0] > 0.5, aligned_durs, batch["durations"]
+            )
             out = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
-                durations=batch["durations"],
+                durations=dur_used,
                 f0_frames=batch["f0_frames"],
                 energy_frames=batch["energy_frames"],
                 mel_lengths=batch["mel_lengths"],

@@ -118,9 +118,26 @@ def setup_mesh(
     model_parallel: int = 1,
 ) -> Mesh:
     """One-stop CLI entry: join the multi-node runtime if requested, then
-    build the training mesh over the (global) device list."""
+    build the training mesh over the (global) device list.
+
+    With --nodes, --devices keeps its Lightning meaning of devices *per
+    node*: the mesh takes the first N devices of every process rather than
+    the first nodes*N of the global list (which would drop whole nodes'
+    chips from the mesh)."""
     init_distributed(nodes)
-    devs = resolve_devices(accelerator, devices)
+    if nodes > 1 and devices not in ("auto", None):
+        per_node = int(devices)
+        all_devs = resolve_devices(accelerator, "auto")
+        by_process: dict = {}
+        for dev in all_devs:
+            by_process.setdefault(dev.process_index, []).append(dev)
+        devs = [
+            dev
+            for process_index in sorted(by_process)
+            for dev in by_process[process_index][:per_node]
+        ]
+    else:
+        devs = resolve_devices(accelerator, devices)
     return make_mesh(devs, model_parallel=model_parallel, nodes=nodes)
 
 

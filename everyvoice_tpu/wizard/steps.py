@@ -984,7 +984,9 @@ class SoxEffectsStep(DatasetStep):
             part = part.strip().lower()
             if not part or part in ("none", "mixdown to mono"):
                 continue
-            matches = [c for c in self.EFFECT_SPECS if c.startswith(part)]
+            matches = [
+                c for c in self.EFFECT_SPECS if c.lower().startswith(part)
+            ]
             if len(matches) != 1:
                 return None
             chosen.append(matches[0])
@@ -1410,12 +1412,28 @@ def write_config_package(state: dict, fmt: str = "yaml") -> Path:
             )
     if any(v.get("source_type") == "validation" for v in ood_raw.values()):
         styletts2["training"]["use_validation_as_ood"] = True
-    non_validation = {
-        lang: spec for lang, spec in ood_raw.items()
-        if spec.get("source_type") != "validation"
-    }
-    if non_validation:
-        styletts2["training"]["ood_raw_data"] = non_validation
+    # Convert the wizard's internal {source_type, ...} records into the
+    # OODDataSource schema shape (local_path / nested hf), which forbids
+    # extra fields — a raw dump would make the written config unloadable.
+    ood_config = {}
+    for lang, spec in ood_raw.items():
+        kind = spec.get("source_type")
+        if kind == "local":
+            entry = {"local_path": str(spec.get("local_path", ""))}
+        elif kind == "hf":
+            entry = {
+                "hf": {
+                    "repo_id": spec.get("repo_id"),
+                    "filename": spec.get("filename", "ood.txt"),
+                }
+            }
+        else:  # validation handled via use_validation_as_ood above
+            continue
+        if spec.get("text_representation"):
+            entry["text_representation"] = spec["text_representation"]
+        ood_config[lang] = entry
+    if ood_config:
+        styletts2["training"]["ood_raw_data"] = ood_config
     write_config_file(config_dir / files["text-to-wav"], styletts2)
 
     logger.info(f"Wrote project '{name}' to {out_root}")

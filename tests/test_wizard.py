@@ -477,8 +477,15 @@ class TestOODAndFormat:
         )
         ood_config = e2e["training"]["ood_raw_data"]
         (lang, spec), = ood_config.items()
-        assert spec["source_type"] == "local"
         assert spec["local_path"] == str(ood)
+        # The written config must load back through the pydantic schema
+        # (OODDataSource forbids extra fields).
+        from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+
+        loaded = StyleTTS2Config.load_config_from_path(
+            config_dir / "everyvoice-text-to-wav.json"
+        )
+        assert str(loaded.training.ood_raw_data[lang].local_path) == str(ood)
 
     def test_sample_rate_recorded(self, tmp_path):
         answers = [

@@ -36,9 +36,42 @@ def _load_config(model_kind: str, config_path: Path, overrides):
     return config
 
 
+def _print_diagnostic(ctx, param, value):
+    """--diagnostic: environment report (reference cli.py:150-205)."""
+    if not value or ctx.resilient_parsing:
+        return
+    import importlib.metadata
+    import platform
+
+    click.echo("EveryVoice-TPU version: 0.1.0")
+    click.echo(f"Python version: {platform.python_version()}")
+    click.echo(f"Platform: {platform.platform()}")
+    click.echo("Dependencies:")
+    for package in ("jax", "jaxlib", "flax", "optax", "numpy", "pydantic",
+                    "click", "torch", "transformers"):
+        try:
+            click.echo(f"  {package}=={importlib.metadata.version(package)}")
+        except importlib.metadata.PackageNotFoundError:
+            click.echo(f"  {package}: not installed")
+    try:
+        import jax
+
+        devices = jax.devices()
+        click.echo(
+            f"jax devices: {[str(d) for d in devices]} "
+            f"(default backend: {jax.default_backend()})"
+        )
+    except Exception as e:
+        click.echo(f"jax devices: unavailable ({e})")
+    ctx.exit(0)
+
+
 @click.group(name="everyvoice-tpu")
 @click.version_option(package_name=None, version=_version
                       if (_version := None) else "0.1.0")
+@click.option("--diagnostic", is_flag=True, callback=_print_diagnostic,
+              expose_value=False, is_eager=True,
+              help="Print versions of this package and its dependencies.")
 def main():
     """EveryVoice-TPU: a TPU-native text-to-speech framework."""
     # EVERYVOICE_DEVICE=cpu forces computation onto the host CPU backend

@@ -319,3 +319,16 @@ class TestFetchPretrained:
         )
         assert result.exit_code != 0
         assert "stage the files manually" in result.output
+
+
+class TestDiagnostic:
+    def test_diagnostic_flag(self):
+        from click.testing import CliRunner
+
+        from everyvoice_tpu.cli import main
+
+        result = CliRunner().invoke(main, ["--diagnostic"])
+        assert result.exit_code == 0
+        assert "EveryVoice-TPU version" in result.output
+        assert "Python version" in result.output
+        assert "jax==" in result.output

@@ -87,6 +87,9 @@ class OutputPathStep(Step):
             default=".", **kwargs,
         )
 
+    def sanitize_input(self, response):
+        return str(response).strip()
+
     def validate(self, response) -> bool:
         path = Path(str(response)).expanduser()
         if path.exists() and not path.is_dir():
@@ -126,6 +129,9 @@ class FilelistStep(DatasetStep):
             dataset_index,
             prompt_text="Where is your data filelist?", **kwargs,
         )
+
+    def sanitize_input(self, response):
+        return str(response).strip()
 
     def validate(self, response) -> bool:
         return Path(str(response)).expanduser().is_file()
@@ -796,6 +802,9 @@ class WavsDirStep(DatasetStep):
             prompt_text="Where are your audio (wav) files?", **kwargs,
         )
 
+    def sanitize_input(self, response):
+        return str(response).strip()
+
     def validate(self, response) -> bool:
         return Path(str(response)).expanduser().is_dir()
 
@@ -1013,7 +1022,20 @@ class DatasetNameStep(DatasetStep):
         )
 
     def validate(self, response) -> bool:
-        return bool(re.match(r"^[\w\d\-]+$", str(response)))
+        if not re.match(r"^[\w\d\-]+$", str(response)):
+            return False
+        taken = {
+            d.get("label")
+            for i, d in enumerate(self.state.get("datasets", []))
+            if i != self.dataset_index
+        }
+        if str(response) in taken:
+            logger.warning(
+                f"Dataset name '{response}' is already used; names must be "
+                "unique within a project."
+            )
+            return False
+        return True
 
     def effect(self):
         self.dataset["label"] = str(self.response)
@@ -1174,6 +1196,11 @@ class MoreDatasetsStep(Step):
             subtour = get_dataset_steps(next_index)
             another = MoreDatasetsStep(name=f"More Datasets Step {next_index}")
             self.tour.add_steps_right_after(subtour + [another], self)
+        elif not self.state.get("datasets"):
+            logger.warning(
+                "No dataset was configured; exiting without writing any "
+                "project files."
+            )
         else:
             # Wrap up: one OOD source question per language, then the
             # config-format question whose effect writes everything.

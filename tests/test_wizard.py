@@ -503,3 +503,42 @@ class TestOODAndFormat:
             .read_text()
         )
         assert data["audio"]["input_sampling_rate"] == 16000
+
+
+class TestWizardEdgeCases:
+    def test_duplicate_dataset_name_rejected(self, tmp_path):
+        answers = lj_answers(tmp_path, more="yes")
+        answers += dataset_answers(
+            LJ_DATA / "metadata.psv", LJ_DATA / "lj" / "wavs",
+            name="lj",  # duplicate of the first dataset's name
+        )
+        # after rejection, a unique name lets the tour proceed
+        answers.insert(len(answers), "lj2")
+        answers += ["no"] + closing_answers(n_languages=1)
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        labels = [d["label"] for d in state["datasets"]]
+        assert labels == ["lj", "lj2"]
+
+    def test_path_answers_tolerate_whitespace(self, tmp_path):
+        answers = [
+            "P", "Test Runner", "info@everyvoice.ca", f"  {tmp_path}  ",
+            f"  {LJ_DATA / 'metadata.psv'} ",
+            "yes", "psv", "characters", "none", "yes", "yes", "keep",
+            f" {LJ_DATA / 'lj' / 'wavs'}",
+            "22050", "none", "lj", "no", "validation", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        assert state["project_dir"].exists()
+
+    def test_no_datasets_writes_nothing(self, tmp_path):
+        from everyvoice_tpu.wizard.steps import MoreDatasetsStep
+        from everyvoice_tpu.wizard.tour import Tour
+
+        tour = Tour(
+            "t", [MoreDatasetsStep()], ask=scripted_ask(["no"]),
+            state={"name": "empty", "output_path": tmp_path},
+        )
+        tour.run()
+        assert not (tmp_path / "empty").exists()

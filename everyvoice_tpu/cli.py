@@ -731,14 +731,25 @@ def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
     auto-detected from the checkpoint)."""
     from everyvoice_tpu.demo.app import create_demo_app_auto
 
-    ui_labels = (
-        json.loads(Path(ui_config).read_text(encoding="utf8"))
-        if ui_config else None
-    )
-    app = create_demo_app_auto(
-        model_path, vocoder_path=vocoder_path, ref_audio_dir=ref_audio_dir,
-        allowlist=allowlist, denylist=denylist, ui_labels=ui_labels,
-    )
+    ui_labels = None
+    if ui_config:
+        try:
+            ui_labels = json.loads(Path(ui_config).read_text(encoding="utf8"))
+        except json.JSONDecodeError as e:
+            raise click.ClickException(
+                f"--ui-config {ui_config} is not valid JSON: {e}"
+            ) from e
+        if not isinstance(ui_labels, dict):
+            raise click.ClickException(
+                "--ui-config must contain a JSON object of label overrides"
+            )
+    try:
+        app = create_demo_app_auto(
+            model_path, vocoder_path=vocoder_path, ref_audio_dir=ref_audio_dir,
+            allowlist=allowlist, denylist=denylist, ui_labels=ui_labels,
+        )
+    except ValueError as e:
+        raise click.ClickException(str(e)) from e
     click.echo(f"Serving demo at http://{server_name}:{port}")
     app.serve(host=server_name, port=port)
 

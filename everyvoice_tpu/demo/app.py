@@ -408,13 +408,31 @@ def create_demo_app_auto(
 
     name = load_checkpoint_header(checkpoint)["model_info"]["name"]
     if name == "StyleTTS2Module":
+        if vocoder_path is not None:
+            raise ValueError(
+                "StyleTTS2 is an end-to-end text-to-wav model; it does not "
+                "take a separate --vocoder-path."
+            )
         return create_demo_app_styletts2(
             checkpoint, ref_audio_dir=ref_audio_dir, allowlist=allowlist,
             denylist=denylist, ui_labels=ui_labels,
         )
     if name == "FastSpeech2":
+        if ref_audio_dir is not None:
+            raise ValueError(
+                "--ref-audio-dir provides StyleTTS2 reference-speaker "
+                "styles; FastSpeech2 demos do not use it (pass a GST "
+                "style reference per request instead)."
+            )
+        if vocoder_path is None:
+            raise ValueError(
+                "A FastSpeech2 demo needs --vocoder-path to produce audio."
+            )
         return create_demo_app(
             checkpoint, vocoder_path, allowlist=allowlist, denylist=denylist,
             ui_labels=ui_labels,
         )
-    raise ValueError(f"Cannot serve a demo for model type {name!r}")
+    raise ValueError(
+        f"Cannot serve a demo for model type {name!r} — pass a FastSpeech2 "
+        "or StyleTTS2Module checkpoint (a bare vocoder cannot be demoed)."
+    )

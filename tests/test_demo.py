@@ -247,3 +247,43 @@ class TestUIConfig:
             {"text": "hello", "language": "klingon"}
         )
         assert status == 400 and "not served" in body["error"]
+
+
+class TestDemoDispatch:
+    """Model-type dispatch guards (reference test_demo.py dispatch tests)."""
+
+    def test_vocoder_checkpoint_as_primary_rejected(self, tmp_path):
+        from everyvoice_tpu.demo.app import create_demo_app_auto
+
+        gen = get_dummy_hifigan_checkpoint(tmp_path, generator_only=True)
+        with pytest.raises(ValueError, match="bare vocoder"):
+            create_demo_app_auto(gen)
+
+    def test_fs2_requires_vocoder(self, tmp_path):
+        from everyvoice_tpu.demo.app import create_demo_app_auto
+
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        with pytest.raises(ValueError, match="vocoder"):
+            create_demo_app_auto(fs2)
+
+    def test_fs2_rejects_ref_audio_dir(self, tmp_path):
+        from everyvoice_tpu.demo.app import create_demo_app_auto
+
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        gen = get_dummy_hifigan_checkpoint(tmp_path, generator_only=True)
+        with pytest.raises(ValueError, match="ref-audio-dir"):
+            create_demo_app_auto(fs2, vocoder_path=gen, ref_audio_dir=tmp_path)
+
+    def test_malformed_ui_config_is_clean_error(self, tmp_path):
+        from click.testing import CliRunner
+
+        from everyvoice_tpu.cli import main
+
+        bad = tmp_path / "ui.json"
+        bad.write_text("{not json")
+        fs2 = get_dummy_fs2_checkpoint(tmp_path)
+        result = CliRunner().invoke(
+            main, ["demo", str(fs2), "--ui-config", str(bad)]
+        )
+        assert result.exit_code != 0
+        assert "not valid JSON" in result.output

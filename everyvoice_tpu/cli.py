@@ -188,6 +188,7 @@ def _gather_ood_texts(config) -> dict:
                     f"Could not fetch OOD data for '{lang}' from HuggingFace "
                     f"({e}); skipping that language.", err=True,
                 )
+        lines = _filter_ood_lines(lines, config)
         if lines:
             texts[lang] = lines
     if getattr(training, "use_validation_as_ood", False):
@@ -203,8 +204,26 @@ def _gather_ood_texts(config) -> dict:
             if text.strip():
                 by_lang.setdefault(row.get("language") or "und", []).append(text)
         for lang, lines in by_lang.items():
-            texts.setdefault(lang, lines)
+            filtered = _filter_ood_lines(lines, config)
+            if filtered:
+                texts.setdefault(lang, filtered)
     return texts
+
+
+def _filter_ood_lines(lines: list, config) -> list:
+    """Drop sentences below training.OOD_min_length characters — short
+    snippets give the SLM discriminator nothing to judge (schema
+    OOD_min_length, default 50)."""
+    min_length = getattr(config.training, "OOD_min_length", 0) or 0
+    kept = [line for line in lines if len(line) >= min_length]
+    if lines and not kept:
+        click.echo(
+            f"All {len(lines)} OOD sentences are shorter than "
+            f"OOD_min_length={min_length}; keeping them anyway (lower "
+            "OOD_min_length to silence this).", err=True,
+        )
+        return lines
+    return kept
 
 
 def _ood_lines_from_raw(raw_lines: list) -> list:
@@ -215,11 +234,18 @@ def _ood_lines_from_raw(raw_lines: list) -> list:
     header = [f.strip() for f in raw_lines[0].split("|")]
     for column in ("phones", "characters", "text"):
         if column in header:
-            idx = header.index(column)
+            # Parse with the project's own psv dialect (backslash-escaped
+            # pipes) rather than a naive split.
+            import csv
+
+            reader = csv.DictReader(
+                raw_lines, delimiter="|", quoting=csv.QUOTE_NONE,
+                escapechar="\\"[0],
+            )
             return [
-                line.split("|")[idx].strip()
-                for line in raw_lines[1:]
-                if len(line.split("|")) > idx and line.split("|")[idx].strip()
+                (row.get(column) or "").strip()
+                for row in reader
+                if (row.get(column) or "").strip()
             ]
     return [line.strip() for line in raw_lines if line.strip()]
 

@@ -247,11 +247,15 @@ class FastSpeech2Dataset:
             yield self.pad_batch(items, max_text, max_frames)
 
     def _native_io(self) -> bool:
-        """Use the C thread-pool npy loader unless every item already sits
-        in the in-memory cache (or the loader/env rules it out)."""
+        """Use the C thread-pool npy loader for corpora too large for the
+        in-memory item cache; small corpora go through load_item so epochs
+        after the first serve from memory (the native path bypasses — and
+        would otherwise never fill — the cache)."""
         if os.environ.get("EVERYVOICE_NO_NATIVE_IO"):
             return False
-        if len(self._cache) >= len(self.items):
+        if getattr(self, "_native_failed", False):
+            return False
+        if len(self.items) <= self.max_cache_items:
             return False
         from everyvoice_tpu.native import npy
 
@@ -328,10 +332,21 @@ class FastSpeech2Dataset:
                 if dur.exists():
                     tasks.append((dur, batch["durations"][i : i + 1], False))
         rows = npy.read_npy_many(tasks)
-        # Any failed read is an error, matching the np.load path's behavior
-        # — silently-zero pitch/energy/prior targets would poison training.
         for task_index, row_count in enumerate(rows):
+            if row_count == -2:
+                # Unexpected artifact dtype (e.g. externally produced i8/f8
+                # durations): permanently fall back to the np.load path,
+                # which coerces dtypes — never bit-reinterpret.
+                logger.warning(
+                    f"{tasks[task_index][0]} has a dtype the native loader "
+                    "does not handle; using the numpy loader from now on."
+                )
+                self._native_failed = True
+                items = _parallel_load(self.load_item, idxs)
+                return self.pad_batch(items, max_text, max_frames)
             if row_count < 0:
+                # Missing/corrupt file: an error, matching np.load's
+                # behavior — silently-zero targets would poison training.
                 raise OSError(f"Failed to read {tasks[task_index][0]}")
         for i, task_index in enumerate(mel_task_idx):
             batch["mel_lengths"][i] = rows[task_index]

@@ -364,7 +364,7 @@ class StyleTTS2DemoApp(DemoApp):
             wav = synthesize_text(
                 self.model, self.params, self.config, self.text_processor,
                 text,
-                language=payload.get("language"),
+                language=language,
                 ref_styles=ref,
                 diffusion_steps=int(payload.get("diffusion_steps", 5)),
                 embedding_scale=float(payload.get("embedding_scale", 1.0)),

@@ -105,6 +105,7 @@ class StyleTTS2Trainer(TrainerBase):
             binarization_loss,
             durations_from_hard_attention,
             forward_sum_loss,
+            phone_average,
             viterbi_alignment,
         )
         from everyvoice_tpu.models.styletts2.loss import (
@@ -180,14 +181,45 @@ class StyleTTS2Trainer(TrainerBase):
             )
             return hard, durations_from_hard_attention(hard)
 
+        def alignment_targets(gen_params, batch, phase):
+            """Gradient-free duration and token-prosody targets, computed
+            ONCE per step and shared by both loss functions: after
+            tma_epoch the Viterbi durations replace teacher durations, and
+            f0/energy token targets are re-averaged over the SAME hard
+            alignment (the dataloader's token averages were computed over
+            the stale teacher/uniform durations)."""
+            _, attn_logprob = model.apply(
+                jax.lax.stop_gradient(gen_params),
+                batch["text"], batch["text_lengths"], batch["mel"],
+                batch["mel_lengths"],
+                language_id=batch.get("language_id"),
+                deterministic=True,
+                method="align_text_mel",
+            )
+            hard, aligned = tma_durations(attn_logprob, batch)
+            tma_on = phase[0] > 0.5
+            return {
+                "durations": jnp.where(tma_on, aligned, batch["durations"]),
+                "f0_tokens": jnp.where(
+                    tma_on,
+                    phone_average(batch["f0_frames"], hard),
+                    batch["f0_tokens"],
+                ),
+                "energy_tokens": jnp.where(
+                    tma_on,
+                    phone_average(batch["energy_frames"], hard),
+                    batch["energy_tokens"],
+                ),
+            }
+
         def gen_loss_fn(gen_params, disc_params, batch, rng, slm_params,
-                        phase):
+                        phase, targets):
             # phase = [tma_on, diff_on, joint_on] as 0/1 floats — dynamic so
             # epoch transitions never trigger a recompile.
             tma_on, diff_on, joint_on = phase[0], phase[1], phase[2]
             rng_noise, rng_diff, rng_drop, rng_ood = jax.random.split(rng, 4)
-            # TMA attention first: after tma_epoch its Viterbi durations
-            # replace the (possibly absent) teacher durations everywhere.
+            # The TMA attention with gradients (for the mono/s2s losses);
+            # duration/prosody TARGETS come pre-computed in `targets`.
             attn_soft, attn_logprob = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
@@ -197,10 +229,8 @@ class StyleTTS2Trainer(TrainerBase):
                 rngs={"dropout": rng_drop},
                 method="align_text_mel",
             )
-            attn_hard, aligned_durs = tma_durations(attn_logprob, batch)
-            dur_targets = jnp.where(
-                tma_on > 0.5, aligned_durs, batch["durations"]
-            )
+            attn_hard, _ = tma_durations(attn_logprob, batch)
+            dur_targets = targets["durations"]
             out = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
@@ -235,14 +265,15 @@ class StyleTTS2Trainer(TrainerBase):
             losses["dur"] = duration_l1_loss(
                 out["duration_logits"], dur_targets, src_mask
             )
-            # Token-level prosody targets: average frame targets by duration.
+            # Token-level prosody targets, re-averaged over the current
+            # alignment once TMA takes over.
             losses["f0"] = f0_loss(
                 out["f0_prediction"],
-                batch["f0_tokens"],
+                targets["f0_tokens"],
                 src_mask,
             )
             losses["norm"] = norm_loss(
-                out["energy_prediction"], batch["energy_tokens"], src_mask
+                out["energy_prediction"], targets["energy_tokens"], src_mask
             )
             mpd_r, mpd_fr = mpd.apply(disc_params["mpd"], wav_real)
             mpd_f, mpd_ff = mpd.apply(disc_params["mpd"], wav_fake)
@@ -313,24 +344,13 @@ class StyleTTS2Trainer(TrainerBase):
             return total, losses
 
         def disc_loss_fn(disc_params, gen_params, batch, rng, slm_params,
-                         phase):
+                         phase, targets):
             rng_noise, rng_drop, rng_ood = jax.random.split(rng, 3)
             # Fakes must come from the same duration source the generator
-            # uses, or the discriminator trains against a distribution the
-            # generator no longer produces once TMA durations take over.
-            attn_for_durs, logprob_for_durs = model.apply(
-                gen_params,
-                batch["text"], batch["text_lengths"], batch["mel"],
-                batch["mel_lengths"],
-                language_id=batch.get("language_id"),
-                deterministic=True,
-                method="align_text_mel",
-            )
-            del attn_for_durs
-            _, aligned_durs = tma_durations(logprob_for_durs, batch)
-            dur_used = jnp.where(
-                phase[0] > 0.5, aligned_durs, batch["durations"]
-            )
+            # uses (shared pre-computed targets), or the discriminator
+            # trains against a distribution the generator no longer
+            # produces once TMA durations take over.
+            dur_used = targets["durations"]
             out = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
@@ -382,16 +402,19 @@ class StyleTTS2Trainer(TrainerBase):
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
                        batch, rng, slm_params, phase):
             rng, rng_d, rng_g = jax.random.split(rng, 3)
+            targets = alignment_targets(gen_params, batch, phase)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
-            )(disc_params, gen_params, batch, rng_d, slm_params, phase)
+            )(disc_params, gen_params, batch, rng_d, slm_params, phase,
+              targets)
             d_updates, disc_opt_state = disc_opt.update(
                 d_grads, disc_opt_state, disc_params
             )
             disc_params = optax.apply_updates(disc_params, d_updates)
             (g_loss, g_metrics), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True
-            )(gen_params, disc_params, batch, rng_g, slm_params, phase)
+            )(gen_params, disc_params, batch, rng_g, slm_params, phase,
+              targets)
             g_updates, gen_opt_state = gen_opt.update(
                 g_grads, gen_opt_state, gen_params
             )
@@ -467,29 +490,36 @@ class StyleTTS2Trainer(TrainerBase):
         tp = self.dataset.text_processor
         level = self.dataset.level.value
         max_len = self.dataset.max_text_len
-        tokens, lengths = [], []
+        min_chars = getattr(self.training_config, "OOD_min_length", 0) or 0
+        rows_by_lang = []
         for path in files:
-            lang = path.stem
             for row in generic_psv_filelist_reader(path):
                 text = row.get("text") or row.get("characters") or ""
-                if not text.strip():
-                    continue
-                try:
-                    ids = tp.encode_text(
-                        text,
-                        apply_g2p=(level == "phones"),
-                        lang_id=lang if level == "phones" else None,
-                        quiet=True,
-                    )
-                except Exception:
-                    ids = tp.encode_text(text, quiet=True)
-                if not ids:
-                    continue
-                ids = ids[:max_len]
-                lengths.append(len(ids))
-                tokens.append(ids + [0] * (max_len - len(ids)))
-                if len(tokens) >= max_sentences:
-                    break
+                if text.strip():
+                    rows_by_lang.append((path.stem, text))
+        long_enough = [r for r in rows_by_lang if len(r[1]) >= min_chars]
+        if rows_by_lang and not long_enough:
+            logger.warning(
+                f"All {len(rows_by_lang)} OOD sentences are shorter than "
+                f"OOD_min_length={min_chars}; using them anyway."
+            )
+            long_enough = rows_by_lang
+        tokens, lengths = [], []
+        for lang, text in long_enough:
+            try:
+                ids = tp.encode_text(
+                    text,
+                    apply_g2p=(level == "phones"),
+                    lang_id=lang if level == "phones" else None,
+                    quiet=True,
+                )
+            except Exception:
+                ids = tp.encode_text(text, quiet=True)
+            if not ids:
+                continue
+            ids = ids[:max_len]
+            lengths.append(len(ids))
+            tokens.append(ids + [0] * (max_len - len(ids)))
             if len(tokens) >= max_sentences:
                 break
         if not tokens:

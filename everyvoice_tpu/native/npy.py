@@ -28,13 +28,14 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.npy_header.restype = ctypes.c_int
     lib.npy_read_into.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
-        ctypes.c_long, ctypes.c_int,
+        ctypes.c_long, ctypes.c_int, ctypes.c_int,
     ]
     lib.npy_read_into.restype = ctypes.c_long
     lib.npy_read_many.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
     ]
     lib.npy_read_many.restype = ctypes.c_int
@@ -67,6 +68,18 @@ def npy_header(path) -> tuple:
     return rows.value, cols.value, bool(is_float.value)
 
 
+def _expect_float(dst) -> int:
+    """dst must be 4-byte float32 or int32; the C reader refuses any file
+    whose dtype disagrees (return -2) rather than bit-reinterpreting."""
+    import numpy as np
+
+    if dst.dtype == np.float32:
+        return 1
+    if dst.dtype == np.int32:
+        return 0
+    raise TypeError(f"native npy loader needs float32/int32 dst, got {dst.dtype}")
+
+
 def read_npy_into(path, dst, transpose: bool = False) -> int:
     """Fill the 2-D C-contiguous-rows numpy view `dst` from `path`,
     truncating to dst's shape; returns rows written."""
@@ -75,10 +88,10 @@ def read_npy_into(path, dst, transpose: bool = False) -> int:
     stride = dst.strides[0] // dst.itemsize
     n = _lib.npy_read_into(
         str(path).encode(), dst.ctypes.data_as(ctypes.c_void_p),
-        rows, cols, stride, int(transpose),
+        rows, cols, stride, int(transpose), _expect_float(dst),
     )
     if n < 0:
-        raise OSError(f"npy_read_into({path}) failed")
+        raise OSError(f"npy_read_into({path}) failed (code {n})")
     return n
 
 
@@ -101,11 +114,12 @@ def read_npy_many(tasks, n_threads: Optional[int] = None) -> list:
         *(t[1].strides[0] // t[1].itemsize for t in tasks)
     )
     transposes = (ctypes.c_int * n)(*(int(t[2]) for t in tasks))
+    expect_floats = (ctypes.c_int * n)(*(_expect_float(t[1]) for t in tasks))
     rows_out = (ctypes.c_long * n)()
     if n_threads is None:
         n_threads = min(os.cpu_count() or 4, 16)
     _lib.npy_read_many(
-        paths, dsts, max_rows, max_cols, strides, transposes, rows_out,
-        n, n_threads,
+        paths, dsts, max_rows, max_cols, strides, transposes, expect_floats,
+        rows_out, n, n_threads,
     )
     return list(rows_out)

@@ -117,11 +117,15 @@ int npy_header(const char *path, long *rows, long *cols, int *is_float) {
  * (T, n_mels)). Returns rows written to dst, or -1 on error.
  */
 long npy_read_into(const char *path, void *dst, long max_rows, long max_cols,
-                   long dst_row_stride, int transpose) {
+                   long dst_row_stride, int transpose, int expect_float) {
     FILE *f = fopen(path, "rb");
     if (!f) return -1;
     npy_info info;
     if (parse_header(f, &info) != 0) { fclose(f); return -1; }
+    /* A dtype mismatch must not silently bit-reinterpret values (-2 lets
+     * callers distinguish "wrong dtype, use the numpy fallback" from IO
+     * failure). */
+    if (info.is_float != expect_float) { fclose(f); return -2; }
     if (fseek(f, info.data_offset, SEEK_SET) != 0) { fclose(f); return -1; }
 
     long src_rows = info.rows, src_cols = info.cols;
@@ -174,6 +178,7 @@ typedef struct {
     const long *max_cols;
     const long *dst_strides;
     const int *transposes;
+    const int *expect_floats;
     long *rows_out;
     int n;
     atomic_int next;
@@ -186,7 +191,7 @@ static void *worker(void *arg) {
         if (i >= ctx->n) break;
         ctx->rows_out[i] = npy_read_into(
             ctx->paths[i], ctx->dsts[i], ctx->max_rows[i], ctx->max_cols[i],
-            ctx->dst_strides[i], ctx->transposes[i]);
+            ctx->dst_strides[i], ctx->transposes[i], ctx->expect_floats[i]);
     }
     return NULL;
 }
@@ -195,10 +200,10 @@ static void *worker(void *arg) {
  * rows_out[i] receives the per-file result of npy_read_into. Returns 0. */
 int npy_read_many(const char **paths, void **dsts, const long *max_rows,
                   const long *max_cols, const long *dst_strides,
-                  const int *transposes, long *rows_out, int n,
-                  int n_threads) {
+                  const int *transposes, const int *expect_floats,
+                  long *rows_out, int n, int n_threads) {
     many_ctx ctx = {paths, dsts, max_rows, max_cols, dst_strides,
-                    transposes, rows_out, n, 0};
+                    transposes, expect_floats, rows_out, n, 0};
     if (n_threads > n) n_threads = n;
     if (n_threads < 1) n_threads = 1;
     if (n_threads == 1) {

@@ -1386,9 +1386,20 @@ def write_config_package(state: dict, fmt: str = "yaml") -> Path:
         "source_data": source_data,
     }
     sample_rates = {d["sample_rate"] for d in datasets if d.get("sample_rate")}
+    if len(sample_rates) > 1:
+        logger.warning(
+            f"Datasets declare different sample rates {sorted(sample_rates)}; "
+            f"using {sorted(sample_rates)[0]} — audio at other rates will be "
+            "resampled during preprocessing."
+        )
     if sample_rates and sample_rates != {22050}:
+        rate = sorted(sample_rates)[0]
+        # All three rates move together; leaving output/alignment at the
+        # 22050 default would give a zero hop ratio downstream.
         data_config["audio"] = {
-            "input_sampling_rate": sorted(sample_rates)[0],
+            "input_sampling_rate": rate,
+            "output_sampling_rate": rate,
+            "alignment_sampling_rate": rate,
         }
     write_config_file(config_dir / files["data"], data_config)
 

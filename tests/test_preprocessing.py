@@ -340,6 +340,9 @@ class TestNativeBatchLoader:
         rows = generic_psv_filelist_reader(save_dir / "training_filelist.psv")
         lang2id, speaker2id = lookuptables_from_data((rows,))
         ds_native = FastSpeech2Dataset(rows, config, lang2id, speaker2id)
+        # Small corpora prefer the cached python path; force the native
+        # assembly path for the equivalence check.
+        ds_native.max_cache_items = 0
         ds_python = FastSpeech2Dataset(
             rows, config, lang2id, speaker2id,
             text_processor=ds_native.text_processor,

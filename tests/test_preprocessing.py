@@ -324,6 +324,46 @@ class TestOODExport:
         assert (ood / "fra.psv").exists()
         assert "out of domain" in (ood / "eng.psv").read_text()
 
+    def test_cli_ood_step_from_local_source(self, tmp_path, lj_corpus):
+        """`preprocess text-to-wav -s ood` gathers configured local OOD
+        text into {save_dir}/ood/<lang>.psv (reference
+        preprocessor.py:1242-1321, reachable from the CLI)."""
+        from click.testing import CliRunner
+
+        from everyvoice_tpu.cli import main
+        from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+        from everyvoice_tpu.utils import write_config_file
+
+        fs2_config, save_dir = lj_corpus
+        ood_file = tmp_path / "ood.txt"
+        ood_file.write_text(
+            "This sentence is long enough to clear the default minimum "
+            "length threshold for out of domain data.\n"
+            "Another sufficiently long out of domain sentence for the "
+            "discriminator to listen to carefully.\n"
+        )
+        config = StyleTTS2Config(
+            contact={"contact_name": "Test Runner",
+                     "contact_email": "info@everyvoice.ca"},
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.preprocessing.save_dir = save_dir
+        config.training.ood_raw_data = {
+            "eng": {"local_path": str(ood_file)}
+        }
+        config_path = tmp_path / "e2e.json"
+        write_config_file(config_path, config.model_dump(mode="json"))
+        result = CliRunner().invoke(
+            main,
+            ["preprocess", "text-to-wav", str(config_path), "-s", "ood"],
+        )
+        assert result.exit_code == 0, result.output
+        assert "eng" in result.output
+        staged = save_dir / "ood" / "eng.psv"
+        assert staged.exists()
+        assert "long enough" in staged.read_text()
+
 
 class TestNativeBatchLoader:
     def test_native_batches_match_python_path(self, lj_corpus):

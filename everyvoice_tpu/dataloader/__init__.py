@@ -388,8 +388,6 @@ class HiFiGANDataset:
         spec_type = self.audio_config.spec_type
         if not isinstance(spec_type, str):
             spec_type = spec_type.value
-        folder_prefix = "synthesized_spec" if self.finetune else "spec"
-        del folder_prefix  # finetune uses a different folder, same name
         return f"spec-{self.input_sr}-{spec_type}.npy"
 
     def _spec_folder(self) -> str:

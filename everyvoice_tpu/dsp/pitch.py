@@ -93,8 +93,11 @@ def _pick_lag(cmndf: jnp.ndarray, tau_min: int, tau_max: int) -> tuple:
     y1 = jnp.take_along_axis(cmndf, tau_star[..., None], axis=-1)[..., 0]
     y2 = jnp.take_along_axis(cmndf, tp1[..., None], axis=-1)[..., 0]
     denom = y0 - 2.0 * y1 + y2
+    # Sign-preserving guard: clamping with maximum() would flip the shift's
+    # sign wherever the local curvature is negative.
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
     shift = jnp.where(
-        jnp.abs(denom) > 1e-12, 0.5 * (y0 - y2) / jnp.maximum(denom, 1e-12), 0.0
+        jnp.abs(denom) > 1e-12, 0.5 * (y0 - y2) / safe_denom, 0.0
     )
     shift = jnp.clip(shift, -0.5, 0.5)
     refined_tau = tau_star.astype(jnp.float32) + shift

@@ -369,7 +369,11 @@ class FastSpeech2Trainer(TrainerBase):
         opt_state = shard_opt_state_like(
             jax.device_get(opt_state), self.optimizer.init, params
         )
-        rng = jax.random.PRNGKey(t.logger.name.__hash__() % (2**31))
+        import zlib
+
+        # crc32, not hash(): str.__hash__ is salted per process
+        # (PYTHONHASHSEED), which would make runs non-reproducible.
+        rng = jax.random.PRNGKey(zlib.crc32(t.logger.name.encode("utf8")))
 
         val_interval = t.val_check_interval or 500
         stop = False
@@ -417,7 +421,8 @@ class FastSpeech2Trainer(TrainerBase):
 
             for n_steps, sharded in prefetch(device_batches()):
                 bin_ramp = min(
-                    1.0, (self.epoch + 1) / t.attn_bin_loss_warmup_epochs
+                    1.0,
+                    (self.epoch + 1) / max(t.attn_bin_loss_warmup_epochs, 1),
                 )
                 if self.global_step == 1 and profile_steps:
                     self.start_profile(profile_steps)
@@ -719,16 +724,28 @@ class HiFiGANTrainer(TrainerBase):
         spe = max(int(steps_per_execution), 1)
         self.build_steps()
         gen_params, disc_params = self.init_params()
-        if t.finetune_checkpoint is not None:
-            ckpt = load_checkpoint(t.finetune_checkpoint)
-            state = ckpt["state_dict"]
-            gen_params = state.get("generator", gen_params)
-            disc_params = state.get("discriminators", disc_params)
-            self.global_step = ckpt.get("global_step", 0)
+        state, opt_restore = self.load_finetune_checkpoint(
+            {"generator": gen_params, "discriminators": disc_params}
+        )
+        gen_params = state.get("generator", gen_params)
+        disc_params = state.get("discriminators", disc_params)
+        gen_opt_state = self.gen_opt.init(gen_params)
+        disc_opt_state = self.disc_opt.init(disc_params)
+        if opt_restore is not None:
+            from flax import serialization
+
+            if opt_restore.get("gen") is not None:
+                gen_opt_state = serialization.from_state_dict(
+                    gen_opt_state, opt_restore["gen"]
+                )
+            if opt_restore.get("disc") is not None:
+                disc_opt_state = serialization.from_state_dict(
+                    disc_opt_state, opt_restore["disc"]
+                )
         gen_params = replicate_tree(gen_params, self.mesh)
         disc_params = replicate_tree(disc_params, self.mesh)
-        gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
-        disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
+        gen_opt_state = replicate_tree(gen_opt_state, self.mesh)
+        disc_opt_state = replicate_tree(disc_opt_state, self.mesh)
         rng = jax.random.PRNGKey(42)
 
         val_interval = t.val_check_interval or 500
@@ -812,8 +829,10 @@ class HiFiGANTrainer(TrainerBase):
     def validate(self, gen_params) -> dict:
         totals: dict = {}
         count = 0
+        # Validate at the training batch size so the jitted eval step reuses
+        # the training batch shape instead of compiling a second program.
         for batch in self.val_dataset.segment_batches(
-            max(self.n_devices, 1),
+            max(self.training_config.batch_size, self.n_devices, 1),
             self.audio_config.vocoder_segment_size,
             shuffle=False,
         ):

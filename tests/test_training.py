@@ -300,6 +300,32 @@ class TestHiFiGANTraining:
         )
         assert np.isfinite(np.asarray(wav)).all()
 
+        # Resume goes through the same config-diff gate as FS2
+        # (reference base_cli/helpers.py:278-375 applies it to every model):
+        # unchanged config → full resume restores step counters and both
+        # optimizer states.
+        hcfg2 = hcfg.model_copy(deep=True)
+        hcfg2.training.finetune_checkpoint = run_dir / "checkpoints" / "last.ckpt"
+        trainer2 = HiFiGANTrainer(
+            hcfg2, ds, vds, mesh=cpu_mesh,
+            run_dir=tmp_path_factory.mktemp("hfg_resume"),
+        )
+        gp2, dp2 = trainer2.fit(max_steps=4, log_every=1)
+        assert trainer2.global_step >= 4
+        # an architecture diff is a hard error
+        from everyvoice_tpu.exceptions import InvalidConfiguration
+
+        hcfg3 = hcfg2.model_copy(deep=True)
+        hcfg3.model.upsample_initial_channel = (
+            hcfg3.model.upsample_initial_channel * 2
+        )
+        trainer3 = HiFiGANTrainer(
+            hcfg3, ds, vds, mesh=cpu_mesh,
+            run_dir=tmp_path_factory.mktemp("hfg_archdiff"),
+        )
+        with pytest.raises(InvalidConfiguration, match="architecture"):
+            trainer3.fit(max_steps=1, log_every=1)
+
 
 class TestCheckpointTools:
     def test_save_load_roundtrip(self, tmp_path):

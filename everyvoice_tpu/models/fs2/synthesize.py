@@ -213,9 +213,17 @@ class Synthesizer:
         speaker: Optional[str] = None,
         duration_control: float = 1.0,
         style_reference: Optional[Path] = None,
+        batch_size: int = 16,
     ) -> list:
-        """Returns a list of result dicts: {text, mel (T,M), wav | None,
-        durations, tokens}."""
+        """Returns one result dict per input text, in order: {text,
+        mel (T,M) | None, wav | None, durations, tokens}. A text with no
+        valid symbols yields mel=None (so results stay index-aligned with
+        the caller's basenames).
+
+        Chunks from ALL texts are bucketed by padded token length and
+        dispatched in padded batches of up to `batch_size`, so a filelist
+        synthesis runs a handful of large MXU-friendly programs instead of
+        one dispatch per sentence (the batched path bench.py measures)."""
         import jax.numpy as jnp
 
         lang_for_g2p = language
@@ -226,43 +234,86 @@ class Synthesizer:
             if style_reference is not None
             else None
         )
-        results = []
-        for text in texts:
+        # ---- encode every text; flatten chunks with their origin indices
+        chunk_entries: list = []  # (text_idx, chunk_idx, ids)
+        n_chunks_per_text: list = []
+        for ti, text in enumerate(texts):
             chunks = self.encode(text, lang_for_g2p)
             if not chunks:
                 logger.warning(f"No valid symbols found in '{text}'; skipping.")
-                continue
-            mels, wavs, all_durations, all_tokens = [], [], [], []
-            # Bucket chunk lengths to bound compilation count.
-            for ids in chunks:
-                n = int(2 ** np.ceil(np.log2(max(len(ids), 16))))
-                fn = self._forward(n, with_style=style_mel is not None)
-                padded = np.zeros((1, n), np.int32)
-                padded[0, : len(ids)] = ids
-                extra = (style_mel,) if style_mel is not None else ()
+            n_chunks_per_text.append(len(chunks))
+            for ci, ids in enumerate(chunks):
+                chunk_entries.append((ti, ci, ids))
+
+        # ---- bucket by padded token length, dispatch padded batches
+        from collections import defaultdict
+
+        buckets: dict = defaultdict(list)
+        for entry in chunk_entries:
+            n = int(2 ** np.ceil(np.log2(max(len(entry[2]), 16))))
+            buckets[n].append(entry)
+        hop_total = self._samples_per_frame()
+        chunk_out: dict = {}  # (text_idx, chunk_idx) -> (mel, dur, ids, wav)
+        for n, group in sorted(buckets.items()):
+            fn = self._forward(n, with_style=style_mel is not None)
+            for off in range(0, len(group), batch_size):
+                sl = group[off : off + batch_size]
+                # Pad the batch dim to a power of two (≤ batch_size) so the
+                # compile count stays logarithmic in batch size.
+                b = int(2 ** np.ceil(np.log2(len(sl))))
+                b = max(min(b, batch_size), len(sl))
+                padded = np.zeros((b, n), np.int32)
+                lengths = np.ones((b,), np.int32)
+                for j, (_, _, ids) in enumerate(sl):
+                    padded[j, : len(ids)] = ids
+                    lengths[j] = len(ids)
+                extra = ()
+                if style_mel is not None:
+                    extra = (jnp.broadcast_to(
+                        style_mel, (b,) + style_mel.shape[1:]
+                    ),)
                 mel, frames, durations, wav = fn(
                     jnp.asarray(padded),
-                    jnp.asarray([len(ids)], np.int32),
-                    jnp.asarray([speaker_id], np.int32),
-                    jnp.asarray([language_id], np.int32),
+                    jnp.asarray(lengths),
+                    jnp.full((b,), speaker_id, np.int32),
+                    jnp.full((b,), language_id, np.int32),
                     duration_control,
                     *extra,
                 )
-                n_frames = int(np.asarray(frames)[0])
-                n_frames = max(min(n_frames, mel.shape[1]), 1)
-                mels.append(np.asarray(mel)[0, :n_frames])
-                all_durations.append(np.asarray(durations)[0, : len(ids)])
-                all_tokens.append(ids)
-                if wav is not None:
-                    hop_total = self._samples_per_frame()
-                    wavs.append(np.asarray(wav)[0, : n_frames * hop_total])
+                mel = np.asarray(mel)
+                frames = np.asarray(frames)
+                durations = np.asarray(durations)
+                wav = np.asarray(wav) if wav is not None else None
+                for j, (ti, ci, ids) in enumerate(sl):
+                    n_frames = max(min(int(frames[j]), mel.shape[1]), 1)
+                    chunk_out[(ti, ci)] = (
+                        mel[j, :n_frames],
+                        durations[j, : len(ids)],
+                        ids,
+                        wav[j, : n_frames * hop_total]
+                        if wav is not None
+                        else None,
+                    )
+
+        # ---- reassemble per-text results in order
+        results = []
+        for ti, text in enumerate(texts):
+            n_chunks = n_chunks_per_text[ti]
+            if n_chunks == 0:
+                results.append(
+                    {"text": text, "mel": None, "wav": None,
+                     "durations": [], "tokens": []}
+                )
+                continue
+            parts = [chunk_out[(ti, ci)] for ci in range(n_chunks)]
+            wavs = [p[3] for p in parts if p[3] is not None]
             results.append(
                 {
                     "text": text,
-                    "mel": np.concatenate(mels, axis=0),
+                    "mel": np.concatenate([p[0] for p in parts], axis=0),
                     "wav": np.concatenate(wavs) if wavs else None,
-                    "durations": all_durations,
-                    "tokens": all_tokens,
+                    "durations": [p[1] for p in parts],
+                    "tokens": [p[2] for p in parts],
                 }
             )
         return results
@@ -290,6 +341,8 @@ class Synthesizer:
         sr = self.config.preprocessing.audio.output_sampling_rate
         hop_s = self._samples_per_frame() / sr
         for i, res in enumerate(results):
+            if res["mel"] is None:
+                continue  # text had no valid symbols (warned at synthesis)
             if basenames is not None and i < len(basenames):
                 base = basenames[i]
             else:

@@ -211,6 +211,39 @@ class TestStyleTTS2SynthesizeCLI:
         assert len(wavs) == 1
 
 
+class TestBatchedSynthesis:
+    def test_batched_matches_sequential_and_keeps_alignment(
+        self, dummy_ckpts, tmp_path
+    ):
+        """Chunks from all texts are dispatched in padded batches; results
+        must stay index-aligned with the inputs (a text with no valid
+        symbols yields mel=None) and match one-text-at-a-time output."""
+        import numpy as np
+
+        from everyvoice_tpu.models.fs2.synthesize import Synthesizer
+
+        synth = Synthesizer(
+            dummy_ckpts["fs2"], vocoder_checkpoint=dummy_ckpts["generator"]
+        )
+        texts = ["hello world", "ሴስ", "the quick brown fox"]
+        batched = synth.synthesize(texts, batch_size=4)
+        assert len(batched) == 3
+        assert batched[1]["mel"] is None and batched[1]["wav"] is None
+        for i in (0, 2):
+            solo = synth.synthesize([texts[i]], batch_size=1)[0]
+            assert batched[i]["mel"].shape == solo["mel"].shape
+            np.testing.assert_allclose(
+                batched[i]["mel"], solo["mel"], rtol=1e-4, atol=1e-4
+            )
+            assert batched[i]["wav"] is not None
+        # write_outputs skips the empty entry but keeps basename pairing
+        written = synth.write_outputs(
+            batched, tmp_path, ("wav",), basenames=["a", "b", "c"]
+        )
+        names = sorted(p.name for p in written)
+        assert names == ["a--default--default.wav", "c--default--default.wav"]
+
+
 class TestLongFormSynthesis:
     def test_chunked_text_concatenates(self, runner, dummy_ckpts, tmp_path):
         """Long text is chunked at strong boundaries, synthesized per chunk,

@@ -349,8 +349,10 @@ class TestOODExport:
             text=fs2_config.text.model_dump(),
         )
         config.preprocessing.save_dir = save_dir
+        from everyvoice_tpu.models.styletts2.config import OODDataSource
+
         config.training.ood_raw_data = {
-            "eng": {"local_path": str(ood_file)}
+            "eng": OODDataSource(local_path=ood_file)
         }
         config_path = tmp_path / "e2e.json"
         write_config_file(config_path, config.model_dump(mode="json"))

@@ -161,19 +161,21 @@ def _gather_ood_texts(config) -> dict:
     training = config.training
     for lang, source in getattr(training, "ood_raw_data", {}).items():
         lines: list = []
-        if source.local_path is not None:
-            if Path(source.local_path).is_file():
-                raw = Path(source.local_path).read_text(
-                    encoding="utf8"
-                ).splitlines()
-                lines = _ood_lines_from_raw(raw)
-            else:
+        if source.local_path is not None and Path(source.local_path).is_file():
+            raw = Path(source.local_path).read_text(
+                encoding="utf8"
+            ).splitlines()
+            lines = _ood_lines_from_raw(raw)
+        elif source.hf is not None and source.hf.repo_id:
+            # Reached both when only hf is configured and when local_path
+            # is configured but missing — a stale local path must not
+            # shadow a working HF source.
+            if source.local_path is not None:
                 click.echo(
                     f"OOD source for '{lang}' points at a missing file "
-                    f"({source.local_path}); skipping that language.",
+                    f"({source.local_path}); trying the HuggingFace source.",
                     err=True,
                 )
-        elif source.hf is not None and source.hf.repo_id:
             try:
                 from huggingface_hub import hf_hub_download
 
@@ -188,6 +190,12 @@ def _gather_ood_texts(config) -> dict:
                     f"Could not fetch OOD data for '{lang}' from HuggingFace "
                     f"({e}); skipping that language.", err=True,
                 )
+        elif source.local_path is not None:
+            click.echo(
+                f"OOD source for '{lang}' points at a missing file "
+                f"({source.local_path}) and no HuggingFace source is "
+                "configured; skipping that language.", err=True,
+            )
         lines = _filter_ood_lines(lines, config)
         if lines:
             texts[lang] = lines
@@ -200,7 +208,13 @@ def _gather_ood_texts(config) -> dict:
             rows = []
         by_lang: dict = {}
         for row in rows:
-            text = row.get("characters") or row.get("raw_text") or ""
+            # Any text-bearing column works as OOD material — phones-only
+            # filelists (target representation 'phones') must not silently
+            # yield an empty harvest.
+            text = (
+                row.get("characters") or row.get("raw_text")
+                or row.get("text") or row.get("phones") or ""
+            )
             if text.strip():
                 by_lang.setdefault(row.get("language") or "und", []).append(text)
         for lang, lines in by_lang.items():

@@ -236,6 +236,11 @@ class FastSpeech2Dataset:
         use_native = self._native_io()
         for bi in range(n_batches):
             idxs = order[bi * batch_size : (bi + 1) * batch_size]
+            # Re-check mid-epoch: a dtype fallback inside _native_batch sets
+            # _native_failed, and retrying the native read every remaining
+            # batch would double the epoch's file IO (and repeat the warning).
+            if use_native and getattr(self, "_native_failed", False):
+                use_native = False
             if use_native:
                 yield self._native_batch(
                     [int(i) for i in idxs], batch_size, max_text, max_frames

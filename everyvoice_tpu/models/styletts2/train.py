@@ -12,6 +12,7 @@ first-stage checkpoint is picked up automatically from
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -213,7 +214,7 @@ class StyleTTS2Trainer(TrainerBase):
             }
 
         def gen_loss_fn(gen_params, disc_params, batch, rng, slm_params,
-                        phase, targets):
+                        phase, targets, ood_active):
             # phase = [tma_on, diff_on, joint_on] as 0/1 floats — dynamic so
             # epoch transitions never trigger a recompile.
             tma_on, diff_on, joint_on = phase[0], phase[1], phase[2]
@@ -327,13 +328,15 @@ class StyleTTS2Trainer(TrainerBase):
                     slm_head.apply(disc_params["slm"], feats_fake)
                 )
                 total = total + lc.lambda_slm * losses["slm"]
-            if slm_on and ood_bank is not None:
+            if slm_on and ood_bank is not None and ood_active:
                 # SLM-adversarial generation on out-of-domain text (the
                 # reference's slmadv, fed by preprocessor.py:1242-1321's ood/
                 # artifacts): synthesize OOD sentences end-to-end (predicted
                 # durations/F0/energy, style from in-domain references) and
-                # ask the SLM discriminator to call them real. Phases in at
-                # joint_epoch.
+                # ask the SLM discriminator to call them real. ood_active is
+                # STATIC (one recompile at joint_epoch) so the extra
+                # generator forward + WavLM pass is not even traced — let
+                # alone paid — during the epochs where its weight is zero.
                 ood_wav = synthesize_ood(gen_params, batch, rng_ood)
                 feats_ood = slm_feats(slm_params, ood_wav)
                 losses["slm_ood"] = slm_generator_loss(
@@ -344,7 +347,7 @@ class StyleTTS2Trainer(TrainerBase):
             return total, losses
 
         def disc_loss_fn(disc_params, gen_params, batch, rng, slm_params,
-                         phase, targets):
+                         phase, targets, ood_active):
             rng_noise, rng_drop, rng_ood = jax.random.split(rng, 3)
             # Fakes must come from the same duration source the generator
             # uses (shared pre-computed targets), or the discriminator
@@ -378,9 +381,10 @@ class StyleTTS2Trainer(TrainerBase):
                 )
                 loss = loss + slm_loss
                 metrics = {"disc/total": loss, "disc/slm": slm_loss}
-                if ood_bank is not None:
+                if ood_bank is not None and ood_active:
                     # Real = in-domain recordings; fake = OOD-text synthesis
-                    # (the slmadv discriminator side), from joint_epoch on.
+                    # (the slmadv discriminator side), from joint_epoch on
+                    # (ood_active is static — see gen_loss_fn).
                     ood_wav = jax.lax.stop_gradient(
                         synthesize_ood(gen_params, batch, rng_ood)
                     )
@@ -398,15 +402,15 @@ class StyleTTS2Trainer(TrainerBase):
 
         gen_opt, disc_opt = self.gen_opt, self.disc_opt
 
-        @jax.jit
+        @partial(jax.jit, static_argnames=("ood_active",))
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
-                       batch, rng, slm_params, phase):
+                       batch, rng, slm_params, phase, ood_active=False):
             rng, rng_d, rng_g = jax.random.split(rng, 3)
             targets = alignment_targets(gen_params, batch, phase)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
             )(disc_params, gen_params, batch, rng_d, slm_params, phase,
-              targets)
+              targets, ood_active)
             d_updates, disc_opt_state = disc_opt.update(
                 d_grads, disc_opt_state, disc_params
             )
@@ -414,7 +418,7 @@ class StyleTTS2Trainer(TrainerBase):
             (g_loss, g_metrics), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True
             )(gen_params, disc_params, batch, rng_g, slm_params, phase,
-              targets)
+              targets, ood_active)
             g_updates, gen_opt_state = gen_opt.update(
                 g_grads, gen_opt_state, gen_params
             )
@@ -636,9 +640,17 @@ class StyleTTS2Trainer(TrainerBase):
         rng = jax.random.PRNGKey(17)
         stop = False
         val_metrics: dict = {}
+        metrics: dict = {}
         while not stop and self.epoch < max_epochs:
             steps_at_epoch_start = self.global_step
             phase = self.phase_weights(self.epoch)
+            # Static per-epoch flag: OOD slmadv synthesis is only traced
+            # (and paid) from joint_epoch on — one extra compile at the
+            # phase boundary instead of dead compute every earlier step.
+            ood_active = (
+                self.mode == "second"
+                and self.epoch >= t.losses.joint_epoch
+            )
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
             def device_batches():
@@ -654,6 +666,7 @@ class StyleTTS2Trainer(TrainerBase):
                  metrics, rng) = self._train_step(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
                     sharded, rng, slm_params, phase,
+                    ood_active=ood_active,
                 )
                 self.global_step += 1
                 if self.global_step % log_every == 0:
@@ -675,9 +688,14 @@ class StyleTTS2Trainer(TrainerBase):
             val_metrics = self.validate(gen_params)
             if val_metrics:
                 self.log_metrics(val_metrics, self.global_step)
-        monitored = val_metrics.get(
-            "validation/total", float(metrics["gen/total"])
-        )
+        if "validation/total" in val_metrics:
+            monitored = val_metrics["validation/total"]
+        elif metrics:
+            monitored = float(metrics["gen/total"])
+        else:
+            # Zero-epoch run (e.g. a smoke config): nothing trained, so
+            # there is no loss to rank on — still write the checkpoint.
+            monitored = float("inf")
         self.maybe_checkpoint(
             float(monitored),
             {"generator": gen_params, "discriminators": disc_params},

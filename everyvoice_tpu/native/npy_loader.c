@@ -56,14 +56,18 @@ static int parse_header(FILE *f, npy_info *info) {
     }
     header[header_len] = '\0';
 
-    if (strstr(header, "'fortran_order': True")) { free(header); return -1; }
+    /* A well-formed .npy whose layout we don't read (Fortran order, or any
+     * dtype other than '<f4'/'<i4' — e.g. default int64 durations saved by
+     * np.save) is -2: "valid file, use the numpy fallback", distinct from
+     * the -1 corrupt/missing errors above. */
+    if (strstr(header, "'fortran_order': True")) { free(header); return -2; }
     if (strstr(header, "'<f4'")) {
         info->elem_size = 4; info->is_float = 1;
     } else if (strstr(header, "'<i4'")) {
         info->elem_size = 4; info->is_float = 0;
     } else {
         free(header);
-        return -1;
+        return -2;
     }
     char *shape = strstr(header, "'shape':");
     if (!shape) { free(header); return -1; }
@@ -101,7 +105,7 @@ int npy_header(const char *path, long *rows, long *cols, int *is_float) {
     npy_info info;
     int rc = parse_header(f, &info);
     fclose(f);
-    if (rc != 0) return -1;
+    if (rc != 0) return rc;
     *rows = info.rows;
     *cols = info.cols;
     *is_float = info.is_float;
@@ -121,7 +125,8 @@ long npy_read_into(const char *path, void *dst, long max_rows, long max_cols,
     FILE *f = fopen(path, "rb");
     if (!f) return -1;
     npy_info info;
-    if (parse_header(f, &info) != 0) { fclose(f); return -1; }
+    int hdr_rc = parse_header(f, &info);
+    if (hdr_rc != 0) { fclose(f); return hdr_rc; }
     /* A dtype mismatch must not silently bit-reinterpret values (-2 lets
      * callers distinguish "wrong dtype, use the numpy fallback" from IO
      * failure). */

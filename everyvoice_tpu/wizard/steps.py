@@ -192,7 +192,15 @@ class FilelistFormatStep(DatasetStep):
         path = self.dataset["filelist"]
         rows = []
         with open(path, newline="", encoding="utf8") as f:
-            for record in csv.reader(f, delimiter=delimiter):
+            # Same dialect as the project's own filelist readers/writers
+            # (utils.generic_xsv_filelist_reader: no quoting, backslash
+            # escapes) so a filelist this framework wrote — including
+            # escaped delimiters inside text — survives the wizard round
+            # trip.
+            for record in csv.reader(
+                f, delimiter=delimiter, quoting=csv.QUOTE_NONE,
+                escapechar="\\",
+            ):
                 rows.append(record)
                 if limit is not None and len(rows) >= limit:
                     break

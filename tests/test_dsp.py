@@ -468,12 +468,27 @@ class TestNativeNpyLoader:
         assert np.array_equal(batch[1, :60], a.T[:60])
         assert np.array_equal(ints[0, :50], b)
 
-    def test_unsupported_dtype_reports_failure(self, tmp_path):
+    def test_unsupported_layouts_request_numpy_fallback(self, tmp_path):
+        """Valid-but-unreadable files (foreign dtype, Fortran order) must
+        report -2 (dtype fallback) — not -1, which callers treat as
+        missing/corrupt and turn into a hard OSError."""
         from everyvoice_tpu.native import npy as native_npy
 
         if not native_npy.available():
             pytest.skip("no C compiler in this environment")
         np.save(tmp_path / "f64.npy", np.zeros(4, np.float64))
-        dst = np.zeros((1, 4), np.float32)
-        rows = native_npy.read_npy_many([(tmp_path / "f64.npy", dst, False)])
-        assert rows == [-1]
+        # np.save of a plain python-int array writes '<i8' — the dtype the
+        # reference's externally produced duration artifacts arrive in.
+        np.save(tmp_path / "i64.npy", np.array([1, 2, 3]))
+        np.save(tmp_path / "fortran.npy", np.asfortranarray(
+            np.zeros((3, 4), np.float32)
+        ))
+        f_dst = np.zeros((1, 4), np.float32)
+        i_dst = np.zeros((1, 3), np.int32)
+        rows = native_npy.read_npy_many([
+            (tmp_path / "f64.npy", f_dst, False),
+            (tmp_path / "i64.npy", i_dst, False),
+            (tmp_path / "fortran.npy", f_dst, False),
+            (tmp_path / "missing.npy", f_dst, False),
+        ])
+        assert rows == [-2, -2, -2, -1]

@@ -406,3 +406,48 @@ class TestNativeBatchLoader:
                 if key == "basenames":
                     continue
                 assert np.array_equal(nb[key], pb[key]), key
+
+    def test_foreign_dtype_falls_back_once_per_epoch(self, lj_corpus):
+        """A float64 artifact (e.g. externally produced) must drop the
+        epoch to the np.load path after ONE failed native read — not
+        hard-error, and not retry the native read for every batch."""
+        from everyvoice_tpu.dataloader import FastSpeech2Dataset
+        from everyvoice_tpu.native import npy as native_npy
+        from everyvoice_tpu.text.lookups import lookuptables_from_data
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        if not native_npy.available():
+            pytest.skip("no C compiler in this environment")
+        config, save_dir = lj_corpus
+        rows = generic_psv_filelist_reader(save_dir / "training_filelist.psv")
+        lang2id, speaker2id = lookuptables_from_data((rows,))
+        ds = FastSpeech2Dataset(rows, config, lang2id, speaker2id)
+        ds.max_cache_items = 0
+        assert ds._native_io()
+        pitch_path = ds._path(ds.items[0], "pitch", "pitch.npy")
+        original = np.load(pitch_path)
+        calls = {"n": 0}
+        real_read_many = native_npy.read_npy_many
+
+        def counting_read_many(tasks, n_threads=None):
+            calls["n"] += 1
+            return real_read_many(tasks, n_threads)
+
+        try:
+            np.save(pitch_path, original.astype(np.float64))
+            native_npy.read_npy_many = counting_read_many
+            batches = list(ds.batches(1, shuffle=False))
+        finally:
+            native_npy.read_npy_many = real_read_many
+            np.save(pitch_path, original)
+        assert len(batches) == len(ds.items)
+        assert ds._native_failed
+        # Exactly one native attempt (the failing first batch); every later
+        # batch goes straight to np.load instead of re-reading everything
+        # natively first.
+        assert calls["n"] == 1
+        np.testing.assert_allclose(
+            batches[0]["pitch"][0, : original.shape[-1]],
+            original.astype(np.float32).reshape(-1),
+            rtol=1e-6, atol=1e-6,
+        )

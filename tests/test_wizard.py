@@ -436,6 +436,35 @@ class TestFilelistFormats:
         assert rows[0]["basename"] == "item1"
         assert rows[0]["characters"] == "hello world"
 
+    def test_escaped_delimiter_round_trip(self, tmp_path):
+        """A psv filelist written by this framework's own write_filelist —
+        including a backslash-escaped pipe inside the text — must parse
+        back through the wizard with the same dialect (no quoting,
+        backslash escapes)."""
+        from everyvoice_tpu.utils import write_filelist
+
+        filelist = tmp_path / "escaped.psv"
+        write_filelist(
+            [
+                {"basename": "item1", "characters": "hello | world"},
+                {"basename": "item2", "characters": "plain text"},
+            ],
+            filelist,
+        )
+        assert "\\|" in filelist.read_text()
+        answers = self._base(tmp_path) + [
+            str(filelist), "yes", "psv",
+            "characters", "none",
+            "no", "eng", "keep", str(tmp_path), "no",
+            "22050", "none", "esc",
+            "no", "skip", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        assert len(rows) == 2
+        assert rows[0]["characters"] == "hello | world"
+
     def test_validate_wavs_retry_path(self, tmp_path):
         good_wavs = LJ_DATA / "lj" / "wavs"
         answers = self._base(tmp_path) + [

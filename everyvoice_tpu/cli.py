@@ -348,7 +348,8 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
                       model_parallel=parse_strategy(strategy))
     trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh,
                              gradient_clip_val=gradient_clip_val)
-    trainer.fit()
+    trainer.fit(profile_steps=profile_steps,
+                steps_per_execution=steps_per_execution)
     click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
 
 
@@ -375,7 +376,8 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
                       model_parallel=parse_strategy(strategy))
     trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
                                mode=mode, gradient_clip_val=gradient_clip_val)
-    trainer.fit()
+    trainer.fit(profile_steps=profile_steps,
+                steps_per_execution=steps_per_execution)
     click.echo(f"Stage {mode} training complete; checkpoints at {trainer.ckpt_dir}")
 
 

@@ -227,6 +227,18 @@ class Synthesizer:
         import jax.numpy as jnp
 
         lang_for_g2p = language
+        # An explicit unknown name is a hard error — silently mapping a
+        # typo'd --speaker to id 0 synthesizes the wrong voice.
+        if speaker is not None and self.speaker2id and speaker not in self.speaker2id:
+            raise ValueError(
+                f"Unknown speaker '{speaker}'; valid speakers: "
+                f"{sorted(self.speaker2id)}"
+            )
+        if language is not None and self.lang2id and language not in self.lang2id:
+            raise ValueError(
+                f"Unknown language '{language}'; valid languages: "
+                f"{sorted(self.lang2id)}"
+            )
         speaker_id = self.speaker2id.get(speaker or "default", 0)
         language_id = self.lang2id.get(language or "default", 0)
         style_mel = (
@@ -499,10 +511,13 @@ def synthesize_teacher_forced_specs(
         )
         mel = np.asarray(out.get("postnet_mel", out["mel"]))
         for i, base in enumerate(basenames):
-            if i >= len(batch["mel_lengths"]):
+            # The final ragged batch is padded by repeating the last item
+            # (basenames included), so stop at the corpus size — the guard
+            # must be on items written, not on batch row count.
+            if count >= len(dataset.items):
                 break
             n = int(batch["mel_lengths"][i])
-            item = dataset.items[count] if count < len(dataset.items) else {}
+            item = dataset.items[count]
             speaker = item.get("speaker") or "default"
             language = item.get("language") or "default"
             np.save(

@@ -598,7 +598,14 @@ class StyleTTS2Trainer(TrainerBase):
             )
         return gen_params, disc_params
 
-    def fit(self, max_steps: Optional[int] = None, log_every: int = 10):
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
+            profile_steps: int = 0, steps_per_execution: int = 1):
+        if steps_per_execution > 1:
+            logger.warning(
+                "StyleTTS2 training does not support multi-step dispatch "
+                "(two optimizers + per-epoch phase flags); running with "
+                "steps_per_execution=1."
+            )
         t = self.training_config
         max_steps = max_steps if max_steps is not None else t.max_steps
         max_epochs = t.epochs_1st if self.mode == "first" else t.epochs_2nd
@@ -641,6 +648,7 @@ class StyleTTS2Trainer(TrainerBase):
         stop = False
         val_metrics: dict = {}
         metrics: dict = {}
+        dispatches = 0
         while not stop and self.epoch < max_epochs:
             steps_at_epoch_start = self.global_step
             phase = self.phase_weights(self.epoch)
@@ -662,13 +670,17 @@ class StyleTTS2Trainer(TrainerBase):
                     yield shard_batch(host_batch, self.mesh)
 
             for sharded in prefetch(device_batches()):
+                if dispatches == 1 and profile_steps:
+                    self.start_profile(profile_steps)
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
                  metrics, rng) = self._train_step(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
                     sharded, rng, slm_params, phase,
                     ood_active=ood_active,
                 )
+                dispatches += 1
                 self.global_step += 1
+                self.tick_profile()
                 if self.global_step % log_every == 0:
                     self.log_metrics(
                         {f"training/{k}": v for k, v in metrics.items()},

@@ -34,6 +34,27 @@ from everyvoice_tpu.parallel.mesh import (
 )
 
 
+def _resolve_val_interval(value, steps_per_epoch: int) -> int:
+    """Validation cadence in optimizer steps. Lightning semantics
+    (reference base_cli: Trainer(val_check_interval=...)): an int is
+    "every N steps"; a float <= 1.0 is a fraction of an epoch.
+
+    >>> _resolve_val_interval(500, 1000)
+    500
+    >>> _resolve_val_interval(0.25, 1000)
+    250
+    >>> _resolve_val_interval(None, 1000)
+    500
+    >>> _resolve_val_interval(1.0, 7)
+    7
+    """
+    if value is None:
+        return 500
+    if isinstance(value, float) and value <= 1.0:
+        return max(1, int(value * max(steps_per_epoch, 1)))
+    return max(1, int(value))
+
+
 def _decompress(batch: dict) -> dict:
     """Undo compress_for_transfer inside jit (f16 -> f32, fused away)."""
     return {
@@ -93,6 +114,11 @@ class TrainerBase:
         self._save(last_path, params, opt_state, extra)
         if keep <= 0:
             return
+        if len(self._topk) >= keep and metric_value >= self._topk[-1][0]:
+            # Would be evicted immediately — don't write it at all. (Also
+            # avoids unlinking a file the async writer thread is still
+            # about to create, which would leak it on disk.)
+            return
         tagged = self.ckpt_dir / (
             f"epoch={self.epoch}-step={self.global_step}-"
             f"loss={metric_value:.4f}.ckpt"
@@ -101,6 +127,9 @@ class TrainerBase:
         self._topk.append((metric_value, tagged))
         self._topk.sort(key=lambda pair: pair[0])
         while len(self._topk) > keep:
+            # Evicted checkpoints were written by earlier writer threads,
+            # which _save joined before starting the current one — the file
+            # exists, so the unlink really removes it.
             _, worst = self._topk.pop()
             worst.unlink(missing_ok=True)
 
@@ -375,8 +404,12 @@ class FastSpeech2Trainer(TrainerBase):
         # (PYTHONHASHSEED), which would make runs non-reproducible.
         rng = jax.random.PRNGKey(zlib.crc32(t.logger.name.encode("utf8")))
 
-        val_interval = t.val_check_interval or 500
+        val_interval = _resolve_val_interval(
+            t.val_check_interval, len(self.dataset.items) // max(t.batch_size, 1)
+        )
         stop = False
+        dispatches = 0
+        last_val_step = -1
         while not stop and self.epoch < t.max_epochs:
             steps_at_epoch_start = self.global_step
             seed = self.epoch
@@ -424,7 +457,10 @@ class FastSpeech2Trainer(TrainerBase):
                     1.0,
                     (self.epoch + 1) / max(t.attn_bin_loss_warmup_epochs, 1),
                 )
-                if self.global_step == 1 and profile_steps:
+                # Profile from the second dispatch (the first one compiles),
+                # counted in dispatches so multi-step execution and resumed
+                # runs (global_step > 0) still trigger it.
+                if dispatches == 1 and profile_steps:
                     self.start_profile(profile_steps)
                 step_fn = (
                     self._train_step if n_steps == 1 else self._multi_train_step
@@ -432,6 +468,7 @@ class FastSpeech2Trainer(TrainerBase):
                 params, opt_state, losses, rng = step_fn(
                     params, opt_state, sharded, rng, bin_ramp
                 )
+                dispatches += 1
                 prev_step = self.global_step
                 self.global_step += n_steps
                 self.tick_profile()
@@ -443,10 +480,9 @@ class FastSpeech2Trainer(TrainerBase):
                         t.optimizer, self.global_step, self.model.dim
                     )
                     self.log_metrics(metrics, self.global_step)
-                if self.global_step // val_interval > prev_step // val_interval or (
-                    self.global_step >= max_steps
-                ):
+                if self.global_step // val_interval > prev_step // val_interval:
                     val = self.validate(params)
+                    last_val_step = self.global_step
                     self.log_metrics(
                         {f"validation/{k}": v for k, v in val.items()},
                         self.global_step,
@@ -461,9 +497,11 @@ class FastSpeech2Trainer(TrainerBase):
                     "empty (check filelists and preprocessed artifacts)."
                 )
             self.epoch += 1
-        # Always leave a final checkpoint behind.
-        val = self.validate(params)
-        self.maybe_checkpoint(val["total"], params, opt_state)
+        # Always leave a final checkpoint behind — unless the last in-loop
+        # validation already checkpointed this exact step.
+        if last_val_step != self.global_step:
+            val = self.validate(params)
+            self.maybe_checkpoint(val["total"], params, opt_state)
         self.wait_for_checkpoints()
         return params
 
@@ -527,7 +565,14 @@ class FastSpeech2Trainer(TrainerBase):
             wav = np.asarray(
                 generator.apply(vparams, jnp.asarray(pred[:1]))
             )[0]
-            hop = self.config.preprocessing.audio.fft_hop_size
+            # Samples per input-rate frame: hop scaled by the output/input
+            # rate ratio (the vocoder emits at output_sampling_rate).
+            audio_cfg = self.config.preprocessing.audio
+            hop = audio_cfg.fft_hop_size * max(
+                audio_cfg.output_sampling_rate
+                // audio_cfg.input_sampling_rate,
+                1,
+            )
             self.tb_writer.add_audio(
                 "validation/audio_predicted",
                 wav[: n_frames * hop],
@@ -639,20 +684,31 @@ class HiFiGANTrainer(TrainerBase):
                       batch, rng, gan_on):
             batch = _decompress(batch)
             mel_segs, audio_segs = batch["mel"], batch["audio"]
-            # --- discriminator step (skipped content-wise when gan_on=0 by
-            # zeroing its gradient contribution)
+            # --- discriminator step. During generator warmup (gan_on=0)
+            # the WHOLE update is discarded — zeroing only the gradients
+            # would still let AdamW's decoupled weight decay (and the wgan
+            # clip) drift the discriminator from its initialization.
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
             )(disc_params, gen_params, mel_segs, audio_segs)
-            d_grads = jax.tree.map(lambda g: g * gan_on, d_grads)
-            d_updates, disc_opt_state = disc_opt.update(
+            d_updates, new_disc_opt_state = disc_opt.update(
                 d_grads, disc_opt_state, disc_params
             )
-            disc_params = optax.apply_updates(disc_params, d_updates)
+            new_disc_params = optax.apply_updates(disc_params, d_updates)
             if gan_type == "wgan":
-                disc_params = jax.tree.map(
-                    lambda p: jnp.clip(p, -wgan_clip, wgan_clip), disc_params
+                new_disc_params = jax.tree.map(
+                    lambda p: jnp.clip(p, -wgan_clip, wgan_clip),
+                    new_disc_params,
                 )
+            disc_on = gan_on > 0
+            disc_params = jax.tree.map(
+                lambda new, old: jnp.where(disc_on, new, old),
+                new_disc_params, disc_params,
+            )
+            disc_opt_state = jax.tree.map(
+                lambda new, old: jnp.where(disc_on, new, old),
+                new_disc_opt_state, disc_opt_state,
+            )
             # --- generator step
             (g_loss, g_metrics), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True
@@ -718,7 +774,7 @@ class HiFiGANTrainer(TrainerBase):
         return gen_params, disc_params
 
     def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
-            steps_per_execution: int = 1):
+            profile_steps: int = 0, steps_per_execution: int = 1):
         t = self.training_config
         max_steps = max_steps if max_steps is not None else t.max_steps
         spe = max(int(steps_per_execution), 1)
@@ -748,8 +804,12 @@ class HiFiGANTrainer(TrainerBase):
         disc_opt_state = replicate_tree(disc_opt_state, self.mesh)
         rng = jax.random.PRNGKey(42)
 
-        val_interval = t.val_check_interval or 500
+        val_interval = _resolve_val_interval(
+            t.val_check_interval, len(self.dataset.items) // max(t.batch_size, 1)
+        )
         stop = False
+        dispatches = 0
+        last_val_step = -1
         while not stop and self.epoch < t.max_epochs:
             steps_at_epoch_start = self.global_step
             from everyvoice_tpu.dataloader.prefetch import prefetch
@@ -777,6 +837,10 @@ class HiFiGANTrainer(TrainerBase):
 
             for n_steps, sharded in prefetch(device_batches()):
                 gan_on = 1.0 if self.global_step >= t.generator_warmup_steps else 0.0
+                if dispatches == 1 and profile_steps:
+                    # Second dispatch: the first compiled. Counted in
+                    # dispatches so spe > 1 and resumed runs still trigger.
+                    self.start_profile(profile_steps)
                 step_fn = (
                     self._train_step if n_steps == 1 else self._multi_train_step
                 )
@@ -785,8 +849,10 @@ class HiFiGANTrainer(TrainerBase):
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
                     sharded, rng, gan_on,
                 )
+                dispatches += 1
                 prev_step = self.global_step
                 self.global_step += n_steps
+                self.tick_profile()
                 if self.global_step // log_every > prev_step // log_every:
                     from everyvoice_tpu.train.optim import learning_rate_at
 
@@ -795,10 +861,9 @@ class HiFiGANTrainer(TrainerBase):
                         t.optimizer, self.global_step
                     )
                     self.log_metrics(logged, self.global_step)
-                if self.global_step // val_interval > prev_step // val_interval or (
-                    self.global_step >= max_steps
-                ):
+                if self.global_step // val_interval > prev_step // val_interval:
                     val = self.validate(gen_params)
+                    last_val_step = self.global_step
                     self.log_metrics(
                         {f"validation/{k}": v for k, v in val.items()},
                         self.global_step,
@@ -817,12 +882,13 @@ class HiFiGANTrainer(TrainerBase):
                     "empty (check filelists and preprocessed artifacts)."
                 )
             self.epoch += 1
-        val = self.validate(gen_params)
-        self.maybe_checkpoint(
-            val["total"],
-            {"generator": gen_params, "discriminators": disc_params},
-            {"gen": gen_opt_state, "disc": disc_opt_state},
-        )
+        if last_val_step != self.global_step:
+            val = self.validate(gen_params)
+            self.maybe_checkpoint(
+                val["total"],
+                {"generator": gen_params, "discriminators": disc_params},
+                {"gen": gen_opt_state, "disc": disc_opt_state},
+            )
         self.wait_for_checkpoints()
         return gen_params, disc_params
 

@@ -21,26 +21,34 @@ import numpy as np
 # CRC32C (Castagnoli), table-driven
 
 
-def _make_crc32c_table() -> np.ndarray:
+def _make_crc32c_table() -> list:
     poly = 0x82F63B78
-    table = np.zeros(256, dtype=np.uint32)
+    table = []
     for i in range(256):
         crc = i
         for _ in range(8):
             crc = (crc >> 1) ^ (poly if crc & 1 else 0)
-        table[i] = crc
+        table.append(crc)
     return table
 
 
-_CRC_TABLE = _make_crc32c_table()
+try:  # C extension when present — audio/image events are hundreds of KB,
+    # and a per-byte Python CRC loop would stall the train loop for
+    # seconds at every validation media flush.
+    import google_crc32c as _gcrc
 
+    def crc32c(data: bytes) -> int:
+        return _gcrc.value(data)
 
-def crc32c(data: bytes) -> int:
-    crc = 0xFFFFFFFF
-    arr = np.frombuffer(data, dtype=np.uint8)
-    for byte in arr:
-        crc = (_CRC_TABLE[(crc ^ int(byte)) & 0xFF] ^ (crc >> 8)) & 0xFFFFFFFF
-    return crc ^ 0xFFFFFFFF
+except ImportError:  # pragma: no cover - environment without the wheel
+    _CRC_TABLE = _make_crc32c_table()
+
+    def crc32c(data: bytes) -> int:
+        crc = 0xFFFFFFFF
+        table = _CRC_TABLE
+        for byte in data:
+            crc = table[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
 
 
 def masked_crc(data: bytes) -> int:

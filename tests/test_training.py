@@ -362,6 +362,39 @@ class TestCheckpointTools:
             rename_speaker(path, "nope", "x", tmp_path / "y.ckpt")
 
 
+class TestTopKRetention:
+    def test_worse_than_topk_is_never_written(self, tmp_path):
+        """A checkpoint that would be evicted immediately must not be
+        written at all — saving it and unlinking races the async writer
+        thread (the unlink lands before the file exists and the file
+        leaks on disk forever)."""
+        from types import SimpleNamespace
+
+        from everyvoice_tpu.train.loop import TrainerBase
+
+        tr = TrainerBase.__new__(TrainerBase)
+        tr.training_config = SimpleNamespace(save_top_k_ckpts=2)
+        tr.ckpt_dir = tmp_path
+        tr.config = {}
+        tr.model_name = "FastSpeech2"
+        tr.epoch = 0
+        tr._topk = []
+        params = {"w": np.zeros(2, np.float32)}
+        for step, metric in [(1, 1.0), (2, 2.0), (3, 3.0), (4, 0.5)]:
+            tr.global_step = step
+            tr.maybe_checkpoint(metric, params, None)
+        tr.wait_for_checkpoints()
+        kept = sorted(p.name for p in tmp_path.glob("epoch=*.ckpt"))
+        # top-2 of {1.0, 2.0, 3.0, 0.5} = {0.5, 1.0}; the 3.0 checkpoint
+        # was never written, and the 2.0 one was evicted and removed.
+        assert kept == [
+            "epoch=0-step=1-loss=1.0000.ckpt",
+            "epoch=0-step=4-loss=0.5000.ckpt",
+        ]
+        assert (tmp_path / "last.ckpt").exists()
+        assert [m for m, _ in tr._topk] == [0.5, 1.0]
+
+
 @pytest.mark.slow
 class TestLegacyDurations:
     """learn_alignment=False consumes pre-extracted duration/ artifacts

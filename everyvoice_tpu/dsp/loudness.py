@@ -79,10 +79,13 @@ def integrated_loudness(audio: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
     n_taps = fir.shape[0]
     batch, channels, t = audio.shape
     x = audio.reshape((-1, 1, t))
+    # lax.conv is cross-correlation; flip the taps and left-pad so the
+    # causal filter y[n] = sum_j h[j]·x[n-j] is applied causally (matching
+    # lfilter/pyloudnorm transient placement), not time-reversed.
     weighted = jax.lax.conv_general_dilated(
-        x, fir.reshape(1, 1, -1),
+        x, fir[::-1].reshape(1, 1, -1),
         window_strides=(1,),
-        padding=[(0, n_taps - 1)],
+        padding=[(n_taps - 1, 0)],
         dimension_numbers=("NCW", "OIW", "NCW"),
         precision=jax.lax.Precision.HIGHEST,
     )[..., :t].reshape(batch, channels, t)

@@ -26,7 +26,10 @@ def get_segment(
         pad = segment_size - t_len
         padded = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, pad)])
         return padded, jnp.asarray(0)
-    max_start = t_len - segment_size - 1
+    # Inclusive last valid start (t_len - segment_size), matching the
+    # reference's random.randint bounds — randint's upper bound here is
+    # exclusive, so add 1.
+    max_start = t_len - segment_size
     if start is None:
         assert key is not None, "Provide a PRNG key for random segment sampling"
         start = jax.random.randint(key, (), 0, max_start + 1)
@@ -52,7 +55,8 @@ def get_segments_batched(
 
     def one(row, length, k, given_start):
         max_start = jnp.maximum(length - segment_size, 0)
-        random_start = jax.random.randint(k, (), 0, jnp.maximum(max_start, 1))
+        # Upper bound exclusive: +1 keeps the final valid start reachable.
+        random_start = jax.random.randint(k, (), 0, max_start + 1)
         start = random_start if given_start is None else given_start
         seg = jax.lax.dynamic_slice_in_dim(row, start, segment_size, axis=row_axis)
         # Zero out any padding the slice may have captured for short rows.

@@ -72,10 +72,13 @@ class Counters:
     (reference helpers.py:109-130; no Manager lock needed — batching removed
     the process pool)."""
 
+    # Field names match the reference's counter set (helpers.py:109-122);
+    # "nans" stays 0 by construction here — batched F0 interpolates
+    # unvoiced gaps on device, so no NaN ever reaches an artifact.
     FIELDS = (
-        "duration", "nans", "audio_empty", "audio_too_short",
-        "audio_too_long", "audio_too_quiet", "skipped_processes",
-        "missing_files", "multichannel",
+        "processed_files", "previously_processed_files", "duration", "nans",
+        "audio_empty", "audio_too_short", "audio_too_long",
+        "skipped_processes", "missing_files", "multichannel", "sox_error",
     )
 
     def __init__(self):

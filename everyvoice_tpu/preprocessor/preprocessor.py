@@ -60,6 +60,10 @@ class Preprocessor:
         self.missing_files_list: list = []
         self.multichannel_files_list: list = []
         self.overwrite = False
+        # Energy/pitch artifact paths written THIS run (raw, not yet
+        # normalized) — the stats step normalizes exactly these; files
+        # from earlier completed runs are already z-scored.
+        self._features_written: dict = {"energy": [], "pitch": []}
         self.input_sampling_rate = self.audio_config.input_sampling_rate
         self.output_sampling_rate = self.audio_config.output_sampling_rate
         self.sampling_rate_change = (
@@ -102,8 +106,103 @@ class Preprocessor:
 
         return generic_psv_filelist_reader(path)
 
+    def _spec_type_str(self) -> str:
+        """spec_type as a plain string (the config field may be an enum)."""
+        spec_type = self.audio_config.spec_type
+        return spec_type if isinstance(spec_type, str) else spec_type.value
+
+    def _spec_filename(self) -> str:
+        """Canonical spec artifact filename — the single source of truth;
+        the writer (process_features_batched) and every reader
+        (process_attn_prior, the datasets) must agree byte-for-byte."""
+        return f"spec-{self.input_sampling_rate}-{self._spec_type_str()}.npy"
+
     # ------------------------------------------------------------------
     # audio
+
+    def _load_conditioned_audio(
+        self,
+        wav_path: Path,
+        sox_effects: Optional[list] = None,
+        update_counters: bool = True,
+    ):
+        """Decode + validate + apply effects ONCE at the native rate
+        (constraints per reference preprocessor.py:131-218). Returns
+        (audio (C, T) jnp, sr) or None if rejected. Rate-specific work
+        (resample/normalize/hop-truncate) happens in _finalize_audio so a
+        dual-rate config decodes and gates each file once, not per rate."""
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import (
+            apply_sox_effects,
+            integrated_loudness,
+            read_wav,
+        )
+
+        try:
+            audio, sr = read_wav(wav_path)
+        except FileNotFoundError:
+            return None
+        if audio.shape[0] > 2:
+            logger.warning(
+                f"Audio file '{wav_path}' has {audio.shape[0]} channels; only "
+                "mono/stereo are supported — skipping."
+            )
+            if update_counters:
+                self.counters.increment("multichannel")
+            self.multichannel_files_list.append(str(wav_path))
+            return None
+        seconds = audio.shape[1] / sr
+        if seconds > self.audio_config.max_audio_length:
+            logger.warning(f"Audio too long: {wav_path} ({seconds:.2f} s) — skipping")
+            if update_counters:
+                self.counters.increment("audio_too_long")
+            return None
+        if seconds < self.audio_config.min_audio_length:
+            logger.warning(f"Audio too short: {wav_path} ({seconds:.2f} s) — skipping")
+            if update_counters:
+                self.counters.increment("audio_too_short")
+            return None
+
+        lufs = float(integrated_loudness(jnp.asarray(audio), sr))
+        if np.isnan(lufs) or lufs < -36.0:
+            logger.warning(f"Audio empty (loudness {lufs:.1f}): {wav_path} — skipping")
+            if update_counters:
+                self.counters.increment("audio_empty")
+            return None
+
+        x = jnp.asarray(audio)
+        if sox_effects:
+            try:
+                x, sr = apply_sox_effects(x, sr, sox_effects)
+            except Exception as e:
+                logger.warning(f"Audio-effect error on {wav_path}: {e}")
+                if update_counters:
+                    self.counters.increment("sox_error")
+                return None
+        if update_counters:
+            self.counters.increment("duration", seconds)
+        return x, sr
+
+    def _finalize_audio(self, x, sr, resample_rate: Optional[int],
+                        hop_size: int, normalize: bool = True):
+        """Rate-specific conditioning of an already validated (C, T) clip:
+        resample, mixdown, peak-normalize ×0.95, truncate to a hop
+        multiple. Returns (audio float32 (T,), sr)."""
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import resample
+
+        if resample_rate is not None and resample_rate != sr:
+            x = resample(x, sr, resample_rate)
+            sr = resample_rate
+        if x.shape[0] > 1:  # effects may not have mixed down; do it here
+            x = jnp.mean(x, axis=0, keepdims=True)
+        if normalize:
+            x = x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-9) * 0.95
+        x = np.asarray(x[0], dtype=np.float32)
+        max_samples = (x.shape[0] // hop_size) * hop_size
+        return x[:max_samples], sr
 
     def process_audio(
         self,
@@ -114,73 +213,17 @@ class Preprocessor:
         hop_size: Optional[int] = None,
         update_counters: bool = True,
     ):
-        """Load + validate + condition one audio file
-        (constraints per reference preprocessor.py:131-218).
-        Returns (audio float32 (T,), sr) or (None, None) if rejected."""
-        import jax.numpy as jnp
-
-        from everyvoice_tpu.dsp import (
-            apply_sox_effects,
-            integrated_loudness,
-            read_wav,
-            resample,
-        )
-
-        try:
-            audio, sr = read_wav(wav_path)
-        except FileNotFoundError:
-            return None, None
-        if audio.shape[0] > 2:
-            logger.warning(
-                f"Audio file '{wav_path}' has {audio.shape[0]} channels; only "
-                "mono/stereo are supported — skipping."
-            )
-            if update_counters:
-                self.counters.increment("multichannel")
-            self.multichannel_files_list.append(str(wav_path))
-            return None, None
-        seconds = audio.shape[1] / sr
-        if seconds > self.audio_config.max_audio_length:
-            logger.warning(f"Audio too long: {wav_path} ({seconds:.2f} s) — skipping")
-            if update_counters:
-                self.counters.increment("audio_too_long")
-            return None, None
-        if seconds < self.audio_config.min_audio_length:
-            logger.warning(f"Audio too short: {wav_path} ({seconds:.2f} s) — skipping")
-            if update_counters:
-                self.counters.increment("audio_too_short")
-            return None, None
-
-        lufs = float(integrated_loudness(jnp.asarray(audio), sr))
-        if np.isnan(lufs) or lufs < -36.0:
-            logger.warning(f"Audio empty (loudness {lufs:.1f}): {wav_path} — skipping")
-            if update_counters:
-                self.counters.increment("audio_empty")
-            return None, None
-
-        x = jnp.asarray(audio)
-        if sox_effects:
-            try:
-                x, sr = apply_sox_effects(x, sr, sox_effects)
-            except Exception as e:
-                logger.warning(f"Audio-effect error on {wav_path}: {e}")
-                if update_counters:
-                    self.counters.increment("skipped_processes")
-                return None, None
-        if resample_rate is not None and resample_rate != sr:
-            x = resample(x, sr, resample_rate)
-            sr = resample_rate
-        if x.shape[0] > 1:  # effects may not have mixed down; do it here
-            x = jnp.mean(x, axis=0, keepdims=True)
-        if normalize:
-            x = x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-9) * 0.95
-        if update_counters:
-            self.counters.increment("duration", seconds)
+        """Load + validate + condition one audio file. Returns
+        (audio float32 (T,), sr) or (None, None) if rejected."""
         if hop_size is None:
             raise ValueError("hop size required: sample counts must divide evenly")
-        x = np.asarray(x[0], dtype=np.float32)
-        max_samples = (x.shape[0] // hop_size) * hop_size
-        return x[:max_samples], sr
+        cond = self._load_conditioned_audio(
+            wav_path, sox_effects=sox_effects, update_counters=update_counters
+        )
+        if cond is None:
+            return None, None
+        x, sr = cond
+        return self._finalize_audio(x, sr, resample_rate, hop_size, normalize)
 
     def process_one_audio(
         self, item: dict, data_dir: Path, sox_effects: list, dataset_label: str
@@ -203,29 +246,30 @@ class Preprocessor:
             item, "audio", f"audio-{self.output_sampling_rate}.wav"
         )
         if input_path.exists() and output_path.exists() and not self.overwrite:
+            self.counters.increment("previously_processed_files")
             return item
-        if not input_path.exists() or self.overwrite:
-            audio, sr = self.process_audio(
-                audio_path,
-                resample_rate=self.input_sampling_rate,
-                sox_effects=sox_effects,
-                hop_size=self.audio_config.fft_hop_size,
-            )
-            if audio is None:
-                return None
-            write_wav(input_path, audio, sr, self.audio_config.target_bit_depth)
-        if self.input_sampling_rate != self.output_sampling_rate and (
+        need_input = not input_path.exists() or self.overwrite
+        need_output = self.input_sampling_rate != self.output_sampling_rate and (
             not output_path.exists() or self.overwrite
-        ):
-            audio, sr = self.process_audio(
-                audio_path,
-                resample_rate=self.output_sampling_rate,
-                sox_effects=sox_effects,
-                hop_size=self.output_hop_size,
-                update_counters=False,
+        )
+        # Decode + validate + apply effects once; only the rate-specific
+        # finalization (resample/normalize/truncate) runs per target rate.
+        cond = self._load_conditioned_audio(audio_path, sox_effects=sox_effects)
+        if cond is None:
+            return None
+        x, native_sr = cond
+        if need_input:
+            audio, sr = self._finalize_audio(
+                x, native_sr, self.input_sampling_rate,
+                self.audio_config.fft_hop_size,
             )
-            if audio is not None:
-                write_wav(output_path, audio, sr, self.audio_config.target_bit_depth)
+            write_wav(input_path, audio, sr, self.audio_config.target_bit_depth)
+        if need_output:
+            audio, sr = self._finalize_audio(
+                x, native_sr, self.output_sampling_rate, self.output_hop_size
+            )
+            write_wav(output_path, audio, sr, self.audio_config.target_bit_depth)
+        self.counters.increment("processed_files")
         return item
 
     def process_all_audio(self, cpus: int = 1) -> list:
@@ -234,9 +278,12 @@ class Preprocessor:
         this is real parallelism (replacing the reference's joblib/loky
         process pool, preprocessor.py:584-630)."""
         (self.save_dir / "audio").mkdir(parents=True, exist_ok=True)
+        # 'arpabet' must survive into the processed filelist: the text
+        # stage converts it to IPA phones (reference: arpabet is "always
+        # converted to IPA during preprocessing").
         keep = (
             "basename", "language", "speaker", "characters",
-            "character_tokens", "phones", "phone_tokens", "label",
+            "character_tokens", "phones", "phone_tokens", "arpabet", "label",
         )
         jobs = []
         for dataset in self.datasets:
@@ -328,8 +375,10 @@ class Preprocessor:
         audio, _ = read_wav(path)
         return audio[0]
 
-    def _feature_program(self, n_samples: int):
-        """Jitted program computing (log-mel, energy, f0) for a (B, T) batch."""
+    def _feature_program(self):
+        """Jitted program computing (log-mel, energy, f0) for a (B, T)
+        batch. One program serves every length bucket — jax.jit specializes
+        per input shape on its own."""
         import jax
         import jax.numpy as jnp
 
@@ -338,9 +387,7 @@ class Preprocessor:
         from everyvoice_tpu.dsp.spectral import dynamic_range_compression
 
         a = self.audio_config
-        spec_type = str(
-            a.spec_type.value if hasattr(a.spec_type, "value") else a.spec_type
-        )
+        spec_type = self._spec_type_str()
         # On TPU, the fused Pallas kernel computes the log-mel ~16x faster
         # than the composed XLA ops; fall back to XLA elsewhere or for
         # non-default spectrogram flavours.
@@ -389,56 +436,65 @@ class Preprocessor:
         hop = self.audio_config.fft_hop_size
         bucket_samples = BUCKET_FRAMES * hop
 
+        artifact_names = {
+            "spec": self._spec_filename(),
+            "energy": "energy.npy",
+            "pitch": "pitch.npy",
+        }
         todo = []
         for item in filelist:
             item = self.get_speaker_and_language(item)
+            paths = {
+                w: self.create_path(item, w, artifact_names[w]) for w in want
+            }
+            if not self.overwrite and all(
+                p.exists() for p in paths.values()
+            ):
+                # Incremental re-run: every wanted artifact exists — skip
+                # the audio read AND the device pass, not just the write.
+                continue
             audio = self._load_processed_audio(item)
             if audio is None:
                 self.counters.increment("missing_files")
                 continue
-            todo.append((item, audio))
+            todo.append((item, audio, paths))
         if not todo:
             return
         # Sort by length so buckets are dense.
-        todo.sort(key=lambda pair: len(pair[1]))
+        todo.sort(key=lambda entry: len(entry[1]))
 
-        program_cache: dict = {}
+        program = self._feature_program()
         i = 0
         while i < len(todo):
             chunk = todo[i : i + batch_size]
             i += batch_size
-            max_len = max(len(a) for _, a in chunk)
+            max_len = max(len(a) for _, a, _ in chunk)
             padded_len = -(-max_len // bucket_samples) * bucket_samples
             b_pad = -(-len(chunk) // BATCH_PAD) * BATCH_PAD
             batch = np.zeros((b_pad, padded_len), dtype=np.float32)
-            for j, (_, a) in enumerate(chunk):
+            for j, (_, a, _) in enumerate(chunk):
                 batch[j, : len(a)] = a
-            if padded_len not in program_cache:
-                program_cache[padded_len] = self._feature_program(padded_len)
-            spec, energy, f0 = program_cache[padded_len](batch)
+            spec, energy, f0 = program(batch)
             spec, energy, f0 = (
                 np.asarray(spec), np.asarray(energy), np.asarray(f0),
             )
-            for j, (item, a) in enumerate(chunk):
+            for j, (item, a, paths) in enumerate(chunk):
                 n_frames = len(a) // hop  # drop the center-pad extra frame to
                 # keep the reference's frames == samples//hop contract
                 if "spec" in want:
-                    path = self.create_path(
-                        item,
-                        "spec",
-                        f"spec-{self.input_sampling_rate}-"
-                        f"{self.audio_config.spec_type if isinstance(self.audio_config.spec_type, str) else self.audio_config.spec_type.value}.npy",
-                    )
+                    path = paths["spec"]
                     if self.overwrite or not path.exists():
                         np.save(path, spec[j, :, :n_frames], allow_pickle=False)
                 if "energy" in want:
-                    path = self.create_path(item, "energy", "energy.npy")
+                    path = paths["energy"]
                     if self.overwrite or not path.exists():
                         np.save(path, energy[j, :n_frames], allow_pickle=False)
+                        self._features_written["energy"].append(path)
                 if "pitch" in want:
-                    path = self.create_path(item, "pitch", "pitch.npy")
+                    path = paths["pitch"]
                     if self.overwrite or not path.exists():
                         np.save(path, f0[j, :n_frames], allow_pickle=False)
+                        self._features_written["pitch"].append(path)
 
     # ------------------------------------------------------------------
     # attention priors
@@ -449,14 +505,7 @@ class Preprocessor:
         assert self.text_processor is not None
         item = self.get_speaker_and_language(item)
         interp = BetaBinomialInterpolator()
-        spec_type = (
-            self.audio_config.spec_type
-            if isinstance(self.audio_config.spec_type, str)
-            else self.audio_config.spec_type.value
-        )
-        spec_path = self.create_path(
-            item, "spec", f"spec-{self.input_sampling_rate}-{spec_type}.npy"
-        )
+        spec_path = self.create_path(item, "spec", self._spec_filename())
         if not spec_path.exists():
             return
         n_frames = np.load(spec_path, mmap_mode="r").shape[1]
@@ -543,6 +592,7 @@ class Preprocessor:
         debug: bool = False,
     ) -> None:
         self.overwrite = overwrite
+        self._features_written = {"energy": [], "pitch": []}
         if not overwrite and self.config_lock_has_conflicts():
             raise RuntimeError(
                 "Config lock mismatch: these files were preprocessed with a "
@@ -616,20 +666,53 @@ class Preprocessor:
                 filelist = self.load_filelist(processed_filelist)
                 self.process_features_batched(filelist, want=wanted)
 
-        # stats + normalization
+        # stats + normalization. Normalization must be idempotent across
+        # re-runs: artifacts on disk are already z-scored once stats.json
+        # records their stats, so re-reading them would yield degenerate
+        # mean≈0/std≈1 stats and double-normalize every file, permanently
+        # losing the true corpus statistics.
         if "energy" in to_process or "pitch" in to_process:
-            energy_scaler, pitch_scaler = self.compute_stats(
-                energy="energy" in to_process, pitch="pitch" in to_process
-            )
-            stats = self.normalize_stats(energy_scaler, pitch_scaler)
-            existing = {}
             stats_path = self.save_dir / "stats.json"
-            if stats_path.exists():
-                existing = json.loads(stats_path.read_text(encoding="utf8"))
-            existing.update(stats)
-            stats_path.write_text(
-                json.dumps(existing, indent=1), encoding="utf8"
+            existing = (
+                json.loads(stats_path.read_text(encoding="utf8"))
+                if stats_path.exists()
+                else {}
             )
+            changed = False
+            for kind in ("energy", "pitch"):
+                if kind not in to_process:
+                    continue
+                prior = existing.get(kind)
+                new_files = self._features_written.get(kind, [])
+                if prior is not None and not self.overwrite:
+                    # Incremental run: only the newly written files are
+                    # raw — normalize them with the recorded stats so the
+                    # whole corpus stays on one scale; existing stats are
+                    # authoritative.
+                    std = prior.get("std") or 1.0
+                    mean = prior.get("mean", 0.0)
+                    for path in new_files:
+                        np.save(path, (np.load(path) - mean) / std)
+                    if new_files:
+                        logger.info(
+                            f"Normalized {len(new_files)} new {kind} files "
+                            "with the existing corpus stats."
+                        )
+                    continue
+                scaler = Scaler()
+                paths = sorted((self.save_dir / kind).glob(f"*{kind}*"))
+                for path in paths:
+                    scaler.append(np.load(path))
+                if not len(scaler):
+                    continue
+                existing[kind] = scaler.calculate_stats()
+                for path in paths:
+                    np.save(path, scaler.normalize(np.load(path)))
+                changed = True
+            if changed or not stats_path.exists():
+                stats_path.write_text(
+                    json.dumps(existing, indent=1), encoding="utf8"
+                )
 
         # split
         filelist = self.load_filelist(processed_filelist)

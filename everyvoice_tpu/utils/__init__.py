@@ -167,7 +167,10 @@ def write_filelist(files: list[dict], path: Path | str) -> None:
         if not files:
             print("", file=f)
             return
-        found = sorted(files[0].keys())
+        # Union over ALL rows (not just the first): multi-dataset corpora
+        # can have per-dataset columns (e.g. one source with 'characters',
+        # another with 'phones'), and DictWriter raises on unexpected keys.
+        found = sorted({key for row in files for key in row})
         fieldnames = [x for x in FILELIST_BASE_FIELDS if x in found] + [
             x for x in found if x not in FILELIST_BASE_FIELDS
         ]
@@ -178,6 +181,7 @@ def write_filelist(files: list[dict], path: Path | str) -> None:
             quoting=csv.QUOTE_NONE,
             escapechar="\\",
             lineterminator="\n",
+            restval="",
         )
         writer.writeheader()
         for row in files:

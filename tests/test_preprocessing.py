@@ -270,7 +270,8 @@ class TestSoxAndChannels:
         tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
         pre = self._setup(tmp_path, tone, effects=[["flanger", "oops"]])
         assert pre.process_all_audio() == []
-        assert pre.counters.value("skipped_processes") == 1
+        # Reference counter name (reference helpers.py:122 sox_error).
+        assert pre.counters.value("sox_error") == 1
 
 
 class TestIncrementalReuse:
@@ -305,6 +306,62 @@ class TestIncrementalReuse:
             overwrite=True,
         )
         assert spec.stat().st_mtime_ns != first_mtime  # rewritten
+
+    def test_arpabet_dataset_gets_phone_tokens(self, tmp_path):
+        """An arpabet-representation filelist must yield phone tokens: the
+        audio stage keeps the 'arpabet' column so the text stage can
+        convert it to IPA (reference: arpabet is always converted to IPA
+        during preprocessing)."""
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        write_wav(data_dir / "clip.wav", tone, 22050)
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text(
+            "basename|arpabet|language|speaker\nclip|HH AH0 L OW1|eng|default\n"
+        )
+        config = make_config(tmp_path, filelist, data_dir)
+        config.text.symbols.ipa = [
+            "h", "ə", "l", "ˈ", "o", "ʊ", "͡", "w",
+        ]
+        Preprocessor(config).preprocess(to_process=("audio", "text"))
+        out = Path(config.preprocessing.save_dir)
+        rows = generic_psv_filelist_reader(out / "filelist.psv")
+        assert rows[0].get("phone_tokens"), rows[0]
+
+    def test_rerun_does_not_renormalize_stats(self, tmp_path):
+        """A second preprocess run over already-normalized pitch/energy
+        artifacts must leave stats.json AND the artifacts untouched —
+        re-deriving stats from z-scored files yields degenerate
+        mean≈0/std≈1 and double-normalizes the corpus."""
+        import json
+
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        write_wav(data_dir / "clip.wav", tone, 22050)
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text(
+            "basename|characters|language|speaker\nclip|hello|eng|default\n"
+        )
+        config = make_config(tmp_path, filelist, data_dir)
+        steps = ("audio", "text", "spec", "energy", "pitch")
+        Preprocessor(config).preprocess(to_process=steps)
+        out = Path(config.preprocessing.save_dir)
+        stats_path = out / "stats.json"
+        stats_1 = json.loads(stats_path.read_text())
+        pitch_path = next((out / "pitch").glob("*.npy"))
+        pitch_1 = np.load(pitch_path)
+
+        Preprocessor(config).preprocess(to_process=steps)
+        stats_2 = json.loads(stats_path.read_text())
+        assert stats_2 == stats_1
+        np.testing.assert_array_equal(np.load(pitch_path), pitch_1)
+        # A 220 Hz tone's true pitch stats must survive (not collapse to
+        # the z-scored mean≈0).
+        assert abs(stats_1["pitch"]["mean"]) > 50
 
 
 class TestOODExport:

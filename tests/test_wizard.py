@@ -571,3 +571,353 @@ class TestWizardEdgeCases:
         )
         tour.run()
         assert not (tmp_path / "empty").exists()
+
+
+# ---------------------------------------------------------------------------
+# Per-step validation parity (reference test_wizard.py: test_bad_name_step,
+# test_bad_contact_name_step, test_bad_contact_email_step,
+# test_output_path_step, test_sample_rate_config, test_dataset_name, ...)
+
+
+class TestStepValidation:
+    def test_name_step(self):
+        step = NameStep()
+        assert step.validate("My Project-1")
+        assert not step.validate("")
+        assert not step.validate("foo/bar")
+        assert not step.validate("a:b")
+
+    def test_contact_name_step(self):
+        from everyvoice_tpu.wizard.steps import ContactNameStep
+
+        step = ContactNameStep()
+        assert step.validate("Test Runner")
+        assert not step.validate("ab")
+        assert not step.validate("   ")
+
+    def test_contact_email_step(self):
+        from everyvoice_tpu.wizard.steps import ContactEmailStep
+
+        step = ContactEmailStep()
+        assert step.validate("info@everyvoice.ca")
+        assert not step.validate("not-an-email")
+        assert not step.validate("a@b")
+        assert not step.validate("@b.com")
+        assert not step.validate("a b@c.org")
+
+    def test_output_path_step_rejects_file(self, tmp_path):
+        from everyvoice_tpu.wizard.steps import OutputPathStep
+
+        blocker = tmp_path / "occupied"
+        blocker.write_text("not a directory")
+        step = OutputPathStep()
+        assert not step.validate(str(blocker))
+        assert step.validate(str(tmp_path))
+        assert step.validate(str(tmp_path / "new-subdir"))
+
+    def test_filelist_step_rejects_missing(self, tmp_path):
+        from everyvoice_tpu.wizard.steps import FilelistStep
+
+        step = FilelistStep(0)
+        assert not step.validate(str(tmp_path / "nope.psv"))
+        real = tmp_path / "real.psv"
+        real.write_text("basename|characters\n")
+        assert step.validate(str(real))
+
+    def test_sample_rate_step(self):
+        from everyvoice_tpu.wizard.steps import SampleRateConfigStep
+
+        step = SampleRateConfigStep(0)
+        assert step.validate("44100")
+        assert step.validate(22050)
+        assert not step.validate("abc")
+        assert not step.validate("50")
+
+    def test_dataset_name_step(self):
+        from everyvoice_tpu.wizard.steps import DatasetNameStep
+
+        step = DatasetNameStep(0)
+        assert step.validate("lj-corpus")
+        assert not step.validate("my dataset")
+        assert not step.validate("")
+
+    def test_add_speaker_step(self):
+        from everyvoice_tpu.wizard.steps import AddSpeakerStep
+
+        step = AddSpeakerStep(0)
+        assert step.validate("speaker-2")
+        assert not step.validate("Bad Speaker")
+        assert not step.validate("")
+
+    def test_sox_effects_parsing(self):
+        from everyvoice_tpu.wizard.steps import SoxEffectsStep
+
+        step = SoxEffectsStep(0)
+        assert step.validate("none")
+        assert step.validate(
+            "normalization (-3.0dB), remove silence at start and end"
+        )
+        assert not step.validate("reverb please")
+        step.response = "normalization (-3.0dB)"
+        step.effect()
+        effects = step.dataset["sox_effects"]
+        assert effects[0] == ["channels", "1"]  # mono mixdown always first
+        assert ["norm", "-3.0"] in effects
+
+    def test_ood_hf_repo_step(self):
+        from everyvoice_tpu.wizard.steps import OODHFRepoStep
+
+        step = OODHFRepoStep("eng")
+        assert not step.validate("")
+        assert not step.validate("norepo")
+        assert step.validate("owner/repo:OOD.txt")
+        step.response = "owner/repo:OOD.txt"
+        step.effect()
+        spec = step.state["ood_raw_data"]["eng"]
+        assert spec == {
+            "source_type": "hf", "repo_id": "owner/repo",
+            "filename": "OOD.txt", "text_representation": "characters",
+        }
+
+    def test_ood_hf_repo_default_filename(self):
+        from everyvoice_tpu.wizard.steps import OODHFRepoStep
+
+        step = OODHFRepoStep("fra")
+        step.response = "owner/repo"
+        step.effect()
+        assert step.state["ood_raw_data"]["fra"]["filename"] == "ood.txt"
+
+
+class TestLanguagePicker:
+    def test_choices_list_registered_languages(self):
+        from everyvoice_tpu.wizard.steps import SelectLanguageStep
+
+        step = SelectLanguageStep(0)
+        choices = step.looks_like_choice()
+        assert any(c.startswith("[eng]: English") for c in choices)
+        assert choices[0].startswith("[und]")
+        assert choices[1].startswith("[custom]")
+
+    def test_menu_answer_sanitized_to_code(self):
+        from everyvoice_tpu.wizard.steps import SelectLanguageStep
+
+        step = SelectLanguageStep(0)
+        assert step.sanitize_input("[eng]: English") == "eng"
+        assert step.sanitize_input("fra") == "fra"
+        assert not step.validate(step.sanitize_input("not a code!"))
+
+    def test_custom_language_code_flow(self):
+        from everyvoice_tpu.wizard.steps import SelectLanguageStep
+
+        tour = Tour(
+            "t", [SelectLanguageStep(0)],
+            ask=scripted_ask(["custom", "gitx-dialect"]),
+        )
+        state = tour.run()
+        assert state["datasets"][0]["language"] == "gitx-dialect"
+
+
+class TestValidationBailout:
+    def test_twenty_failures_abort(self):
+        # Reference: tour.py gives up after 20 validation failures.
+        class AlwaysBad(Step):
+            def validate(self, response):
+                return False
+
+        tour = Tour(
+            "t", [AlwaysBad(name="bad", prompt_text="?")],
+            ask=lambda prompt_text, default=None, step=None: "x",
+        )
+        with pytest.raises(StepError, match="20 times"):
+            tour.run()
+
+
+class TestFormatSniffRecovery:
+    """Reference: test_wrong_fileformat_psv / _festival / test_empty_filelist."""
+
+    def _format_tour(self, filelist, answers):
+        from everyvoice_tpu.wizard.steps import FilelistFormatStep, FilelistStep
+
+        return Tour(
+            "t",
+            [FilelistStep(0), FilelistFormatStep(0)],
+            ask=scripted_ask([str(filelist)] + answers),
+        )
+
+    def test_wrong_format_then_right(self):
+        tour = self._format_tour(LJ_DATA / "metadata.psv", ["csv", "psv"])
+        state = tour.run()
+        assert state["datasets"][0]["format"] == "psv"
+
+    def test_festival_mis_sniff_recovers(self):
+        tour = self._format_tour(LJ_DATA / "metadata.psv", ["festival", "psv"])
+        state = tour.run()
+        assert state["datasets"][0]["format"] == "psv"
+
+    def test_empty_filelist_exits(self, tmp_path):
+        empty = tmp_path / "empty.psv"
+        empty.write_text("")
+        tour = self._format_tour(empty, ["psv"])
+        with pytest.raises(SystemExit, match="empty"):
+            tour.run()
+
+    def test_inconsistent_field_counts_rejected(self, tmp_path):
+        ragged = tmp_path / "ragged.psv"
+        ragged.write_text("basename|characters\na|b\nc|d|e\n")
+        tour = self._format_tour(ragged, ["psv", "tsv", "psv"])
+        # psv fails (ragged), tsv fails (no separator), there is no working
+        # format for this file; feeding psv again fails too, so the step
+        # keeps re-asking until the scripted answers run out.
+        with pytest.raises(AssertionError, match="unscripted"):
+            tour.run()
+
+
+class TestColumnExhaustion:
+    """Reference test_running_out_of_columns: once every column is assigned,
+    the speaker/language questions are skipped automatically (completing the
+    tour without scripted answers for them proves the skip)."""
+
+    def test_two_column_headerless_filelist(self, tmp_path):
+        filelist = tmp_path / "two.psv"
+        filelist.write_text("f1|hello world\nf2|hi there\n")
+        wavs = tmp_path / "wavs"
+        wavs.mkdir()
+        answers = [
+            "Two Col", "Test Runner", "info@everyvoice.ca", str(tmp_path),
+            str(filelist), "yes", "psv",
+            "no",          # first row is not a header
+            "1",           # text column
+            "0",           # basename column
+            "characters", "none",
+            # has-speaker and has-language both auto-skip (no columns left)
+            "no",          # know-speaker: keep speaker_0
+            "und",         # select language
+            "keep", str(wavs),
+            "no",          # validate wavs: continue despite missing audio
+            "22050", "none", "twocol",
+            "no", "skip", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        assert len(rows) == 2
+        assert rows[0]["characters"] == "hello world"
+        assert rows[0]["basename"] == "f1"
+        assert rows[0]["speaker"] == "speaker_0"
+        assert rows[0]["language"] == "und"
+
+    def test_header_row_dropped_when_confirmed(self, tmp_path):
+        filelist = tmp_path / "hdr.psv"
+        filelist.write_text("id|sentence\nf1|hello\n")
+        wavs = tmp_path / "wavs"
+        wavs.mkdir()
+        answers = [
+            "Hdr", "Test Runner", "info@everyvoice.ca", str(tmp_path),
+            str(filelist), "yes", "psv",
+            "yes",         # first row IS a header
+            "1",           # 'sentence' is the text column
+            "0",           # 'id' is the basename column
+            "characters", "none",
+            "no", "und", "keep", str(wavs), "no",
+            "22050", "none", "hdr", "no", "skip", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        rows = state["datasets"][0]["rows"]
+        assert len(rows) == 1  # header row consumed, not treated as data
+        assert rows[0]["basename"] == "f1"
+        assert rows[0]["characters"] == "hello"
+
+
+class TestDerivedModelFlags:
+    """Reference test_multilingual_multispeaker_true_config /
+    _false_config: the written model configs derive multilingual and
+    multispeaker from the actual filelist contents."""
+
+    def test_true_when_columns_vary(self, tmp_path):
+        filelist = tmp_path / "multi.psv"
+        filelist.write_text(
+            "basename|characters|speaker|language\n"
+            "f1|hello|spk1|eng\n"
+            "f2|bonjour|spk2|fra\n"
+        )
+        wavs = tmp_path / "wavs"
+        wavs.mkdir()
+        answers = [
+            "Multi", "Test Runner", "info@everyvoice.ca", str(tmp_path),
+            str(filelist), "yes", "psv", "characters", "none",
+            "yes",   # has speaker column (auto-picks 'speaker')
+            "yes",   # has language column (auto-picks 'language')
+            "keep", str(wavs), "no",
+            "22050", "none", "multi",
+            "no",
+            "skip", "skip",   # one OOD question per language (eng, fra)
+            "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        config_dir = state["project_dir"] / "config"
+        fs2 = yaml.safe_load(
+            (config_dir / "everyvoice-text-to-spec.yaml").read_text()
+        )
+        assert fs2["model"]["multilingual"] is True
+        assert fs2["model"]["multispeaker"] is True
+        e2e = yaml.safe_load(
+            (config_dir / "everyvoice-text-to-wav.yaml").read_text()
+        )
+        assert e2e["model"]["multilingual"] is True
+        assert e2e["model"]["multispeaker"] is True
+
+    def test_false_for_single_speaker_single_language(self, tmp_path):
+        tour = get_main_wizard_tour(
+            ask=scripted_ask(lj_answers(tmp_path) + closing_answers())
+        )
+        state = tour.run()
+        config_dir = state["project_dir"] / "config"
+        fs2 = yaml.safe_load(
+            (config_dir / "everyvoice-text-to-spec.yaml").read_text()
+        )
+        assert fs2["model"]["multilingual"] is False
+        assert fs2["model"]["multispeaker"] is False
+
+
+class TestResumeEdgeCases:
+    def test_replayed_invalid_answer_falls_back_to_live_prompt(self, tmp_path):
+        # A saved session whose email answer no longer validates: the replay
+        # consumes it, validation fails, and the user is re-asked live.
+        session = tmp_path / "session.yaml"
+        session.write_text(
+            yaml.safe_dump({
+                "tour": "everyvoice new-project",
+                "version": "1.0",
+                "responses": [
+                    ["Name Step", "Resumed"],
+                    ["Contact Name Step", "Test Runner"],
+                    ["Contact Email Step", "not-an-email"],
+                ],
+            })
+        )
+        live = lj_answers(tmp_path)[2:]  # email onwards answered live
+        tour = get_main_wizard_tour(
+            ask=scripted_ask(live + closing_answers())
+        )
+        state = tour.run(resume_from=session)
+        assert state["name"] == "Resumed"
+        assert state["contact_email"] == "info@everyvoice.ca"
+
+    def test_resume_with_surplus_responses_completes(self, tmp_path):
+        # "Resume from the future": extra recorded answers beyond the tour's
+        # questions are ignored rather than crashing.
+        session = tmp_path / "session.yaml"
+        responses = [["q", a] for a in lj_answers(tmp_path) + closing_answers()]
+        responses += [["Phantom Step", "zzz"], ["Another", "yyy"]]
+        session.write_text(
+            yaml.safe_dump({
+                "tour": "everyvoice new-project",
+                "version": "1.0",
+                "responses": responses,
+            })
+        )
+        tour = get_main_wizard_tour(ask=scripted_ask([]))
+        state = tour.run(resume_from=session)
+        assert (state["project_dir"] / "config").is_dir()

@@ -186,3 +186,88 @@ class TestLoggerConfig:
         assert cfg.name == "BaseExperiment"
         assert cfg.version == "base"
         assert cfg.sub_dir.isdigit()
+
+
+class TestCliOverrideParity:
+    """Reference test_configs.py: test_change_with_indices,
+    test_correct_number_typing, test_changes."""
+
+    def test_list_index_override(self, tmp_path):
+        from everyvoice_tpu.utils import update_config_from_cli_args
+
+        filelist = tmp_path / "fl.psv"
+        filelist.write_text("basename|characters\nitem|hi\n")
+        config = PreprocessingConfig(
+            source_data=[Dataset(permissions_obtained=True, filelist=filelist)]
+        )
+        update_config_from_cli_args(
+            ["source_data.0.filelist=/foo/bar/filelist.psv"], config
+        )
+        assert config.source_data[0].filelist == Path("/foo/bar/filelist.psv")
+
+    def test_number_typing(self):
+        from everyvoice_tpu.utils import _coerce_cli_value
+
+        assert _coerce_cli_value("4") == 4 and isinstance(
+            _coerce_cli_value("4"), int
+        )
+        assert _coerce_cli_value("0.2") == 0.2
+        assert _coerce_cli_value("true") is True
+        assert _coerce_cli_value("False") is False
+        assert _coerce_cli_value("null") is None
+        assert _coerce_cli_value("[1, 2]") == [1, 2]
+        assert _coerce_cli_value("hello") == "hello"
+
+    def test_nested_scalar_override(self):
+        from everyvoice_tpu.utils import update_config_from_cli_args
+
+        config = BaseTrainingConfig()
+        update_config_from_cli_args(["max_steps=1234"], config)
+        assert config.max_steps == 1234
+
+    def test_malformed_override_rejected(self):
+        from everyvoice_tpu.utils import update_config_from_cli_args
+
+        with pytest.raises(ValueError, match="key.path=value"):
+            update_config_from_cli_args(["no-equals-sign"], BaseTrainingConfig())
+
+
+class TestValidatorParity:
+    """Reference: negative ckpt options, invalid resblock/gan_type, empty
+    config files."""
+
+    def test_negative_ckpt_epochs_rejected(self):
+        with pytest.raises(ValidationError, match="non-negative"):
+            BaseTrainingConfig(ckpt_epochs=-1)
+
+    def test_negative_ckpt_steps_rejected(self):
+        with pytest.raises(ValidationError, match="non-negative"):
+            BaseTrainingConfig(ckpt_steps=-2, ckpt_epochs=None)
+
+    def test_invalid_resblock_rejected(self):
+        from everyvoice_tpu.models.hifigan.config import HiFiGANModelConfig
+
+        with pytest.raises(ValidationError):
+            HiFiGANModelConfig(resblock="3")
+
+    def test_invalid_gan_type_rejected(self):
+        from everyvoice_tpu.models.hifigan.config import HiFiGANTrainingConfig
+
+        with pytest.raises(ValidationError):
+            HiFiGANTrainingConfig(gan_type="hinge")
+
+    def test_empty_config_file_errors(self, tmp_path):
+        from everyvoice_tpu.models.fs2 import FastSpeech2Config
+
+        empty = tmp_path / "everyvoice-text-to-spec.yaml"
+        empty.write_text("")
+        with pytest.raises(Exception):
+            FastSpeech2Config.load_config_from_path(empty)
+
+    def test_dataset_sox_effects_do_not_alias(self, tmp_path):
+        filelist = tmp_path / "fl.psv"
+        filelist.write_text("basename|characters\nitem|hi\n")
+        a = Dataset(permissions_obtained=True, filelist=filelist)
+        b = Dataset(permissions_obtained=True, filelist=filelist)
+        a.sox_effects.append(["norm", "-3.0"])
+        assert ["norm", "-3.0"] not in b.sox_effects

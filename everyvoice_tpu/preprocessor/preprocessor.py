@@ -609,11 +609,8 @@ class Preprocessor:
                 (self.save_dir / process).mkdir(parents=True, exist_ok=True)
             if process == "audio":
                 filelist = self.process_all_audio(cpus=max(cpus, 1))
-                if not filelist:
-                    raise RuntimeError(
-                        "Your filtered audio filelist is empty; nothing to process."
-                    )
-                write_filelist(filelist, processed_filelist)
+                # Reports are written even when every file was filtered out,
+                # so a failed run still leaves its diagnostics behind.
                 with open(self.save_dir / "summary.txt", "w", encoding="utf8") as f:
                     json.dump(self.counters.as_dict(), f, indent=1)
                 if self.missing_files_list:
@@ -621,6 +618,24 @@ class Preprocessor:
                         self.save_dir / "missing_files.txt", "w", encoding="utf8"
                     ) as f:
                         f.write("\n".join(self.missing_files_list))
+                if self.multichannel_files_list:
+                    # Parity: the reference's multichannel_files.txt report
+                    # (everyvoice/preprocessor/preprocessor.py:1120-1152).
+                    with open(
+                        self.save_dir / "multichannel_files.txt", "w",
+                        encoding="utf8",
+                    ) as f:
+                        f.write(
+                            "Multichannel audio files skipped "
+                            f"({len(self.multichannel_files_list)} total):\n"
+                        )
+                        f.write("\n".join(self.multichannel_files_list))
+                        f.write("\n")
+                if not filelist:
+                    raise RuntimeError(
+                        "Your filtered audio filelist is empty; nothing to process."
+                    )
+                write_filelist(filelist, processed_filelist)
             elif process in ("text", "pfs"):
                 filelist = self.load_filelist(processed_filelist)
                 assert self.text_processor is not None

@@ -508,3 +508,65 @@ class TestNativeBatchLoader:
             original.astype(np.float32).reshape(-1),
             rtol=1e-6, atol=1e-6,
         )
+
+
+class TestReports:
+    """Report files parity (reference preprocessor.py:320-368,1120-1152 and
+    test_multichannel_files_file_creation / test_missing_files_detection)."""
+
+    def _run_audio(self, tmp_path, rows, wavs):
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for name, wav in wavs.items():
+            write_wav(data_dir / f"{name}.wav", wav, 22050)
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text(
+            "basename|characters|language|speaker\n"
+            + "".join(f"{r}|hello|eng|default\n" for r in rows)
+        )
+        pre = Preprocessor(make_config(tmp_path, filelist, data_dir))
+        try:
+            pre.preprocess(to_process=("audio",), overwrite=True)
+        except RuntimeError:
+            pass  # empty filtered filelist still writes its reports
+        return pre
+
+    def _tone(self, channels=1):
+        t = np.arange(22050) / 22050
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        return np.stack([tone] * channels) if channels > 1 else tone
+
+    def test_multichannel_report_written(self, tmp_path):
+        pre = self._run_audio(
+            tmp_path, ["good", "multi"],
+            {"good": self._tone(), "multi": self._tone(channels=3)},
+        )
+        report = Path(pre.save_dir) / "multichannel_files.txt"
+        assert report.exists()
+        content = report.read_text()
+        assert "multi.wav" in content and "1 total" in content
+        assert "good.wav" not in content
+
+    def test_missing_files_report_written(self, tmp_path):
+        pre = self._run_audio(
+            tmp_path, ["good", "ghost"], {"good": self._tone()}
+        )
+        report = Path(pre.save_dir) / "missing_files.txt"
+        assert report.exists()
+        assert "ghost.wav" in report.read_text()
+
+    def test_reports_written_even_when_everything_filtered(self, tmp_path):
+        pre = self._run_audio(
+            tmp_path, ["multi"], {"multi": self._tone(channels=3)}
+        )
+        assert (Path(pre.save_dir) / "summary.txt").exists()
+        assert (Path(pre.save_dir) / "multichannel_files.txt").exists()
+
+    def test_summary_counts(self, tmp_path):
+        pre = self._run_audio(
+            tmp_path, ["good", "ghost", "multi"],
+            {"good": self._tone(), "multi": self._tone(channels=3)},
+        )
+        summary = json.loads((Path(pre.save_dir) / "summary.txt").read_text())
+        assert summary["missing_files"] == 1
+        assert summary["multichannel"] == 1

@@ -621,8 +621,14 @@ def check_text_config(config_path, filelist):
     for row in generic_psv_filelist_reader(filelist):
         text = row.get("characters") or row.get("text") or ""
         normalized = tp.normalize_text(text)
-        for sym in tp.get_missing_symbols(normalized, quiet=True):
-            missing[sym] += 1
+        for run in tp.get_missing_symbols(normalized, quiet=True):
+            # Report individual missing graphemes, not whole unmatched
+            # words, so each line maps to one symbol to declare (parity:
+            # reference check_group.py:190-297).
+            from everyvoice_tpu.text.utils import guess_graphemes_in_text
+
+            for sym in guess_graphemes_in_text(run):
+                missing[sym] += 1
     if not missing:
         click.echo("No missing symbols — your configuration covers the data.")
     else:
@@ -646,7 +652,12 @@ def check_pretrained_symbols(config_path):
         raise click.ClickException(
             "No pretrained_symbols declared in the config's pretrained section."
         )
-    user_symbols = sorted(config.text.symbols.all_except_punctuation)
+    user_symbols = sorted(
+        s for s in config.text.symbols.all_except_punctuation
+        # Internal control tokens (<SIL> and friends) are handled by the
+        # model's own tables, not the pretrained symbol inventory.
+        if not (s.startswith("<") and s.endswith(">"))
+    )
     missing = [s for s in user_symbols if s not in set(pretrained)]
     if not missing:
         click.echo("All your symbols exist in the pretrained symbol table.")

@@ -365,3 +365,121 @@ class TestDiagnostic:
         assert "EveryVoice-TPU version" in result.output
         assert "Python version" in result.output
         assert "jax==" in result.output
+
+
+class TestCheckGroup:
+    """`check` verbs (reference base_cli/check_group.py + test_cli.py:521-736)."""
+
+    def test_text_config_all_covered(self, runner, tmp_path):
+        from everyvoice_tpu.utils import write_config_file
+
+        config_path = tmp_path / "text.yaml"
+        write_config_file(
+            config_path, {"symbols": {"letters": list("helo wrd")}}
+        )
+        filelist = tmp_path / "fl.psv"
+        filelist.write_text("basename|characters\nitem|hello world\n")
+        result = runner.invoke(
+            main, ["check", "text-config", str(config_path), "-f", str(filelist)]
+        )
+        assert result.exit_code == 0, result.output
+        assert "No missing symbols" in result.output
+
+    def test_text_config_reports_missing(self, runner, tmp_path):
+        from everyvoice_tpu.utils import write_config_file
+
+        config_path = tmp_path / "text.yaml"
+        write_config_file(config_path, {"symbols": {"letters": list("helo")}})
+        filelist = tmp_path / "fl.psv"
+        filelist.write_text("basename|characters\nitem|hello xyz\nit2|zap\n")
+        result = runner.invoke(
+            main, ["check", "text-config", str(config_path), "-f", str(filelist)]
+        )
+        assert result.exit_code == 1
+        assert "Missing symbols" in result.output
+        assert "'z'" in result.output and "'x'" in result.output
+
+    def _styletts2_config(self, tmp_path, pretrained_symbols, user_symbols):
+        from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
+        from everyvoice_tpu.utils import write_config_file
+
+        config = StyleTTS2Config(
+            contact={"contact_name": "Test Runner",
+                     "contact_email": "info@everyvoice.ca"},
+            pretrained={"pretrained_symbols": pretrained_symbols},
+            text={"symbols": {"letters": user_symbols}},
+        )
+        path = tmp_path / "everyvoice-text-to-wav.yaml"
+        write_config_file(path, config.model_dump(mode="json"))
+        return path
+
+    def test_pretrained_symbols_all_present(self, runner, tmp_path):
+        path = self._styletts2_config(
+            tmp_path, list("abcdefghijklmnopqrstuvwxyz "), list("abc")
+        )
+        result = runner.invoke(main, ["check", "pretrained-symbols", str(path)])
+        assert result.exit_code == 0, result.output
+        assert "All your symbols exist" in result.output
+
+    def test_pretrained_symbols_suggestions(self, runner, tmp_path):
+        path = self._styletts2_config(tmp_path, list("abc "), ["a", "q"])
+        result = runner.invoke(main, ["check", "pretrained-symbols", str(path)])
+        assert result.exit_code == 1
+        assert "Suggested substitutions" in result.output
+        assert "'q'" in result.output
+
+    def test_pretrained_symbols_requires_table(self, runner, tmp_path):
+        path = self._styletts2_config(tmp_path, [], list("abc"))
+        result = runner.invoke(main, ["check", "pretrained-symbols", str(path)])
+        assert result.exit_code != 0
+        assert "No pretrained_symbols" in result.output
+
+
+@pytest.mark.slow
+class TestCheckData:
+    def test_per_item_loss_report(self, runner, lj_corpus, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.models.fs2 import FastSpeech2
+        from everyvoice_tpu.text import TextProcessor
+        from everyvoice_tpu.train import save_checkpoint
+        from everyvoice_tpu.utils import write_config_file
+
+        config, save_dir = lj_corpus
+        config_path = tmp_path / "everyvoice-text-to-spec.yaml"
+        write_config_file(config_path, config.model_dump(mode="json"))
+
+        tp = TextProcessor(config.text)
+        model = FastSpeech2.from_config(config, n_symbols=len(tp.symbols))
+        rng = jax.random.PRNGKey(0)
+        # Init with training inputs so the alignment branch's parameters
+        # exist in the checkpoint (check data scores with mel targets).
+        n_frames = 16
+        params = model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((1, 8), jnp.int32), jnp.asarray([8], jnp.int32),
+            mel=jnp.zeros((1, n_frames, 80)),
+            mel_lengths=jnp.asarray([n_frames], jnp.int32),
+            attn_prior=jnp.full((1, n_frames, 8), 1.0 / 8),
+            pitch=jnp.zeros((1, n_frames)),
+            energy=jnp.zeros((1, n_frames)),
+        )
+        ckpt = tmp_path / "fs2.ckpt"
+        save_checkpoint(
+            ckpt, "FastSpeech2", config, params,
+            lang2id={"eng": 0}, speaker2id={"default": 0},
+            stats={"pitch": {"mean": 0.0, "std": 1.0},
+                   "energy": {"mean": 0.0, "std": 1.0}},
+        )
+        out = tmp_path / "checked.json"
+        result = runner.invoke(
+            main,
+            ["check", "data", str(config_path), "--model-path", str(ckpt),
+             "-o", str(out)],
+        )
+        assert result.exit_code == 0, result.output
+        rows = json.loads(out.read_text())
+        assert rows and all("total" in r and "basename" in r for r in rows)
+        totals = [r["total"] for r in rows]
+        assert totals == sorted(totals, reverse=True)  # worst first

@@ -400,3 +400,52 @@ class TestRuleG2PBreadth:
 
         out = "".join(get_g2p_engine(lang)(word))
         assert out.startswith(expected), f"{lang}: {word} -> {out}"
+
+
+class TestCustomG2PSignatures:
+    """Reference test_custom_g2p.py:235-300 — each malformed plugin
+    signature is rejected with its own message and never registered."""
+
+    def _reject(self, func_name, match):
+        from pydantic import ValidationError
+
+        from everyvoice_tpu.text.phonemizer import AVAILABLE_G2P_ENGINES
+
+        with pytest.raises(ValidationError, match=match):
+            TextConfig(
+                g2p_engines={"unittest": f"tests.g2p_engines.{func_name}"}
+            )
+        assert "unittest" not in AVAILABLE_G2P_ENGINES
+
+    def test_multiple_arguments_rejected(self):
+        self._reject("multiple_arguments", "single argument")
+
+    def test_non_string_input_rejected(self):
+        self._reject("not_a_string", "take a string")
+
+    def test_non_list_return_rejected(self):
+        self._reject("not_a_list", "return a list")
+
+    def test_invalid_module_rejected(self):
+        from pydantic import ValidationError
+
+        with pytest.raises((ValidationError, ValueError), match="Invalid G2P"):
+            TextConfig(
+                g2p_engines={"unittest": "no.such.module.some_func"}
+            )
+
+    def test_overriding_default_engine(self):
+        from everyvoice_tpu.text.phonemizer import AVAILABLE_G2P_ENGINES
+
+        assert "fra" in AVAILABLE_G2P_ENGINES
+        old = AVAILABLE_G2P_ENGINES["fra"]
+        try:
+            before = len(AVAILABLE_G2P_ENGINES)
+            TextConfig(g2p_engines={"fra": "tests.g2p_engines.valid_g2p"})
+            assert len(AVAILABLE_G2P_ENGINES) == before  # replaced, not added
+            assert AVAILABLE_G2P_ENGINES["fra"] is not old
+            from everyvoice_tpu.text.phonemizer import get_g2p_engine
+
+            assert get_g2p_engine("fra")("abc") == ["a", "b", "c"]
+        finally:
+            AVAILABLE_G2P_ENGINES["fra"] = old

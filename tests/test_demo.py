@@ -287,3 +287,52 @@ class TestDemoDispatch:
         )
         assert result.exit_code != 0
         assert "not valid JSON" in result.output
+
+
+@pytest.fixture(scope="module")
+def allowlist_server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("demo_allow")
+    fs2 = get_dummy_fs2_checkpoint(tmp)
+    gen = get_dummy_hifigan_checkpoint(tmp, generator_only=True)
+    allowlist = tmp / "allowlist.txt"
+    allowlist.write_text("hello\nworld\n")
+    app = create_demo_app(fs2, gen, allowlist=allowlist)
+    server = app.make_server()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}", app
+    server.shutdown()
+
+
+class TestAllowlist:
+    """Reference demo/app.py allowlist mode: only whitelisted words pass."""
+
+    def test_allowed_words_synthesize(self, allowlist_server):
+        base, _ = allowlist_server
+        status, body = post_json(
+            f"{base}/api/synthesize",
+            {"text": "hello world", "language": "default",
+             "speaker": "default"},
+        )
+        assert status == 200, body
+
+    def test_unlisted_word_rejected(self, allowlist_server):
+        base, _ = allowlist_server
+        status, body = post_json(
+            f"{base}/api/synthesize",
+            {"text": "hello stranger", "language": "default",
+             "speaker": "default"},
+        )
+        assert status == 400
+        assert "allow" in json.dumps(body).lower()
+
+    def test_homograph_evasion_blocked(self, allowlist_server):
+        # Cyrillic 'о' in "hellо" must not slip past the allowlist.
+        base, _ = allowlist_server
+        status, _ = post_json(
+            f"{base}/api/synthesize",
+            {"text": "hellо", "language": "default",
+             "speaker": "default"},
+        )
+        assert status == 400

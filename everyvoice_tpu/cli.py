@@ -562,7 +562,11 @@ def inspect(checkpoint_path, show_config, show_architecture):
     """Print checkpoint metadata, config, and parameter counts."""
     from everyvoice_tpu.train.checkpoint import inspect_checkpoint
 
-    click.echo(inspect_checkpoint(checkpoint_path, show_config, show_architecture))
+    try:
+        report = inspect_checkpoint(checkpoint_path, show_config, show_architecture)
+    except ValueError as e:
+        raise click.ClickException(str(e)) from None
+    click.echo(report)
 
 
 @checkpoint.command("rename-speaker")
@@ -574,7 +578,10 @@ def rename_speaker_cmd(checkpoint_path, old_name, new_name, output_path):
     """Rename a speaker in a checkpoint's speaker2id table."""
     from everyvoice_tpu.train.checkpoint import rename_speaker
 
-    rename_speaker(checkpoint_path, old_name, new_name, output_path)
+    try:
+        rename_speaker(checkpoint_path, old_name, new_name, output_path)
+    except ValueError as e:
+        raise click.ClickException(str(e)) from None
     click.echo(f"Wrote {output_path}")
 
 

@@ -483,3 +483,35 @@ class TestCheckData:
         assert rows and all("total" in r and "basename" in r for r in rows)
         totals = [r["total"] for r in rows]
         assert totals == sorted(totals, reverse=True)  # worst first
+
+
+class TestVersionAndErrors:
+    def test_version_flag(self, runner):
+        from everyvoice_tpu import __version__
+
+        result = runner.invoke(main, ["--version"])
+        assert result.exit_code == 0
+        assert __version__ in result.output
+
+    def test_inspect_not_a_checkpoint(self, runner, tmp_path):
+        bogus = tmp_path / "not_a_ckpt.ckpt"
+        bogus.write_bytes(b"definitely not msgpack")
+        result = runner.invoke(
+            main, ["checkpoint", "inspect", str(bogus)]
+        )
+        assert result.exit_code != 0
+        assert result.exception is None or isinstance(
+            result.exception, SystemExit
+        )  # clean CLI error, not a traceback
+        assert "checkpoint" in result.output.lower()
+
+    def test_rename_missing_speaker_errors(self, runner, dummy_ckpts, tmp_path):
+        out = tmp_path / "renamed.ckpt"
+        result = runner.invoke(
+            main,
+            ["checkpoint", "rename-speaker", str(dummy_ckpts["fs2"]),
+             "nobody", "alice", str(out)],
+        )
+        assert result.exit_code != 0
+        assert "nobody" in result.output
+        assert not out.exists()

@@ -314,13 +314,14 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
     vds = FastSpeech2Dataset(
         val_list, config, lang2id, speaker2id, text_processor=ds.text_processor
     )
+    strat = parse_strategy(strategy)
     mesh = setup_mesh(accelerator, devices, nodes=nodes,
-                      model_parallel=parse_strategy(strategy))
+                      model_parallel=strat.model_parallel)
     stats_path = Path(config.preprocessing.save_dir) / "stats.json"
     stats = json.loads(stats_path.read_text()) if stats_path.exists() else {}
     trainer = FastSpeech2Trainer(
         config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh,
-        gradient_clip_val=gradient_clip_val,
+        gradient_clip_val=gradient_clip_val, fsdp=strat.fsdp,
     )
     trainer.fit(
         profile_steps=profile_steps, steps_per_execution=steps_per_execution
@@ -344,10 +345,12 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
     val_list = config.training.filelist_loader(config.training.validation_filelist)
     ds = HiFiGANDataset(train_list, config, finetune=config.training.finetune)
     vds = HiFiGANDataset(val_list, config, finetune=config.training.finetune)
+    strat = parse_strategy(strategy)
     mesh = setup_mesh(accelerator, devices, nodes=nodes,
-                      model_parallel=parse_strategy(strategy))
+                      model_parallel=strat.model_parallel)
     trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh,
-                             gradient_clip_val=gradient_clip_val)
+                             gradient_clip_val=gradient_clip_val,
+                             fsdp=strat.fsdp)
     trainer.fit(profile_steps=profile_steps,
                 steps_per_execution=steps_per_execution)
     click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
@@ -372,10 +375,12 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     lang2id, _ = lookuptables_from_data((train_list, val_list))
     ds = StyleTTS2Dataset(train_list, config)
     vds = StyleTTS2Dataset(val_list, config, text_processor=ds.text_processor)
+    strat = parse_strategy(strategy)
     mesh = setup_mesh(accelerator, devices, nodes=nodes,
-                      model_parallel=parse_strategy(strategy))
+                      model_parallel=strat.model_parallel)
     trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
-                               mode=mode, gradient_clip_val=gradient_clip_val)
+                               mode=mode, gradient_clip_val=gradient_clip_val,
+                               fsdp=strat.fsdp)
     trainer.fit(profile_steps=profile_steps,
                 steps_per_execution=steps_per_execution)
     click.echo(f"Stage {mode} training complete; checkpoints at {trainer.ckpt_dir}")

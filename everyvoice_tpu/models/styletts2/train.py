@@ -36,8 +36,8 @@ class StyleTTS2Trainer(TrainerBase):
 
     def __init__(self, config, dataset, val_dataset, lang2id=None,
                  mesh=None, run_dir=None, mode: str = "first",
-                 gradient_clip_val=None):
-        super().__init__(config, mesh=mesh, run_dir=run_dir)
+                 gradient_clip_val=None, fsdp=False):
+        super().__init__(config, mesh=mesh, run_dir=run_dir, fsdp=fsdp)
         from everyvoice_tpu.models.hifigan.model import (
             MultiPeriodDiscriminator,
             MultiScaleDiscriminator,
@@ -635,10 +635,27 @@ class StyleTTS2Trainer(TrainerBase):
                     f"Stage-1 checkpoint {first_stage} not found; "
                     "training stage 2 from scratch."
                 )
-        gen_params = replicate_tree(gen_params, self.mesh)
-        disc_params = replicate_tree(disc_params, self.mesh)
-        gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
-        disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
+        if self.fsdp:
+            from everyvoice_tpu.parallel import (
+                shard_opt_state_like,
+                shard_params,
+            )
+
+            gen_params = shard_params(gen_params, self.mesh, fsdp=True)
+            disc_params = shard_params(disc_params, self.mesh, fsdp=True)
+            gen_opt_state = shard_opt_state_like(
+                jax.device_get(self.gen_opt.init(gen_params)),
+                self.gen_opt.init, gen_params,
+            )
+            disc_opt_state = shard_opt_state_like(
+                jax.device_get(self.disc_opt.init(disc_params)),
+                self.disc_opt.init, disc_params,
+            )
+        else:
+            gen_params = replicate_tree(gen_params, self.mesh)
+            disc_params = replicate_tree(disc_params, self.mesh)
+            gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
+            disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
         slm_params = (
             replicate_tree(self.slm_params, self.mesh)
             if self.slm_params is not None

@@ -17,12 +17,12 @@ model_parallel=1 this degrades to exactly the reference-equivalent DDP.
 from __future__ import annotations
 
 import re
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from everyvoice_tpu.parallel.mesh import MODEL_AXIS
+from everyvoice_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # (path regex, spec) — applied in order, first match wins. Paths are the
 # flax param-tree keys joined with "/".
@@ -99,9 +99,58 @@ def param_shardings(
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_params(params, mesh: Mesh, rules=None):
-    """Place a parameter pytree onto the mesh under the TP rules (or fully
-    replicated when the model axis is trivial)."""
+def fsdp_shardings(params, mesh: Mesh, min_size: int = 16_384):
+    """Pytree of NamedSharding implementing ZeRO-3-style fully-sharded data
+    parallelism: each large parameter is split over the `data` axis on its
+    largest evenly-divisible dimension, so per-device parameter (and, via
+    `shard_opt_state_like`, optimizer-state) memory scales as 1/N. Under
+    jit-SPMD, XLA inserts the all-gather before each use and a
+    reduce-scatter for the gradients — the standard TPU FSDP recipe
+    ("How to Scale Your Model", fully-sharded data parallelism).
+
+    Leaves smaller than `min_size` elements (biases, LayerNorm scales) stay
+    replicated: gathering them costs more latency than their memory is
+    worth."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    data_size = axis_sizes.get(DATA_AXIS, 1)
+
+    def assign(leaf):
+        shape = getattr(leaf, "shape", None)
+        if (
+            data_size > 1
+            and shape
+            and int(np_prod(shape)) >= min_size
+        ):
+            # Largest dimension that divides the data axis evenly.
+            candidates = [
+                (dim, i) for i, dim in enumerate(shape) if dim % data_size == 0
+            ]
+            if candidates:
+                _, idx = max(candidates)
+                spec = [None] * len(shape)
+                spec[idx] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(assign, params)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for dim in shape:
+        out *= int(dim)
+    return out
+
+
+def shard_params(params, mesh: Mesh, rules=None, fsdp: bool = False,
+                 fsdp_min_size: int = 16_384):
+    """Place a parameter pytree onto the mesh: TP rules over the `model`
+    axis when it is non-trivial, ZeRO-3 FSDP over the `data` axis when
+    requested, fully replicated (reference-parity DDP) otherwise."""
+    if fsdp:
+        return jax.device_put(
+            params, fsdp_shardings(params, mesh, min_size=fsdp_min_size)
+        )
     return jax.device_put(params, param_shardings(params, mesh, rules))
 
 
@@ -132,14 +181,25 @@ def shard_opt_state_like(opt_state, optimizer_init, sharded_params):
     return jax.device_put(opt_state, shardings)
 
 
-def parse_strategy(strategy: str) -> int:
-    """Map the reference CLI's --strategy string onto a model-parallel
-    degree: 'ddp'/'auto'/'' → 1 (pure data parallel, the reference
-    behavior, base_cli/interfaces.py:90-97); 'tp<k>' or 'ddp_tp<k>' → k-way
-    tensor parallelism over the mesh's `model` axis."""
+class Strategy(NamedTuple):
+    """Resolved --strategy: model-parallel degree + FSDP flag."""
+
+    model_parallel: int = 1
+    fsdp: bool = False
+
+
+def parse_strategy(strategy: str) -> Strategy:
+    """Map the reference CLI's --strategy string onto a sharding strategy:
+    'ddp'/'auto'/'' → pure data parallel (the reference behavior,
+    base_cli/interfaces.py:90-97); 'tp<k>' or 'ddp_tp<k>' → k-way tensor
+    parallelism over the mesh's `model` axis; 'fsdp' → ZeRO-3 parameter +
+    optimizer-state sharding over the `data` axis."""
     if not strategy:
-        return 1
-    match = re.fullmatch(r"(?:ddp_)?tp(\d+)", strategy.strip().lower())
+        return Strategy()
+    text = strategy.strip().lower()
+    if text == "fsdp":
+        return Strategy(model_parallel=1, fsdp=True)
+    match = re.fullmatch(r"(?:ddp_)?tp(\d+)", text)
     if match:
-        return max(int(match.group(1)), 1)
-    return 1
+        return Strategy(model_parallel=max(int(match.group(1)), 1))
+    return Strategy()

@@ -71,8 +71,12 @@ class TrainerBase:
     model_name = "Base"
     monitor = "validation/total"
 
-    def __init__(self, config, mesh=None, run_dir: Optional[Path] = None):
+    def __init__(self, config, mesh=None, run_dir: Optional[Path] = None,
+                 fsdp: bool = False):
         self.config = config
+        # ZeRO-3 parameter/optimizer sharding over the data axis
+        # (--strategy fsdp); False = reference-parity DDP replication.
+        self.fsdp = fsdp
         self.training_config = config.training
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
@@ -237,8 +241,9 @@ class FastSpeech2Trainer(TrainerBase):
     model_name = "FastSpeech2"
 
     def __init__(self, config, dataset, val_dataset, lang2id, speaker2id,
-                 stats=None, mesh=None, run_dir=None, gradient_clip_val=None):
-        super().__init__(config, mesh=mesh, run_dir=run_dir)
+                 stats=None, mesh=None, run_dir=None, gradient_clip_val=None,
+                 fsdp=False):
+        super().__init__(config, mesh=mesh, run_dir=run_dir, fsdp=fsdp)
         from everyvoice_tpu.models.fs2.model import FastSpeech2
 
         self.dataset = dataset
@@ -394,7 +399,7 @@ class FastSpeech2Trainer(TrainerBase):
         # layouts mirror the parameters via XLA sharding propagation.
         from everyvoice_tpu.parallel import shard_opt_state_like, shard_params
 
-        params = shard_params(params, self.mesh)
+        params = shard_params(params, self.mesh, fsdp=self.fsdp)
         opt_state = shard_opt_state_like(
             jax.device_get(opt_state), self.optimizer.init, params
         )
@@ -601,8 +606,8 @@ class HiFiGANTrainer(TrainerBase):
     model_name = "HiFiGAN"
 
     def __init__(self, config, dataset, val_dataset, mesh=None, run_dir=None,
-                 gradient_clip_val=None):
-        super().__init__(config, mesh=mesh, run_dir=run_dir)
+                 gradient_clip_val=None, fsdp=False):
+        super().__init__(config, mesh=mesh, run_dir=run_dir, fsdp=fsdp)
         from everyvoice_tpu.models.hifigan.model import (
             HiFiGANGenerator,
             MultiPeriodDiscriminator,
@@ -798,10 +803,26 @@ class HiFiGANTrainer(TrainerBase):
                 disc_opt_state = serialization.from_state_dict(
                     disc_opt_state, opt_restore["disc"]
                 )
-        gen_params = replicate_tree(gen_params, self.mesh)
-        disc_params = replicate_tree(disc_params, self.mesh)
-        gen_opt_state = replicate_tree(gen_opt_state, self.mesh)
-        disc_opt_state = replicate_tree(disc_opt_state, self.mesh)
+        if self.fsdp:
+            from everyvoice_tpu.parallel import (
+                shard_opt_state_like,
+                shard_params,
+            )
+
+            gen_params = shard_params(gen_params, self.mesh, fsdp=True)
+            disc_params = shard_params(disc_params, self.mesh, fsdp=True)
+            gen_opt_state = shard_opt_state_like(
+                jax.device_get(gen_opt_state), self.gen_opt.init, gen_params
+            )
+            disc_opt_state = shard_opt_state_like(
+                jax.device_get(disc_opt_state), self.disc_opt.init,
+                disc_params,
+            )
+        else:
+            gen_params = replicate_tree(gen_params, self.mesh)
+            disc_params = replicate_tree(disc_params, self.mesh)
+            gen_opt_state = replicate_tree(gen_opt_state, self.mesh)
+            disc_opt_state = replicate_tree(disc_opt_state, self.mesh)
         rng = jax.random.PRNGKey(42)
 
         val_interval = _resolve_val_interval(

@@ -86,14 +86,19 @@ def _train_step_fns(model):
 
 class TestStrategyParsing:
     def test_reference_default_is_pure_dp(self):
-        assert parse_strategy("ddp") == 1
-        assert parse_strategy("") == 1
-        assert parse_strategy("auto") == 1
+        assert parse_strategy("ddp").model_parallel == 1
+        assert parse_strategy("").model_parallel == 1
+        assert parse_strategy("auto").model_parallel == 1
+        assert not parse_strategy("ddp").fsdp
 
     def test_tensor_parallel_degrees(self):
-        assert parse_strategy("tp2") == 2
-        assert parse_strategy("ddp_tp4") == 4
-        assert parse_strategy("TP2") == 2
+        assert parse_strategy("tp2").model_parallel == 2
+        assert parse_strategy("ddp_tp4").model_parallel == 4
+        assert parse_strategy("TP2").model_parallel == 2
+
+    def test_fsdp(self):
+        strat = parse_strategy("fsdp")
+        assert strat.fsdp and strat.model_parallel == 1
 
 
 class TestParamShardings:
@@ -348,3 +353,102 @@ class TestNodeMeshTrainStep:
             params, opt_state, sharded, jax.random.PRNGKey(1)
         )
         assert np.isfinite(float(losses["total"]))
+
+
+class TestFSDP:
+    """--strategy fsdp: ZeRO-3 parameter/optimizer sharding over the data
+    axis (beyond the reference's DDP-only strategy set)."""
+
+    def _params(self):
+        model = _small_fs2()
+        b = _batch(b=2)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            jnp.asarray(b["text"]), jnp.asarray(b["text_lengths"]),
+            mel=jnp.asarray(b["mel"]), mel_lengths=jnp.asarray(b["mel_lengths"]),
+        )
+        return model, params
+
+    def test_large_params_shard_small_replicate(self, cpu_devices):
+        from everyvoice_tpu.parallel.sharding import fsdp_shardings
+
+        mesh = make_mesh(cpu_devices[:8], model_parallel=1)
+        _, params = self._params()
+        specs = fsdp_shardings(params, mesh, min_size=1024)
+        flat = jax.tree_util.tree_leaves_with_path(
+            specs, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        sharded = [s for _, s in flat if s.spec != jax.sharding.PartitionSpec()]
+        assert sharded, "no parameter was FSDP-sharded"
+        for path, spec in flat:
+            leaf = params
+            for k in path:
+                leaf = leaf[getattr(k, "key", k)]
+            if spec.spec != jax.sharding.PartitionSpec():
+                # The sharded dimension divides the data axis evenly.
+                dims = [d for d, a in zip(leaf.shape, spec.spec) if a == "data"]
+                assert dims and all(d % 8 == 0 for d in dims)
+            elif leaf.size >= 1024:
+                # Replicated-but-large ⇒ no dimension was divisible.
+                assert not any(d % 8 == 0 for d in leaf.shape)
+
+    @pytest.mark.slow
+    def test_fsdp_train_step_matches_dp(self, cpu_devices):
+        """One full train step under FSDP reproduces the pure-DP result —
+        XLA's all-gather/reduce-scatter insertion is numerically the psum."""
+        from everyvoice_tpu.parallel.sharding import fsdp_shardings
+
+        model = _small_fs2()
+        optimizer, model_kwargs, train_step = _train_step_fns(model)
+        host = _batch(b=8)
+        params0 = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            jnp.asarray(host["text"]), jnp.asarray(host["text_lengths"]),
+            **{k: jnp.asarray(v) for k, v in model_kwargs(host).items()},
+        )
+        params0 = jax.device_get(params0)
+
+        results = {}
+        for label in ("dp", "fsdp"):
+            mesh = make_mesh(cpu_devices[:8], model_parallel=1)
+            if label == "fsdp":
+                params = jax.device_put(
+                    params0, fsdp_shardings(params0, mesh, min_size=1024)
+                )
+            else:
+                params = shard_params(params0, mesh)
+            opt_state = shard_opt_state_like(
+                jax.device_get(optimizer.init(params0)), optimizer.init, params
+            )
+            batch = shard_batch(pad_batch_to_devices(host, 8), mesh)
+            new_params, _, total = train_step(params, opt_state, batch)
+            results[label] = (
+                float(total),
+                np.asarray(new_params["params"]["mel_head"]["kernel"]),
+            )
+
+        dp_loss, dp_kernel = results["dp"]
+        fsdp_loss, fsdp_kernel = results["fsdp"]
+        assert np.isfinite(dp_loss)
+        np.testing.assert_allclose(fsdp_loss, dp_loss, rtol=2e-4)
+        np.testing.assert_allclose(fsdp_kernel, dp_kernel, rtol=2e-3, atol=2e-5)
+
+    def test_per_device_memory_shrinks(self, cpu_devices):
+        from everyvoice_tpu.parallel.sharding import fsdp_shardings
+
+        mesh = make_mesh(cpu_devices[:8], model_parallel=1)
+        _, params = self._params()
+        sharded = jax.device_put(
+            params, fsdp_shardings(params, mesh, min_size=1024)
+        )
+        total = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
+        dev0 = mesh.devices.flat[0]
+        per_device = 0
+        for leaf in jax.tree_util.tree_leaves(sharded):
+            for shard in leaf.addressable_shards:
+                if shard.device == dev0:
+                    per_device += shard.data.size * shard.data.dtype.itemsize
+        assert per_device < 0.75 * total  # parameters really are distributed

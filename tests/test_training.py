@@ -599,3 +599,36 @@ class TestResumeGateUnits:
         old = {"model": {"dim": 256}, "training": {"optimizer": {"lr": 1e-4}}}
         new = {"model": {"dim": 256}, "training": {"optimizer": {"lr": 5e-5}}}
         assert resume_mode(old, new, "FastSpeech2") == "fresh_optimizer"
+
+
+@pytest.mark.slow
+class TestFSDPTraining:
+    def test_fs2_short_run_with_fsdp(self, lj_corpus, tmp_path_factory):
+        """--strategy fsdp end to end: a short FastSpeech2 run with ZeRO-3
+        parameter/optimizer sharding trains to finite losses and writes
+        checkpoints that load back."""
+        from everyvoice_tpu.text.lookups import lookuptables_from_data
+
+        config, save_dir = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 4
+        config.training.val_check_interval = 100
+        run_dir = tmp_path_factory.mktemp("fs2_fsdp_run")
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        val = generic_psv_filelist_reader(config.training.validation_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train, val))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        vds = FastSpeech2Dataset(val, config, lang2id, speaker2id,
+                                 text_processor=ds.text_processor)
+        mesh = make_mesh(jax.devices("cpu")[:4])
+        trainer = FastSpeech2Trainer(
+            config, ds, vds, lang2id, speaker2id, mesh=mesh, run_dir=run_dir,
+            fsdp=True,
+        )
+        trainer.fit(max_steps=3, log_every=1)
+        assert (run_dir / "checkpoints" / "last.ckpt").exists()
+        header = load_checkpoint_header(run_dir / "checkpoints" / "last.ckpt")
+        assert header["model_info"]["name"] == "FastSpeech2"
+        ckpt = load_checkpoint(run_dir / "checkpoints" / "last.ckpt")
+        for leaf in jax.tree_util.tree_leaves(ckpt["state_dict"]):
+            assert np.all(np.isfinite(leaf))

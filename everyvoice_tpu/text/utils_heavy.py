@@ -73,6 +73,10 @@ def unicode_table_distance(sym_a: str, sym_b: str) -> float:
             dist += 2.0
     except ValueError:
         dist += 2.0
+    # Codepoint proximity breaks ties inside a category: '1' is closer to
+    # '2' than to '4', 'a' closer to 'b' than to 'z' (the reference ranks
+    # by unicode-table adjacency the same way, utils_heavy.py:41-71).
+    dist += min(abs(ord(a0) - ord(b0)) / 64.0, 1.0)
     return dist
 
 
@@ -84,9 +88,10 @@ def styletts2_symbol_distance(user_symbol: str, pretrained_symbol: str) -> float
     fd = feature_distance(user_symbol, pretrained_symbol)
     if fd is not None:
         return 1.0 + fd  # exact matches stay strictly cheaper
+    # Unnormalized edit distance: '1'→'22' (two edits) must rank farther
+    # than '1'→'2' (one edit) even though both are "completely different".
     lev = levenshtein(user_symbol, pretrained_symbol)
-    max_len = max(len(user_symbol), len(pretrained_symbol), 1)
-    return 100.0 + 10.0 * lev / max_len + unicode_table_distance(
+    return 100.0 + 10.0 * lev + unicode_table_distance(
         user_symbol, pretrained_symbol
     )
 
@@ -112,16 +117,53 @@ def find_optimal_mapping(
 
 
 def suggest_symbol_mapping(
-    user_symbols: List[str], pretrained_symbols: List[str]
+    user_symbols: List[str],
+    pretrained_symbols: List[str],
+    reserved_targets: Optional[List[str]] = None,
 ) -> Dict[str, str]:
     """Suggest replacements only for symbols NOT already in the pretrained
     table; identical symbols map to themselves
-    (reference utils_heavy.py:189-259)."""
+    (reference utils_heavy.py:189-259).
+
+    Guarantees (matching the reference's suggestion semantics):
+      * one-to-one — two distinct symbols never share a target (they would
+        collapse into the same frozen pretrained embedding),
+      * digits are never given a stand-in (they are unexpanded numbers that
+        need text normalization, not graphemes),
+      * `reserved_targets` (e.g. symbols already doing punctuation duty)
+        are never handed out,
+      * a symbol is never mapped onto one of its own literal components
+        ('k̟ʷ' → 'k' would make it indistinguishable from plain 'k').
+    """
+    from scipy.optimize import linear_sum_assignment
+
     pretrained_set = set(pretrained_symbols)
-    missing = [s for s in user_symbols if s not in pretrained_set]
+    reserved = set(reserved_targets or ())
+    missing = [
+        s for s in user_symbols
+        if s not in pretrained_set and not s.isdigit()
+    ]
     if not missing:
         return {}
-    # Candidates: pretrained symbols not already claimed by exact matches.
-    used = set(user_symbols) & pretrained_set
+    # Candidates: pretrained symbols not already claimed by exact matches
+    # or reserved by the caller.
+    used = (set(user_symbols) & pretrained_set) | reserved
     candidates = [s for s in pretrained_symbols if s not in used]
-    return find_optimal_mapping(missing, candidates)
+    if not candidates:
+        return {}
+    FORBIDDEN = 1e9
+    cost = np.zeros((len(missing), len(candidates)))
+    for i, sym in enumerate(missing):
+        for j, cand in enumerate(candidates):
+            if cand in sym:  # own literal component
+                cost[i, j] = FORBIDDEN
+            else:
+                cost[i, j] = styletts2_symbol_distance(sym, cand)
+    # Rectangular assignment pairs min(n_missing, n_candidates) symbols;
+    # forbidden pairs that survive the assignment are dropped (unmapped).
+    rows, cols = linear_sum_assignment(cost)
+    return {
+        missing[i]: candidates[j]
+        for i, j in zip(rows, cols)
+        if cost[i, j] < FORBIDDEN
+    }

@@ -88,6 +88,26 @@ def save_checkpoint(
     return path
 
 
+def _check_format_version(header: dict, path) -> None:
+    """A checkpoint saved by a newer major format cannot be read — tell the
+    user to upgrade instead of failing obscurely later (the reference gates
+    `model_info.version` the same way, base_cli/checkpoint.py +
+    tests/test_model.py:317-460). A missing version means 'oldest' and is
+    accepted for back-compat."""
+    version = str(header.get("model_info", {}).get("version", "0.0"))
+    try:
+        major = int(version.split(".")[0])
+    except ValueError:
+        raise ValueError(
+            f"{path} declares an unparseable checkpoint version {version!r}"
+        ) from None
+    if major > 1:
+        raise ValueError(
+            f"{path} was saved by a newer everyvoice_tpu (checkpoint format "
+            f"{version}); upgrade this installation to load it."
+        )
+
+
 def load_checkpoint_header(path: Path | str) -> dict:
     """Read only the JSON header (cheap; no tensor IO)."""
     with open(path, "rb") as f:
@@ -95,7 +115,9 @@ def load_checkpoint_header(path: Path | str) -> dict:
         if magic != MAGIC:
             raise ValueError(f"{path} is not an everyvoice_tpu checkpoint")
         (header_len,) = struct.unpack("<Q", f.read(8))
-        return json.loads(f.read(header_len).decode("utf8"))
+        header = json.loads(f.read(header_len).decode("utf8"))
+    _check_format_version(header, path)
+    return header
 
 
 def load_checkpoint(path: Path | str) -> dict:
@@ -108,6 +130,7 @@ def load_checkpoint(path: Path | str) -> dict:
             raise ValueError(f"{path} is not an everyvoice_tpu checkpoint")
         (header_len,) = struct.unpack("<Q", f.read(8))
         header = json.loads(f.read(header_len).decode("utf8"))
+        _check_format_version(header, path)
         body = serialization.msgpack_restore(f.read())
     out = dict(header)
     out.update(body)

@@ -361,6 +361,60 @@ class TestCheckpointTools:
         with pytest.raises(ValueError, match="not found"):
             rename_speaker(path, "nope", "x", tmp_path / "y.ckpt")
 
+    def test_newer_format_version_rejected(self, tmp_path):
+        """A checkpoint from a future major format errors with an upgrade
+        message (reference tests/test_model.py:392-460)."""
+        import json as json_mod
+        import struct
+
+        params = {"w": np.zeros(3, np.float32)}
+        path = save_checkpoint(tmp_path / "m.ckpt", "FastSpeech2", {}, params)
+        raw = path.read_bytes()
+        (header_len,) = struct.unpack("<Q", raw[4:12])
+        header = json_mod.loads(raw[12:12 + header_len])
+        header["model_info"]["version"] = "2.0"
+        new_header = json_mod.dumps(header).encode()
+        future = tmp_path / "future.ckpt"
+        future.write_bytes(
+            raw[:4] + struct.pack("<Q", len(new_header)) + new_header
+            + raw[12 + header_len:]
+        )
+        with pytest.raises(ValueError, match="upgrade"):
+            load_checkpoint_header(future)
+        with pytest.raises(ValueError, match="upgrade"):
+            load_checkpoint(future)
+
+    def test_missing_format_version_accepted(self, tmp_path):
+        """Version-less checkpoints (oldest format) still load."""
+        import json as json_mod
+        import struct
+
+        params = {"w": np.zeros(3, np.float32)}
+        path = save_checkpoint(tmp_path / "m.ckpt", "FastSpeech2", {}, params)
+        raw = path.read_bytes()
+        (header_len,) = struct.unpack("<Q", raw[4:12])
+        header = json_mod.loads(raw[12:12 + header_len])
+        del header["model_info"]["version"]
+        new_header = json_mod.dumps(header).encode()
+        old = tmp_path / "old.ckpt"
+        old.write_bytes(
+            raw[:4] + struct.pack("<Q", len(new_header)) + new_header
+            + raw[12 + header_len:]
+        )
+        assert load_checkpoint(old)["model_info"]["name"] == "FastSpeech2"
+
+    def test_wrong_model_type_rejected(self, tmp_path):
+        """Loading a vocoder checkpoint as a feature-prediction model errors
+        cleanly (reference tests/test_model.py:178-316)."""
+        from everyvoice_tpu.models.fs2.synthesize import (
+            load_fs2_from_checkpoint,
+        )
+
+        params = {"w": np.zeros(3, np.float32)}
+        path = save_checkpoint(tmp_path / "v.ckpt", "HiFiGAN", {}, params)
+        with pytest.raises(ValueError, match="FastSpeech2"):
+            load_fs2_from_checkpoint(path)
+
 
 class TestTopKRetention:
     def test_worse_than_topk_is_never_written(self, tmp_path):

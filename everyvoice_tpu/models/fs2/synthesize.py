@@ -292,10 +292,14 @@ class Synthesizer:
                     duration_control,
                     *extra,
                 )
-                mel = np.asarray(mel)
-                frames = np.asarray(frames)
-                durations = np.asarray(durations)
-                wav = np.asarray(wav) if wav is not None else None
+                # One fused host transfer per batch — sequential np.asarray
+                # fetches each pay a device round trip (see the StyleTTS2
+                # serving fix; docs/guides/tpu.md).
+                import jax
+
+                mel, frames, durations, wav = jax.device_get(
+                    (mel, frames, durations, wav)
+                )
                 for j, (ti, ci, ids) in enumerate(sl):
                     n_frames = max(min(int(frames[j]), mel.shape[1]), 1)
                     chunk_out[(ti, ci)] = (

@@ -475,9 +475,11 @@ class Preprocessor:
             for j, (_, a, _) in enumerate(chunk):
                 batch[j, : len(a)] = a
             spec, energy, f0 = program(batch)
-            spec, energy, f0 = (
-                np.asarray(spec), np.asarray(energy), np.asarray(f0),
-            )
+            # One fused transfer per batch (three sequential np.asarray
+            # fetches would each pay a device round trip).
+            import jax
+
+            spec, energy, f0 = jax.device_get((spec, energy, f0))
             for j, (item, a, paths) in enumerate(chunk):
                 n_frames = len(a) // hop  # drop the center-pad extra frame to
                 # keep the reference's frames == samples//hop contract

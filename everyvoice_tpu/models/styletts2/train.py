@@ -560,8 +560,8 @@ class StyleTTS2Trainer(TrainerBase):
         ):
             host_batch.pop("basenames", None)
             host_batch = pad_batch_to_devices(host_batch, self.n_devices)
-            losses = self._val_step(
-                gen_params, shard_batch(host_batch, self.mesh)
+            losses = jax.device_get(
+                self._val_step(gen_params, shard_batch(host_batch, self.mesh))
             )
             for key, value in losses.items():
                 totals[key] = totals.get(key, 0.0) + float(value)

@@ -103,6 +103,9 @@ class TrainerBase:
             yaml.safe_dump(self.config.model_checkpoint_dump(), f, allow_unicode=True)
 
     def log_metrics(self, metrics: dict, step: int):
+        # One fused device→host transfer for all metric scalars (per-value
+        # float() would pay one device round trip each).
+        metrics = jax.device_get(metrics)
         record = {"step": step, "epoch": self.epoch, "time": time.time()}
         record.update(
             {k: float(v) for k, v in metrics.items() if np.isscalar(v) or hasattr(v, "item")}
@@ -523,7 +526,9 @@ class FastSpeech2Trainer(TrainerBase):
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch.pop("basenames", None)
             batch = compress_for_transfer(batch, ("mel", "attn_prior"))
-            losses = self._eval_step(params, shard_batch(batch, self.mesh))
+            losses = jax.device_get(
+                self._eval_step(params, shard_batch(batch, self.mesh))
+            )
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             count += 1
@@ -926,8 +931,8 @@ class HiFiGANTrainer(TrainerBase):
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch.pop("basenames", None)
             batch = compress_for_transfer(batch, ("mel",))
-            losses = self._eval_step(
-                gen_params, shard_batch(batch, self.mesh)
+            losses = jax.device_get(
+                self._eval_step(gen_params, shard_batch(batch, self.mesh))
             )
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v)

@@ -90,3 +90,20 @@ def lj_corpus(tmp_path_factory):
     config.training.training_filelist = save_dir / "training_filelist.psv"
     config.training.validation_filelist = save_dir / "validation_filelist.psv"
     return config, save_dir
+
+
+@pytest.fixture(scope="session")
+def dummy_ckpts(tmp_path_factory):
+    """Untrained-but-real checkpoints, built once per session (the analog of
+    the reference's session-scoped get_dummy_models, conftest.py:19-35)."""
+    from model_stubs import (
+        get_dummy_fs2_checkpoint,
+        get_dummy_hifigan_checkpoint,
+    )
+
+    tmp = tmp_path_factory.mktemp("stub_ckpts")
+    return {
+        "fs2": get_dummy_fs2_checkpoint(tmp),
+        "hifigan": get_dummy_hifigan_checkpoint(tmp),
+        "generator": get_dummy_hifigan_checkpoint(tmp, generator_only=True),
+    }

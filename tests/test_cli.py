@@ -7,10 +7,6 @@ import pytest
 from click.testing import CliRunner
 
 from everyvoice_tpu.cli import main
-from model_stubs import (
-    get_dummy_fs2_checkpoint,
-    get_dummy_hifigan_checkpoint,
-)
 
 EXPECTED_COMMANDS = [
     "check", "checkpoint", "demo", "evaluate", "export", "fetch-pretrained",
@@ -24,14 +20,7 @@ def runner():
     return CliRunner()
 
 
-@pytest.fixture(scope="module")
-def dummy_ckpts(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("stub_ckpts")
-    return {
-        "fs2": get_dummy_fs2_checkpoint(tmp),
-        "hifigan": get_dummy_hifigan_checkpoint(tmp),
-        "generator": get_dummy_hifigan_checkpoint(tmp, generator_only=True),
-    }
+# dummy_ckpts comes from conftest (session-scoped stub checkpoints).
 
 
 class TestHelp:

@@ -16,10 +16,10 @@ from model_stubs import (
 
 
 @pytest.fixture(scope="module")
-def demo_server(tmp_path_factory):
+def demo_server(tmp_path_factory, dummy_ckpts):
     tmp = tmp_path_factory.mktemp("demo")
-    fs2 = get_dummy_fs2_checkpoint(tmp)
-    gen = get_dummy_hifigan_checkpoint(tmp, generator_only=True)
+    fs2 = dummy_ckpts["fs2"]
+    gen = dummy_ckpts["generator"]
     denylist = tmp / "denylist.txt"
     denylist.write_text("forbidden\n")
     app = create_demo_app(fs2, gen, denylist=denylist)
@@ -290,10 +290,10 @@ class TestDemoDispatch:
 
 
 @pytest.fixture(scope="module")
-def allowlist_server(tmp_path_factory):
+def allowlist_server(tmp_path_factory, dummy_ckpts):
     tmp = tmp_path_factory.mktemp("demo_allow")
-    fs2 = get_dummy_fs2_checkpoint(tmp)
-    gen = get_dummy_hifigan_checkpoint(tmp, generator_only=True)
+    fs2 = dummy_ckpts["fs2"]
+    gen = dummy_ckpts["generator"]
     allowlist = tmp / "allowlist.txt"
     allowlist.write_text("hello\nworld\n")
     app = create_demo_app(fs2, gen, allowlist=allowlist)

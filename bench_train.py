@@ -76,16 +76,29 @@ def main() -> None:
         p = optax.apply_updates(p, updates)
         return p, o, losses["total"]
 
-    key = jax.random.PRNGKey(1)
+    from everyvoice_tpu.train.loop import training_rng
+
+    key = training_rng(1)  # the production trainers' hardware-RNG key
     params, opt_state, loss = train_step(params, opt_state, batch, key)
     loss.block_until_ready()  # compile
 
-    iters = 20
-    start = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, batch, key)
-    loss.block_until_ready()
-    elapsed = time.perf_counter() - start
+    # Hardened methodology (docs/guides/tpu.md): the state chain already
+    # data-depends step over step; fetch the final loss VALUE inside the
+    # timed region (block_until_ready can be acknowledged early on
+    # forwarding relays) and take the marginal slope of two chain lengths
+    # to cancel the fixed dispatch/fetch overhead.
+    def run_chain(iters: int) -> float:
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = train_step(params, opt_state, batch, key)
+        float(loss)
+        return time.perf_counter() - t0
+
+    run_chain(2)  # warm the fetch path too
+    n_short, n_long = 4, 24
+    t_short, t_long = run_chain(n_short), run_chain(n_long)
+    elapsed, iters = t_long - t_short, n_long - n_short
     steps_per_s = iters / elapsed
     hours_for_100k = 100_000 / steps_per_s / 3600
 

@@ -661,7 +661,9 @@ class StyleTTS2Trainer(TrainerBase):
             if self.slm_params is not None
             else None
         )
-        rng = jax.random.PRNGKey(17)
+        from everyvoice_tpu.train.loop import training_rng
+
+        rng = training_rng(17)
         stop = False
         val_metrics: dict = {}
         metrics: dict = {}

@@ -45,14 +45,24 @@ def main() -> None:
     out = features(batch_audio)
     jax.block_until_ready(out)  # compile
 
-    n_batches = -(-n_utts // batch)
-    start = time.perf_counter()
-    for _ in range(n_batches):
-        out = features(batch_audio)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    # Hardened methodology (docs/guides/tpu.md): each dispatch data-depends
+    # on the previous result, the final scalar is actually fetched, and the
+    # per-batch cost is the marginal slope between two chain lengths.
+    def run_chain(n_batches: int) -> float:
+        audio = batch_audio
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            spec, energy, f0 = features(audio)
+            audio = batch_audio + spec[0, 0, 0] * 0
+        float(spec[0, 0, 0])
+        return time.perf_counter() - t0
 
-    utts_per_s = n_batches * batch / elapsed
+    run_chain(2)
+    n_batches = max(-(-n_utts // batch), 8)
+    n_short = max(n_batches // 6, 2)
+    t_short, t_long = run_chain(n_short), run_chain(n_batches)
+    elapsed = t_long - t_short
+    utts_per_s = (n_batches - n_short) * batch / elapsed
     result = {
         "metric": "preprocessing throughput (log-mel+energy+F0), utterances/sec/chip",
         "value": round(utts_per_s, 1),

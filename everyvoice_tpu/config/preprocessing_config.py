@@ -11,7 +11,7 @@ from typing import Any, ClassVar, List, Optional, Union
 from pydantic import Field, ValidationInfo, field_validator, model_validator
 
 from everyvoice_tpu.config.shared_types import ConfigModel, PartialLoadConfig
-from everyvoice_tpu.config.utils import PossiblySerializedCallable
+from everyvoice_tpu.config.utils import PossiblyRelativePath, PossiblySerializedCallable
 
 
 class AudioSpecTypeEnum(str, Enum):
@@ -68,13 +68,15 @@ class Dataset(ConfigModel):
         "data. You may not build a TTS system with data you do not have "
         "permission to use.",
     )
-    data_dir: Path = Field(
+    data_dir: PossiblyRelativePath = Field(
         Path("/please/create/a/path/to/your/dataset/data"),
-        description="Directory containing the audio files.",
+        description="Directory containing the audio files (relative paths "
+        "resolve against the config file's own directory).",
     )
-    filelist: Path = Field(
+    filelist: PossiblyRelativePath = Field(
         Path("/please/create/a/path/to/your/dataset/filelist"),
-        description="Path to the dataset's filelist.",
+        description="Path to the dataset's filelist (relative paths resolve "
+        "against the config file's own directory).",
     )
     filelist_loader: PossiblySerializedCallable = Field(
         None, description="Function used to load this dataset's filelist."
@@ -115,9 +117,10 @@ class PreprocessingConfig(PartialLoadConfig):
     dataset_split_seed: int = Field(
         1234, description="Seed for the train/validation split shuffle."
     )
-    save_dir: Path = Field(
+    save_dir: PossiblyRelativePath = Field(
         Path("preprocessed/YourDataSet"),
-        description="Directory preprocessed artifacts are written to.",
+        description="Directory preprocessed artifacts are written to "
+        "(relative paths resolve against the config file's own directory).",
     )
     audio: AudioConfig = Field(
         default_factory=AudioConfig, description="Audio configuration."
@@ -132,10 +135,13 @@ class PreprocessingConfig(PartialLoadConfig):
     @field_validator("save_dir", mode="after")
     @classmethod
     def _mkdir(cls, value: Path, info: ValidationInfo) -> Path:
+        # PossiblyRelativePath already resolved against config_path when a
+        # load context exists; "writing_config" covers the wizard's write
+        # path. Returns the RESOLVED path so consumers are cwd-independent.
         path = value
         context = info.context or {}
         base = context.get("writing_config")
         if base is not None and not path.is_absolute():
             path = (Path(base) / path).resolve()
         path.mkdir(parents=True, exist_ok=True)
-        return value
+        return path

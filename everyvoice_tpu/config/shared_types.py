@@ -17,7 +17,10 @@ from pydantic import (
     model_validator,
 )
 
-from everyvoice_tpu.config.utils import PossiblySerializedCallable
+from everyvoice_tpu.config.utils import (
+    PossiblyRelativePath,
+    PossiblySerializedCallable,
+)
 from everyvoice_tpu.exceptions import ConfigError
 
 # Validation context plumbing: lets nested validators know the directory of
@@ -209,7 +212,7 @@ class LoggerConfig(ConfigModel):
     name: str = Field(
         "BaseExperiment", title="Experiment Name", description="The name of the experiment."
     )
-    save_dir: Path = Field(
+    save_dir: PossiblyRelativePath = Field(
         Path("logs_and_checkpoints"),
         description="Root directory for logs and checkpoints.",
     )
@@ -275,16 +278,19 @@ class BaseTrainingConfig(ConfigModel):
     )
     max_epochs: int = Field(1000, description="Stop training after this many epochs.")
     max_steps: int = Field(100000, description="Stop training after this many steps.")
-    finetune_checkpoint: Union[Path, None] = Field(
-        None, description="Checkpoint to finetune from / resume."
+    finetune_checkpoint: Union[PossiblyRelativePath, None] = Field(
+        None, description="Checkpoint to finetune from / resume (relative "
+        "paths resolve against the config file's own directory)."
     )
-    training_filelist: Path = Field(
+    training_filelist: PossiblyRelativePath = Field(
         Path("path/to/your/preprocessed/training_filelist.psv"),
-        description="Path to the preprocessed training filelist.",
+        description="Path to the preprocessed training filelist (relative "
+        "paths resolve against the config file's own directory).",
     )
-    validation_filelist: Path = Field(
+    validation_filelist: PossiblyRelativePath = Field(
         Path("path/to/your/preprocessed/validation_filelist.psv"),
-        description="Path to the preprocessed validation filelist.",
+        description="Path to the preprocessed validation filelist (relative "
+        "paths resolve against the config file's own directory).",
     )
     filelist_loader: PossiblySerializedCallable = Field(
         None, description="Function used to load the filelists."

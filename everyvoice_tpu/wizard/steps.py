@@ -1319,6 +1319,8 @@ def get_dataset_steps(dataset_index: int = 0) -> list:
 
 
 def write_config_package(state: dict, fmt: str = "yaml") -> Path:
+    import os
+
     from everyvoice_tpu.utils import write_config_file, write_filelist
 
     suffix = ".json" if fmt == "json" else ".yaml"
@@ -1331,6 +1333,18 @@ def write_config_package(state: dict, fmt: str = "yaml") -> Path:
     config_dir.mkdir(parents=True, exist_ok=True)
     (out_root / "preprocessed").mkdir(exist_ok=True)
     (out_root / "logs_and_checkpoints").mkdir(exist_ok=True)
+
+    def portable(path: Path | str) -> str:
+        """Paths in written configs resolve against the config file's own
+        directory at load time. User paths given relative to the wizard's
+        cwd are rewritten relative to config_dir (reference
+        test_wizard_helpers: '../../Common-Voice'); absolute paths stay
+        absolute; project-internal paths become '../<x>' so the whole
+        project directory is relocatable."""
+        path = Path(path)
+        if path.is_absolute():
+            return str(path)
+        return os.path.relpath(Path.cwd() / path, Path.cwd() / config_dir)
 
     datasets = state.get("datasets", [])
     languages = set()
@@ -1382,15 +1396,15 @@ def write_config_package(state: dict, fmt: str = "yaml") -> Path:
         entry = {
             "label": label,
             "permissions_obtained": True,
-            "data_dir": str(d.get("data_dir", ".")),
-            "filelist": str(filelist_out if rows else d.get("filelist", "")),
+            "data_dir": portable(d.get("data_dir", ".")),
+            "filelist": portable(filelist_out if rows else d.get("filelist", "")),
         }
         if d.get("sox_effects") is not None:
             entry["sox_effects"] = d["sox_effects"]
         source_data.append(entry)
     data_config = {
         "dataset": slug,
-        "save_dir": str(out_root / "preprocessed"),
+        "save_dir": portable(out_root / "preprocessed"),
         "source_data": source_data,
     }
     sample_rates = {d["sample_rate"] for d in datasets if d.get("sample_rate")}
@@ -1417,9 +1431,9 @@ def write_config_package(state: dict, fmt: str = "yaml") -> Path:
     }
     preprocessed = out_root / "preprocessed"
     training_shared = {
-        "training_filelist": str(preprocessed / "training_filelist.psv"),
-        "validation_filelist": str(preprocessed / "validation_filelist.psv"),
-        "logger": {"save_dir": str(out_root / "logs_and_checkpoints")},
+        "training_filelist": portable(preprocessed / "training_filelist.psv"),
+        "validation_filelist": portable(preprocessed / "validation_filelist.psv"),
+        "logger": {"save_dir": portable(out_root / "logs_and_checkpoints")},
     }
 
     # --- model configs referencing the shared partials

@@ -921,3 +921,62 @@ class TestResumeEdgeCases:
         tour = get_main_wizard_tour(ask=scripted_ask([]))
         state = tour.run(resume_from=session)
         assert (state["project_dir"] / "config").is_dir()
+
+
+class TestPortablePaths:
+    """Written configs must stay valid when the project moves: paths the
+    user gave relative to the wizard's cwd are rewritten relative to the
+    config directory; absolute paths stay absolute (reference
+    test_wizard_helpers.py:92-260)."""
+
+    def _run(self, tmp_path, monkeypatch, wavs_answer):
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "wavs" / "Common-Voice").mkdir(parents=True)
+        filelist = tmp_path / "fl.psv"
+        filelist.write_text("basename|characters\nitem|hello\n")
+        answers = [
+            "Unittest", "Test Runner", "info@everyvoice.ca", ".",
+            "fl.psv", "yes", "psv", "characters", "none",
+            "no",            # know-speaker
+            "und",           # select language
+            "keep", wavs_answer,
+            "no",            # validate wavs: continue despite missing audio
+            "22050", "none", "cv",
+            "no", "skip", "yaml",
+        ]
+        tour = get_main_wizard_tour(ask=scripted_ask(answers))
+        state = tour.run()
+        data = yaml.safe_load(
+            (Path("Unittest") / "config" / "everyvoice-shared-data.yaml")
+            .read_text()
+        )
+        return state, data
+
+    def test_relative_wav_dir_rewritten_to_config_dir(self, tmp_path, monkeypatch):
+        _, data = self._run(tmp_path, monkeypatch, "wavs/Common-Voice")
+        assert data["source_data"][0]["data_dir"] == str(
+            Path("../..") / "wavs" / "Common-Voice"
+        )
+        # Project-internal paths are always relative (relocatable project).
+        assert data["save_dir"] == "../preprocessed"
+        assert data["source_data"][0]["filelist"] == "../cv-filelist.psv"
+
+    def test_absolute_wav_dir_stays_absolute(self, tmp_path, monkeypatch):
+        wavs = tmp_path / "wavs" / "Common-Voice"
+        _, data = self._run(tmp_path, monkeypatch, str(wavs))
+        assert data["source_data"][0]["data_dir"] == str(wavs)
+
+    def test_relocated_project_still_loads(self, tmp_path, monkeypatch):
+        import shutil
+
+        self._run(tmp_path, monkeypatch, "wavs/Common-Voice")
+        moved = tmp_path / "elsewhere"
+        moved.mkdir()
+        shutil.move(str(tmp_path / "Unittest"), str(moved / "Unittest"))
+        from everyvoice_tpu.models.fs2 import FastSpeech2Config
+
+        config = FastSpeech2Config.load_config_from_path(
+            moved / "Unittest" / "config" / "everyvoice-text-to-spec.yaml"
+        )
+        assert config.preprocessing.save_dir.is_absolute()
+        assert str(config.preprocessing.save_dir).startswith(str(moved))

@@ -435,7 +435,10 @@ def synthesize_from_text(model_path, text, filelist, language, speaker,
     # StyleTTS2 checkpoints synthesize waveforms directly (no vocoder).
     from everyvoice_tpu.train.checkpoint import load_checkpoint_header
 
-    model_kind = load_checkpoint_header(model_path)["model_info"]["name"]
+    try:
+        model_kind = load_checkpoint_header(model_path)["model_info"]["name"]
+    except ValueError as e:  # not a checkpoint / newer format version
+        raise click.ClickException(str(e)) from None
     if model_kind == "StyleTTS2Module":
         import numpy as np
 

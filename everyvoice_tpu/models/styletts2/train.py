@@ -637,19 +637,19 @@ class StyleTTS2Trainer(TrainerBase):
                 )
         if self.fsdp:
             from everyvoice_tpu.parallel import (
-                shard_opt_state_like,
+                fresh_sharded_opt_state,
                 shard_params,
             )
 
             gen_params = shard_params(gen_params, self.mesh, fsdp=True)
             disc_params = shard_params(disc_params, self.mesh, fsdp=True)
-            gen_opt_state = shard_opt_state_like(
-                jax.device_get(self.gen_opt.init(gen_params)),
-                self.gen_opt.init, gen_params,
+            # Optimizer states are always fresh here — init directly on the
+            # sharded params (no full-state host round trip).
+            gen_opt_state = fresh_sharded_opt_state(
+                self.gen_opt.init, gen_params
             )
-            disc_opt_state = shard_opt_state_like(
-                jax.device_get(self.disc_opt.init(disc_params)),
-                self.disc_opt.init, disc_params,
+            disc_opt_state = fresh_sharded_opt_state(
+                self.disc_opt.init, disc_params
             )
         else:
             gen_params = replicate_tree(gen_params, self.mesh)

@@ -111,24 +111,34 @@ def fsdp_shardings(params, mesh: Mesh, min_size: int = 16_384):
     Leaves smaller than `min_size` elements (biases, LayerNorm scales) stay
     replicated: gathering them costs more latency than their memory is
     worth."""
+    from everyvoice_tpu.parallel.mesh import NODE_AXIS
+
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    data_size = axis_sizes.get(DATA_AXIS, 1)
+    # Shard over every batch-like axis — (node, data) on multi-node meshes —
+    # so per-device memory really scales as 1/N, not 1/(per-node data size).
+    shard_axes = tuple(
+        a for a in (NODE_AXIS, DATA_AXIS) if axis_sizes.get(a, 1) > 1
+    )
+    total_size = 1
+    for a in shard_axes:
+        total_size *= axis_sizes[a]
 
     def assign(leaf):
         shape = getattr(leaf, "shape", None)
         if (
-            data_size > 1
+            total_size > 1
             and shape
             and int(np_prod(shape)) >= min_size
         ):
-            # Largest dimension that divides the data axis evenly.
+            # Largest dimension that divides the combined axis size evenly.
             candidates = [
-                (dim, i) for i, dim in enumerate(shape) if dim % data_size == 0
+                (dim, i) for i, dim in enumerate(shape)
+                if dim % total_size == 0
             ]
             if candidates:
                 _, idx = max(candidates)
                 spec = [None] * len(shape)
-                spec[idx] = DATA_AXIS
+                spec[idx] = shard_axes if len(shard_axes) > 1 else shard_axes[0]
                 return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
@@ -181,6 +191,31 @@ def shard_opt_state_like(opt_state, optimizer_init, sharded_params):
     return jax.device_put(opt_state, shardings)
 
 
+def fresh_sharded_opt_state(optimizer_init, sharded_params):
+    """Sharded ZERO-initialized optimizer state without a host round trip:
+    jit the init on the already-sharded parameters so XLA propagates the
+    parameter layouts, then re-place only the leaves XLA left on a single
+    device (e.g. scalar step counters) as replicated. Use this instead of
+    `shard_opt_state_like` when there is no host state to restore."""
+    mesh = None
+    for leaf in jax.tree_util.tree_leaves(sharded_params):
+        sharding = getattr(leaf, "sharding", None)
+        if isinstance(sharding, NamedSharding):
+            mesh = sharding.mesh
+            break
+    state = jax.jit(optimizer_init)(sharded_params)
+    if mesh is None:
+        return state
+
+    def fix(leaf):
+        sharding = getattr(leaf, "sharding", None)
+        if isinstance(sharding, NamedSharding) and sharding.mesh == mesh:
+            return leaf
+        return jax.device_put(jax.device_get(leaf), NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(fix, state)
+
+
 class Strategy(NamedTuple):
     """Resolved --strategy: model-parallel degree + FSDP flag."""
 
@@ -197,9 +232,16 @@ def parse_strategy(strategy: str) -> Strategy:
     if not strategy:
         return Strategy()
     text = strategy.strip().lower()
+    if text in ("ddp", "auto"):
+        return Strategy()
     if text == "fsdp":
         return Strategy(model_parallel=1, fsdp=True)
     match = re.fullmatch(r"(?:ddp_)?tp(\d+)", text)
     if match:
         return Strategy(model_parallel=max(int(match.group(1)), 1))
-    return Strategy()
+    # A silently-ignored near-miss ('fsdp2', 'ddp_fsdp') would train with
+    # the wrong parallelism; fail loudly instead.
+    raise ValueError(
+        f"Unknown --strategy {strategy!r}; expected ddp, auto, fsdp, "
+        "tp<k>, or ddp_tp<k>."
+    )

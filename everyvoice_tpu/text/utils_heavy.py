@@ -62,10 +62,12 @@ def unicode_table_distance(sym_a: str, sym_b: str) -> float:
     b0 = sym_b[0] if sym_b else " "
     cat_a, cat_b = unicodedata.category(a0), unicodedata.category(b0)
     dist = 0.0
-    if cat_a != cat_b:
-        dist += 5.0
-    elif cat_a[0] != cat_b[0]:
+    if cat_a[0] != cat_b[0]:
+        # Different major class (letter vs digit vs punctuation): far.
         dist += 10.0
+    elif cat_a != cat_b:
+        # Same major class, different subcategory (e.g. Lu vs Ll): near.
+        dist += 5.0
     try:
         name_a = unicodedata.name(a0).split()[0]
         name_b = unicodedata.name(b0).split()[0]
@@ -96,24 +98,44 @@ def styletts2_symbol_distance(user_symbol: str, pretrained_symbol: str) -> float
     )
 
 
+_FORBIDDEN_COST = 1e9
+
+
+def _optimal_assignment(
+    user_symbols: List[str],
+    candidates: List[str],
+    forbidden=None,
+) -> Dict[str, str]:
+    """Rectangular 1:1 minimum-cost assignment; (symbol, candidate) pairs
+    matching `forbidden` are never assigned (dropped from the result)."""
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.zeros((len(user_symbols), len(candidates)))
+    for i, us in enumerate(user_symbols):
+        for j, ps in enumerate(candidates):
+            if forbidden is not None and forbidden(us, ps):
+                cost[i, j] = _FORBIDDEN_COST
+            else:
+                cost[i, j] = styletts2_symbol_distance(us, ps)
+    rows, cols = linear_sum_assignment(cost)
+    return {
+        user_symbols[i]: candidates[j]
+        for i, j in zip(rows, cols)
+        if cost[i, j] < _FORBIDDEN_COST
+    }
+
+
 def find_optimal_mapping(
     user_symbols: List[str], pretrained_symbols: List[str]
 ) -> Dict[str, str]:
     """1:1 assignment of user symbols onto pretrained symbols minimizing the
     total tiered distance (reference utils_heavy.py:73-135)."""
-    from scipy.optimize import linear_sum_assignment
-
     if len(user_symbols) > len(pretrained_symbols):
         raise ValueError(
             f"Cannot map {len(user_symbols)} user symbols onto only "
             f"{len(pretrained_symbols)} pretrained symbols."
         )
-    cost = np.zeros((len(user_symbols), len(pretrained_symbols)))
-    for i, us in enumerate(user_symbols):
-        for j, ps in enumerate(pretrained_symbols):
-            cost[i, j] = styletts2_symbol_distance(us, ps)
-    rows, cols = linear_sum_assignment(cost)
-    return {user_symbols[i]: pretrained_symbols[j] for i, j in zip(rows, cols)}
+    return _optimal_assignment(user_symbols, pretrained_symbols)
 
 
 def suggest_symbol_mapping(
@@ -135,8 +157,6 @@ def suggest_symbol_mapping(
       * a symbol is never mapped onto one of its own literal components
         ('k̟ʷ' → 'k' would make it indistinguishable from plain 'k').
     """
-    from scipy.optimize import linear_sum_assignment
-
     pretrained_set = set(pretrained_symbols)
     reserved = set(reserved_targets or ())
     missing = [
@@ -151,19 +171,8 @@ def suggest_symbol_mapping(
     candidates = [s for s in pretrained_symbols if s not in used]
     if not candidates:
         return {}
-    FORBIDDEN = 1e9
-    cost = np.zeros((len(missing), len(candidates)))
-    for i, sym in enumerate(missing):
-        for j, cand in enumerate(candidates):
-            if cand in sym:  # own literal component
-                cost[i, j] = FORBIDDEN
-            else:
-                cost[i, j] = styletts2_symbol_distance(sym, cand)
     # Rectangular assignment pairs min(n_missing, n_candidates) symbols;
-    # forbidden pairs that survive the assignment are dropped (unmapped).
-    rows, cols = linear_sum_assignment(cost)
-    return {
-        missing[i]: candidates[j]
-        for i, j in zip(rows, cols)
-        if cost[i, j] < FORBIDDEN
-    }
+    # own-literal-component pairs are forbidden (left unmapped).
+    return _optimal_assignment(
+        missing, candidates, forbidden=lambda sym, cand: cand in sym
+    )

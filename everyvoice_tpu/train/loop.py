@@ -829,6 +829,8 @@ class HiFiGANTrainer(TrainerBase):
 
             gen_params = shard_params(gen_params, self.mesh, fsdp=True)
             disc_params = shard_params(disc_params, self.mesh, fsdp=True)
+            # These states may carry restored finetune values, so transfer
+            # them into the sharded layouts rather than re-initializing.
             gen_opt_state = shard_opt_state_like(
                 jax.device_get(gen_opt_state), self.gen_opt.init, gen_params
             )

@@ -1338,13 +1338,17 @@ def write_config_package(state: dict, fmt: str = "yaml") -> Path:
         """Paths in written configs resolve against the config file's own
         directory at load time. User paths given relative to the wizard's
         cwd are rewritten relative to config_dir (reference
-        test_wizard_helpers: '../../Common-Voice'); absolute paths stay
-        absolute; project-internal paths become '../<x>' so the whole
-        project directory is relocatable."""
+        test_wizard_helpers: '../../Common-Voice'); user-given absolute
+        paths OUTSIDE the project stay absolute; anything inside the
+        project becomes '../<x>' so the whole project directory is
+        relocatable."""
         path = Path(path)
-        if path.is_absolute():
+        resolved = path if path.is_absolute() else (Path.cwd() / path)
+        resolved = resolved.resolve()
+        project_root = (Path.cwd() / out_root).resolve()
+        if path.is_absolute() and not resolved.is_relative_to(project_root):
             return str(path)
-        return os.path.relpath(Path.cwd() / path, Path.cwd() / config_dir)
+        return os.path.relpath(resolved, (Path.cwd() / config_dir).resolve())
 
     datasets = state.get("datasets", [])
     languages = set()

@@ -41,7 +41,7 @@ def iter_records(lines, fmt, basename_col, speaker_col, has_header):
     for line in lines[start:]:
         if not line.strip():
             continue
-        fields = line.rstrip("\n").split(delimiter)
+        fields = line.rstrip("\r\n").split(delimiter)
         base = fields[basename_col] if basename_col < len(fields) else ""
         speaker = (
             fields[speaker_col]

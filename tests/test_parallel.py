@@ -452,3 +452,11 @@ class TestFSDP:
                 if shard.device == dev0:
                     per_device += shard.data.size * shard.data.dtype.itemsize
         assert per_device < 0.75 * total  # parameters really are distributed
+
+
+class TestStrategyErrors:
+    def test_unknown_strategy_rejected(self):
+        with pytest.raises(ValueError, match="Unknown --strategy"):
+            parse_strategy("fsdp_tp2")
+        with pytest.raises(ValueError, match="Unknown --strategy"):
+            parse_strategy("fsdp2")

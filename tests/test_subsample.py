@@ -81,3 +81,13 @@ class TestSubsample:
 
     def test_wav_duration_header_only(self):
         assert abs(wav_duration_seconds(WAVS / "LJ050-0269.wav") - 5.17) < 0.01
+
+
+class TestCRLF:
+    def test_windows_line_endings(self, tmp_path):
+        meta = tmp_path / "meta.psv"
+        meta.write_bytes(b"LJ050-0269|text|spkA\r\nLJ050-0270|text|spkB\r\n")
+        result = run(meta, WAVS, "-d", 5, "-f", "psv", "-s", 2, "-i", "spkA")
+        assert result.exit_code == 0, result.output
+        assert "LJ050-0269" in result.output
+        assert "LJ050-0270" not in result.output

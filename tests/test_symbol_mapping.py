@@ -70,3 +70,12 @@ class TestSuggestions:
         # would make it indistinguishable from symbols built from the same
         # pieces.
         assert suggest_symbol_mapping(["k̟ʷ"], ["k", "ʷ", "q"]) == {"k̟ʷ": "q"}
+
+
+class TestClassDistances:
+    def test_cross_class_farther_than_same_class(self):
+        # Letter vs digit must rank farther than letter vs letter-of-other-
+        # case (the major-class penalty).
+        assert styletts2_symbol_distance("a", "1") > styletts2_symbol_distance(
+            "a", "A"
+        )

@@ -66,7 +66,20 @@ def _print_diagnostic(ctx, param, value):
     ctx.exit(0)
 
 
-@click.group(name="everyvoice-tpu")
+class MainCommandOrder(click.Group):
+    """Workflow-ordered help: the pipeline verbs first, the rest
+    alphabetically (parity: reference cli.py:89 MainCommandOrder)."""
+
+    ORDER = ("new-project", "preprocess", "train", "synthesize", "demo")
+
+    def list_commands(self, ctx):
+        rank = {name: i for i, name in enumerate(self.ORDER)}
+        return sorted(
+            self.commands, key=lambda name: (rank.get(name, 100), name)
+        )
+
+
+@click.group(name="everyvoice-tpu", cls=MainCommandOrder)
 @click.version_option(package_name=None, version=_version
                       if (_version := None) else "0.1.0")
 @click.option("--diagnostic", is_flag=True, callback=_print_diagnostic,

@@ -504,3 +504,20 @@ class TestVersionAndErrors:
         assert result.exit_code != 0
         assert "nobody" in result.output
         assert not out.exists()
+
+
+class TestCommandOrdering:
+    def test_pipeline_verbs_listed_first(self, runner):
+        """Help lists the workflow verbs in pipeline order before the rest
+        (reference cli.py:89 MainCommandOrder)."""
+        result = runner.invoke(main, ["--help"])
+        lines = result.output.splitlines()
+        listed = [
+            line.strip().split()[0]
+            for line in lines[lines.index("Commands:") + 1:]
+            if line.strip()
+        ]
+        assert listed[:5] == [
+            "new-project", "preprocess", "train", "synthesize", "demo",
+        ]
+        assert listed[5:] == sorted(listed[5:])

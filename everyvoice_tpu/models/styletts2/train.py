@@ -125,6 +125,30 @@ class StyleTTS2Trainer(TrainerBase):
             a.output_sampling_rate, a.n_mels, a.f_min, a.f_max,
         )
         model, mpd, msd = self.model, self.mpd, self.msd
+
+        # Activation rematerialization for the waveform-scale blocks: the
+        # decoder + MPD/MSD forwards at the schema defaults (batch 8,
+        # ~800-frame utterances -> ~240k-sample waveforms) need ~27 GB of
+        # stored activations for the backward pass — 1.7x a v5e chip's HBM.
+        # jax.checkpoint recomputes them during the backward instead
+        # (~1/3 more FLOPs), the standard TPU memory/compute trade.
+        decode_rm = jax.checkpoint(
+            lambda p, text, tl, mel, ml, dur, f0f, enf, lid, kn, kd:
+            model.apply(
+                p, text, tl, mel, durations=dur, f0_frames=f0f,
+                energy_frames=enf, language_id=lid, mel_lengths=ml,
+                deterministic=False, rngs={"noise": kn, "dropout": kd},
+            )
+        )
+        mpd_rm = jax.checkpoint(lambda p, w: mpd.apply(p, w))
+        msd_rm = jax.checkpoint(lambda p, w: msd.apply(p, w))
+        align_rm = jax.checkpoint(
+            lambda p, text, tl, mel, ml, lid, kd: model.apply(
+                p, text, tl, mel, ml, language_id=lid,
+                deterministic=False, rngs={"dropout": kd},
+                method="align_text_mel",
+            )
+        )
         lc = self.losses_cfg
         max_dur = self.config.model.max_dur
         stage2 = self.mode == "second"
@@ -221,27 +245,19 @@ class StyleTTS2Trainer(TrainerBase):
             rng_noise, rng_diff, rng_drop, rng_ood = jax.random.split(rng, 4)
             # The TMA attention with gradients (for the mono/s2s losses);
             # duration/prosody TARGETS come pre-computed in `targets`.
-            attn_soft, attn_logprob = model.apply(
+            attn_soft, attn_logprob = align_rm(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
-                batch["mel_lengths"],
-                language_id=batch.get("language_id"),
-                deterministic=False,
-                rngs={"dropout": rng_drop},
-                method="align_text_mel",
+                batch["mel_lengths"], batch.get("language_id"), rng_drop,
             )
             attn_hard, _ = tma_durations(attn_logprob, batch)
             dur_targets = targets["durations"]
-            out = model.apply(
+            out = decode_rm(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
-                durations=dur_targets,
-                f0_frames=batch["f0_frames"],
-                energy_frames=batch["energy_frames"],
-                language_id=batch.get("language_id"),
-                mel_lengths=batch["mel_lengths"],
-                deterministic=False,
-                rngs={"noise": rng_noise, "dropout": rng_drop},
+                batch["mel_lengths"], dur_targets,
+                batch["f0_frames"], batch["energy_frames"],
+                batch.get("language_id"), rng_noise, rng_drop,
             )
             wav_fake = out["wav"]
             wav_real = batch["audio"][:, : wav_fake.shape[1]]
@@ -276,10 +292,10 @@ class StyleTTS2Trainer(TrainerBase):
             losses["norm"] = norm_loss(
                 out["energy_prediction"], targets["energy_tokens"], src_mask
             )
-            mpd_r, mpd_fr = mpd.apply(disc_params["mpd"], wav_real)
-            mpd_f, mpd_ff = mpd.apply(disc_params["mpd"], wav_fake)
-            msd_r, msd_fr = msd.apply(disc_params["msd"], wav_real)
-            msd_f, msd_ff = msd.apply(disc_params["msd"], wav_fake)
+            mpd_r, mpd_fr = mpd_rm(disc_params["mpd"], wav_real)
+            mpd_f, mpd_ff = mpd_rm(disc_params["mpd"], wav_fake)
+            msd_r, msd_fr = msd_rm(disc_params["msd"], wav_real)
+            msd_f, msd_ff = msd_rm(disc_params["msd"], wav_fake)
             losses["gen"] = generator_adversarial_loss(mpd_f + msd_f)
             losses["fm"] = feature_matching_loss(mpd_fr + msd_fr, mpd_ff + msd_ff)
             total = (
@@ -354,22 +370,19 @@ class StyleTTS2Trainer(TrainerBase):
             # trains against a distribution the generator no longer
             # produces once TMA durations take over.
             dur_used = targets["durations"]
-            out = model.apply(
+            out = decode_rm(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
-                durations=dur_used,
-                f0_frames=batch["f0_frames"],
-                energy_frames=batch["energy_frames"],
-                mel_lengths=batch["mel_lengths"],
-                deterministic=False,
-                rngs={"noise": rng_noise, "dropout": rng_drop},
+                batch["mel_lengths"], dur_used,
+                batch["f0_frames"], batch["energy_frames"],
+                batch.get("language_id"), rng_noise, rng_drop,
             )
             wav_fake = jax.lax.stop_gradient(out["wav"])
             wav_real = batch["audio"][:, : wav_fake.shape[1]]
-            mpd_r, _ = mpd.apply(disc_params["mpd"], wav_real)
-            mpd_f, _ = mpd.apply(disc_params["mpd"], wav_fake)
-            msd_r, _ = msd.apply(disc_params["msd"], wav_real)
-            msd_f, _ = msd.apply(disc_params["msd"], wav_fake)
+            mpd_r, _ = mpd_rm(disc_params["mpd"], wav_real)
+            mpd_f, _ = mpd_rm(disc_params["mpd"], wav_fake)
+            msd_r, _ = msd_rm(disc_params["msd"], wav_real)
+            msd_f, _ = msd_rm(disc_params["msd"], wav_fake)
             loss = discriminator_loss(mpd_r + msd_r, mpd_f + msd_f)
             metrics = {"disc/total": loss}
             if slm_on:
@@ -402,7 +415,11 @@ class StyleTTS2Trainer(TrainerBase):
 
         gen_opt, disc_opt = self.gen_opt, self.disc_opt
 
-        @partial(jax.jit, static_argnames=("ood_active",))
+        # Donating the old params/opt-state buffers lets XLA write the
+        # updated ones in place — without it the step holds two full copies
+        # of each (the last ~134 MB that kept batch 8 from fitting on v5e).
+        @partial(jax.jit, static_argnames=("ood_active",),
+                 donate_argnums=(0, 1, 2, 3))
         def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
                        batch, rng, slm_params, phase, ood_active=False):
             rng, rng_d, rng_g = jax.random.split(rng, 3)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -345,9 +346,9 @@ class FastSpeech2Trainer(TrainerBase):
             params = optax.apply_updates(params, updates)
             return params, opt_state, losses, rng
 
-        train_step = jax.jit(step_body)
+        train_step = jax.jit(step_body, donate_argnums=(0, 1))
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def multi_train_step(params, opt_state, batches, rng, bin_ramp):
             # K optimizer steps in one dispatch: batches is a (K, batch, ...)
             # stacked super-batch, scanned on axis 0. Amortizes per-step
@@ -744,9 +745,9 @@ class HiFiGANTrainer(TrainerBase):
             return (gen_params, disc_params, gen_opt_state, disc_opt_state,
                     metrics, rng)
 
-        train_step = jax.jit(step_body)
+        train_step = jax.jit(step_body, donate_argnums=(0, 1, 2, 3))
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def multi_train_step(gen_params, disc_params, gen_opt_state,
                              disc_opt_state, batches, rng, gan_on):
             # K GAN steps per dispatch over a (K, batch, ...) super-batch.

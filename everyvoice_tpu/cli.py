@@ -894,11 +894,19 @@ def segment():
 @click.argument("transcript", type=click.Path(exists=True, path_type=Path))
 @click.option("-o", "--output", type=click.Path(path_type=Path),
               default=Path("alignment.TextGrid"))
-def segment_align(audio, transcript, output):
+@click.option("--acoustic-model", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="Locally staged wav2vec2-CTC model directory "
+                   "(default: $EVERYVOICE_WAV2VEC2_PATH). Runs TPU-native "
+                   "after one-time weight conversion.")
+def segment_align(audio, transcript, output, acoustic_model):
     """CTC-align a transcript against long audio, producing a TextGrid."""
     from everyvoice_tpu.models.aligner.segment import align_long_audio
 
-    align_long_audio(audio, transcript, output)
+    align_long_audio(
+        audio, transcript, output,
+        acoustic_model=str(acoustic_model) if acoustic_model else None,
+    )
     click.echo(f"Wrote {output}")
 
 

@@ -118,8 +118,15 @@ def segments_to_textgrid(
 
 
 def load_wav2vec2_logprob_fn(model_path: Optional[str] = None) -> tuple:
-    """Build a (log_prob_fn, vocab) pair from a local torch wav2vec2-CTC
-    checkpoint. Raises with guidance when no model is available."""
+    """Build a (log_prob_fn, vocab) pair from a locally staged wav2vec2-CTC
+    checkpoint directory. Raises with guidance when no model is available.
+
+    Default path: the torch weights are converted once into the flax
+    `Wav2Vec2CTC` (models/aligner/wav2vec2.py) and scoring runs as one
+    fixed-shape jitted XLA program over 20 s windows — so hour-scale
+    recordings are scored on the accelerator. Set
+    `EVERYVOICE_SEGMENT_TORCH=1` to force the torch-CPU reference path.
+    """
     import os
 
     model_path = model_path or os.environ.get("EVERYVOICE_WAV2VEC2_PATH")
@@ -129,6 +136,23 @@ def load_wav2vec2_logprob_fn(model_path: Optional[str] = None) -> tuple:
             "environment has no network egress, so pass a local checkpoint "
             "directory via --acoustic-model or EVERYVOICE_WAV2VEC2_PATH."
         )
+    if not os.environ.get("EVERYVOICE_SEGMENT_TORCH"):
+        from everyvoice_tpu.models.aligner.wav2vec2 import (
+            load_wav2vec2_ctc,
+            windowed_log_probs,
+        )
+
+        module, params, vocab, do_normalize = load_wav2vec2_ctc(model_path)
+
+        def log_prob_fn(audio_16k: np.ndarray) -> np.ndarray:
+            if do_normalize:
+                audio_16k = (audio_16k - audio_16k.mean()) / np.sqrt(
+                    audio_16k.var() + 1e-7
+                )
+            return windowed_log_probs(module, params, audio_16k)
+
+        return log_prob_fn, vocab
+
     import torch
     from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
 

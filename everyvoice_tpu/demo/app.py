@@ -60,11 +60,7 @@ PAGE_TEMPLATE = """<!DOCTYPE html>
   <select id="language">{language_options}</select>
   &nbsp; Speaker: <select id="speaker">{speaker_options}</select>
 </div>
-<div class="row">Duration multiplier:
-  <input type="range" id="duration" min="0.5" max="2.0" step="0.05" value="1.0"
-   oninput="document.getElementById('durval').innerText = this.value">
-  <span id="durval">1.0</span>
-</div>
+{control_rows}
 <div class="row"><button id="synthesize" onclick="synthesize()">Synthesize</button></div>
 <div class="row" id="error"></div>
 <div class="row"><audio id="player" controls></audio></div>
@@ -76,8 +72,8 @@ async function synthesize() {{
     text: document.getElementById('text').value,
     language: document.getElementById('language').value,
     speaker: document.getElementById('speaker').value,
-    duration_control: parseFloat(document.getElementById('duration').value),
   }};
+{control_body_js}
   const resp = await fetch('/api/synthesize', {{
     method: 'POST', headers: {{'Content-Type': 'application/json'}},
     body: JSON.stringify(body),
@@ -94,8 +90,31 @@ async function synthesize() {{
 """
 
 
+def _slider_row(label: str, input_id: str, mn, mx, step, value) -> str:
+    """One labeled range input whose live value mirrors into a span, so the
+    page contract test can check every slider the JS reads really exists."""
+    return (
+        f"{label}: <input type='range' id='{input_id}' min='{mn}' max='{mx}' "
+        f"step='{step}' value='{value}' oninput=\"document.getElementById("
+        f"'{input_id}val').innerText = this.value\"> "
+        f"<span id='{input_id}val'>{value}</span>"
+    )
+
+
 class DemoApp:
     """Holds the loaded models and serves the UI + JSON API."""
+
+    # Model-specific synthesis controls: HTML rows rendered above the
+    # Synthesize button, and the JS that copies their values into the
+    # /api/synthesize request body (reference demo/app.py builds the same
+    # per-model-type control sets in Gradio).
+    CONTROL_ROWS = '<div class="row">' + _slider_row(
+        "Duration multiplier", "duration", 0.5, 2.0, 0.05, 1.0
+    ) + "</div>"
+    CONTROL_BODY_JS = (
+        "  body.duration_control = "
+        "parseFloat(document.getElementById('duration').value);"
+    )
 
     def __init__(
         self,
@@ -210,6 +229,8 @@ class DemoApp:
             text_placeholder=self.ui["text_placeholder"],
             language_options=options(self.languages, self.language_labels),
             speaker_options=options(self.speakers, self.speaker_labels),
+            control_rows=self.CONTROL_ROWS,
+            control_body_js=self.CONTROL_BODY_JS,
         )
 
     # -- server -------------------------------------------------------------
@@ -282,22 +303,31 @@ def create_demo_app(
 # — named reference speakers with precomputed style vectors, diffusion
 # steps / embedding scale / blend sliders)
 
-STYLETTS2_PAGE_EXTRAS = """
-<div class="row">Diffusion steps:
-  <input type="range" id="steps" min="1" max="20" step="1" value="5"
-   oninput="document.getElementById('stepsval').innerText = this.value">
-  <span id="stepsval">5</span>
-  &nbsp; Embedding scale:
-  <input type="range" id="escale" min="0.5" max="4.0" step="0.1" value="1.0"
-   oninput="document.getElementById('escaleval').innerText = this.value">
-  <span id="escaleval">1.0</span>
-</div>
-"""
-
 
 class StyleTTS2DemoApp(DemoApp):
     """Serves a StyleTTS2 checkpoint: style comes from diffusion sampling,
     optionally blended with precomputed reference-speaker styles."""
+
+    CONTROL_ROWS = (
+        '<div class="row">'
+        + _slider_row("Diffusion steps", "steps", 1, 20, 1, 5)
+        + " &nbsp; "
+        + _slider_row("Embedding scale", "escale", 0.5, 4.0, 0.1, 1.0)
+        + '</div>\n<div class="row">'
+        + _slider_row("Acoustic blend", "ablend", 0.0, 1.0, 0.05, 0.5)
+        + " &nbsp; "
+        + _slider_row("Prosody blend", "pblend", 0.0, 1.0, 0.05, 0.5)
+        + "</div>"
+    )
+    CONTROL_BODY_JS = "\n".join(
+        f"  body.{field} = parse{kind}(document.getElementById('{eid}').value);"
+        for field, kind, eid in (
+            ("diffusion_steps", "Int", "steps"),
+            ("embedding_scale", "Float", "escale"),
+            ("acoustic_blend", "Float", "ablend"),
+            ("prosody_blend", "Float", "pblend"),
+        )
+    )
 
     def __init__(
         self,
@@ -379,14 +409,6 @@ class StyleTTS2DemoApp(DemoApp):
             write_wav(tmp.name, np.asarray(wav), sr)
             blob = Path(tmp.name).read_bytes()
         return 200, {"wav_base64": base64.b64encode(blob).decode("ascii")}
-
-    def render_page(self) -> str:
-        page = super().render_page()
-        return page.replace(
-            '<div class="row"><button id="synthesize"',
-            STYLETTS2_PAGE_EXTRAS + '<div class="row"><button id="synthesize"',
-        )
-
 
 def create_demo_app_styletts2(
     checkpoint, ref_audio_dir=None, allowlist=None, denylist=None,

@@ -135,6 +135,59 @@ class TestStyleTTS2Demo:
         assert "Diffusion steps" in page
 
 
+class TestPageContract:
+    """No browser runs in this image (the reference drives its demo with
+    Playwright, tests/regression/test-demo-app-lj-full.py), so pin statically
+    what a browser would exercise: every element id the inline script reads
+    exists in the HTML, every control on the page feeds the request body,
+    and every field the script sends is one `synthesize_api` consumes."""
+
+    @staticmethod
+    def _contract(page: str, api_source: str):
+        import re
+
+        read_ids = set(re.findall(r"getElementById\(\s*['\"]([\w-]+)['\"]", page))
+        declared_ids = set(re.findall(r"id=['\"]([\w-]+)['\"]", page))
+        missing = read_ids - declared_ids
+        assert not missing, f"JS reads elements that don't exist: {missing}"
+
+        # Decorative-control check: every range input's value must be read
+        # by the script (this is how the StyleTTS2 sliders once went dead).
+        sliders = set(re.findall(r"type=['\"]range['\"] id=['\"]([\w-]+)['\"]", page))
+        dead = {s for s in sliders if s not in read_ids}
+        assert not dead, f"sliders whose value never reaches the JS: {dead}"
+
+        # Every body field the page posts must be consumed by the API.
+        sent = set(re.findall(r"body\.(\w+)\s*=", page))
+        sent |= set(re.findall(r"(\w+):\s*document\.getElementById", page))
+        consumed = set(re.findall(r"payload\.get\(\s*['\"](\w+)['\"]", api_source))
+        unknown = sent - consumed
+        assert not unknown, f"page posts fields the API ignores: {unknown}"
+
+    def test_fs2_page(self, demo_server):
+        import inspect
+
+        from everyvoice_tpu.demo.app import DemoApp
+
+        url, app = demo_server
+        with urllib.request.urlopen(url + "/") as resp:
+            page = resp.read().decode()
+        self._contract(page, inspect.getsource(DemoApp.synthesize_api))
+
+    def test_styletts2_page(self, styletts2_server):
+        import inspect
+
+        from everyvoice_tpu.demo.app import StyleTTS2DemoApp
+
+        url, app = styletts2_server
+        with urllib.request.urlopen(url + "/") as resp:
+            page = resp.read().decode()
+        self._contract(page, inspect.getsource(StyleTTS2DemoApp.synthesize_api))
+        for field in ("diffusion_steps", "embedding_scale",
+                      "acoustic_blend", "prosody_blend"):
+            assert f"body.{field}" in page
+
+
 @pytest.mark.slow
 class TestDemoSubprocess:
     """The reference drives its live demo with Playwright

@@ -26,7 +26,10 @@ def main() -> None:
     from everyvoice_tpu.models.fs2.model import FastSpeech2
     from everyvoice_tpu.models.hifigan.model import HiFiGANGenerator
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # Default batch 128: the largest that fits v5e HBM (measured sweep
+    # 16→1244x, 64→1675x, 128→2416x realtime; 160+ OOMs at ~27G/15.75G).
+    # Single-utterance p50 latency is batch-independent (~22 ms).
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     n_text = 128
     max_frames = 1000  # the reference's max_length (≈11.6 s of audio)
     sample_rate = 22050

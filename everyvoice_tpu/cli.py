@@ -103,6 +103,27 @@ def main():
         jax.config.update("jax_default_device", jax.devices(device)[0])
 
 
+def _pin_device(accelerator: str) -> None:
+    """Route serving onto the requested backend (the reference demo's
+    --accelerator flag, cli.py:1042-1048). 'cpu' pins the whole process to
+    the host platform (so a busy single-tenant TPU never blocks the demo);
+    'auto'/'tpu' keep the default backend preference."""
+    if accelerator in (None, "auto"):
+        return
+    import jax
+
+    if accelerator == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # 'tpu' (or a vendor platform name) is the default preference already;
+    # just fail fast if it is missing.
+    from everyvoice_tpu.parallel.mesh import resolve_devices
+
+    devs = resolve_devices(accelerator, "auto")
+    if not devs:
+        raise click.ClickException(f"No devices found for --accelerator {accelerator}")
+    jax.config.update("jax_default_device", devs[0])
+
+
 # ---------------------------------------------------------------------------
 # new-project (wizard)
 
@@ -793,24 +814,72 @@ def update_schemas(output_dir):
 
 @main.command()
 @click.argument("model_path", type=click.Path(exists=True, path_type=Path))
-@click.option("--vocoder-path", type=click.Path(exists=True, path_type=Path),
-              default=None)
-@click.option("--port", default=7860)
-@click.option("--server-name", default="0.0.0.0")
-@click.option("--allowlist", type=click.Path(path_type=Path), default=None)
-@click.option("--denylist", type=click.Path(path_type=Path), default=None)
+@click.option("-V", "--vocoder", "--vocoder-path", "vocoder_path",
+              type=click.Path(exists=True, path_type=Path), default=None,
+              help="[FastSpeech2] Trained vocoder checkpoint; required when "
+              "MODEL_PATH is a FastSpeech2 model.")
+@click.option("-s", "--speaker", "speakers", multiple=True,
+              help="[FastSpeech2] Speaker to expose in the demo UI (repeat "
+              "for several; default: every speaker in the model).")
+@click.option("-l", "--language", "languages", multiple=True,
+              help="Language to expose in the demo UI (repeat for several; "
+              "default: every language in the model).")
+@click.option("-O", "--output-format", "output_formats", multiple=True,
+              type=click.Choice(("all", "wav", "spec", "textgrid",
+                                 "readalong-xml", "readalong-html")),
+              help="[FastSpeech2] Output format to expose in the demo UI "
+              "(repeat for several; default: all).")
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              default=Path("synthesis_output"), show_default=True,
+              help="Directory where the demo writes synthesized files.")
+@click.option("-R", "--ref-speaker", "ref_speakers", multiple=True,
+              help="[StyleTTS2] Named reference speaker as "
+              "'Display Name=path/to/audio.wav' (repeat for several); their "
+              "style vectors are precomputed at startup.")
+@click.option("-r", "--reference", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="[StyleTTS2] Default reference audio that sets the "
+              "initial speaker style.")
+@click.option("-p", "--port", default=7860, show_default=True)
+@click.option("-n", "--server-name", default="0.0.0.0", show_default=True,
+              help="Host/IP address to bind the demo server to.")
+@click.option("-a", "--accelerator", default="auto", show_default=True,
+              help="Device to serve on: auto, cpu, or tpu.")
+@click.option("--share", is_flag=True, default=False,
+              help="(Unsupported) The reference publishes via a Gradio "
+              "tunnel; this server has no tunnel service.")
+@click.option("--allowlist", type=click.Path(path_type=Path), default=None,
+              help="Text file of allowed words/utterances (one per line); "
+              "everything else is rejected. Mutually exclusive with "
+              "--denylist.")
+@click.option("--denylist", type=click.Path(path_type=Path), default=None,
+              help="Text file of disallowed words (one per line). A denylist "
+              "is easy to bypass; prefer --allowlist for real control.")
 @click.option("--ref-audio-dir", type=click.Path(path_type=Path), default=None,
-              help="Reference speaker wavs for StyleTTS2 style vectors.")
+              help="[StyleTTS2] Directory of reference speaker wavs (each "
+              "*.wav becomes a named speaker).")
 @click.option("--ui-config", type=click.Path(exists=True, path_type=Path),
               default=None,
               help="JSON with UI label overrides; 'speakers'/'languages' "
               "entries restrict the dropdowns to their keys and rename them "
               "to their values.")
-def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
-         ref_audio_dir, ui_config):
+def demo(model_path, vocoder_path, speakers, languages, output_formats,
+         output_dir, ref_speakers, reference, port, server_name, accelerator,
+         share, allowlist, denylist, ref_audio_dir, ui_config):
     """Serve an interactive synthesis demo over HTTP (model type is
     auto-detected from the checkpoint)."""
-    from everyvoice_tpu.demo.app import create_demo_app_auto
+    if share:
+        raise click.ClickException(
+            "--share is not supported: there is no tunnel service here. "
+            "Bind a public interface with --server-name 0.0.0.0 and expose "
+            "the port instead."
+        )
+    if allowlist and denylist:
+        raise click.ClickException(
+            "Provide either --allowlist or --denylist, not both."
+        )
+    _pin_device(accelerator)
+    from everyvoice_tpu.demo.app import create_demo_app_auto, parse_ref_speakers
 
     ui_labels = None
     if ui_config:
@@ -828,6 +897,12 @@ def demo(model_path, vocoder_path, port, server_name, allowlist, denylist,
         app = create_demo_app_auto(
             model_path, vocoder_path=vocoder_path, ref_audio_dir=ref_audio_dir,
             allowlist=allowlist, denylist=denylist, ui_labels=ui_labels,
+            speakers=list(speakers) or None,
+            languages=list(languages) or None,
+            output_formats=list(output_formats) or None,
+            output_dir=output_dir,
+            ref_speakers=parse_ref_speakers(ref_speakers),
+            default_reference=reference,
         )
     except ValueError as e:
         raise click.ClickException(str(e)) from e

@@ -39,6 +39,45 @@ def load_wordlist(path: Optional[Path]) -> set:
     return {normalize_text(line) for line in lines if line.strip()}
 
 
+def parse_ref_speakers(entries) -> dict:
+    """Parse repeated --ref-speaker 'Display Name=path/to/audio.wav' flags
+    (reference cli.py:713 _parse_ref_speakers) into {name: Path}."""
+    out: dict = {}
+    for entry in entries or ():
+        name, sep, path = str(entry).partition("=")
+        name, path = name.strip(), path.strip()
+        if not sep or not name or not path:
+            raise ValueError(
+                f"--ref-speaker {entry!r} must look like "
+                "'Display Name=path/to/audio.wav'"
+            )
+        if name in out:
+            raise ValueError(f"--ref-speaker name {name!r} given twice")
+        wav = Path(path)
+        if not wav.exists():
+            raise ValueError(f"--ref-speaker audio not found: {wav}")
+        out[name] = wav
+    return out
+
+
+def _restrict(requested, available, what: str) -> list:
+    """Validate a -s/--speaker or -l/--language restriction list against
+    what the model actually serves (reference demo/app.py:214-249)."""
+    if not requested or list(requested) == ["all"]:
+        return list(available)
+    unknown = sorted(set(requested) - set(available))
+    if unknown:
+        raise ValueError(
+            f"Requested {what} not in the model: {unknown} "
+            f"(model has {sorted(available)})"
+        )
+    return [v for v in available if v in set(requested)]
+
+
+OUTPUT_FORMAT_CHOICES = ("wav", "spec", "textgrid", "readalong-xml",
+                         "readalong-html")
+
+
 PAGE_TEMPLATE = """<!DOCTYPE html>
 <html>
 <head>
@@ -123,6 +162,10 @@ class DemoApp:
         allowlist: Optional[Path] = None,
         denylist: Optional[Path] = None,
         ui_labels: Optional[dict] = None,
+        speakers: Optional[list] = None,
+        languages: Optional[list] = None,
+        output_formats: Optional[list] = None,
+        output_dir: Optional[Path | str] = None,
     ):
         from everyvoice_tpu.models.fs2.synthesize import Synthesizer
 
@@ -136,8 +179,18 @@ class DemoApp:
             "subtitle": "Type a sentence and press Synthesize.",
             "text_placeholder": "Hello world",
         }
-        self.languages = sorted(self.synthesizer.lang2id) or ["default"]
-        self.speakers = sorted(self.synthesizer.speaker2id) or ["default"]
+        self.languages = _restrict(
+            languages, sorted(self.synthesizer.lang2id) or ["default"],
+            "languages",
+        )
+        self.speakers = _restrict(
+            speakers, sorted(self.synthesizer.speaker2id) or ["default"],
+            "speakers",
+        )
+        self.output_formats = _restrict(
+            output_formats, OUTPUT_FORMAT_CHOICES, "output formats"
+        )
+        self.output_dir = Path(output_dir) if output_dir is not None else None
         # Display-name maps (reference demo/app.py UI-config JSON): keys are
         # model values, values are what the dropdown shows.
         self.language_labels = {v: v for v in self.languages}
@@ -197,6 +250,13 @@ class DemoApp:
         if speaker not in self.speakers:
             return 400, {"error": f"Speaker '{speaker}' is not served here."}
         duration = float(payload.get("duration_control", 1.0))
+        requested = payload.get("output_formats") or ["wav"]
+        unknown = sorted(set(requested) - set(self.output_formats))
+        if unknown:
+            return 400, {
+                "error": f"Output formats not served here: {unknown} "
+                f"(available: {self.output_formats})"
+            }
         results = self.synthesizer.synthesize(
             [text], language=language, speaker=speaker, duration_control=duration,
         )
@@ -214,7 +274,34 @@ class DemoApp:
             sr = self.synthesizer.config.preprocessing.audio.output_sampling_rate
             write_wav(tmp.name, np.asarray(results[0]["wav"]), sr)
             buf.write(Path(tmp.name).read_bytes())
-        return 200, {"wav_base64": base64.b64encode(buf.getvalue()).decode("ascii")}
+        response = {"wav_base64": base64.b64encode(buf.getvalue()).decode("ascii")}
+        # The reference demo also writes every selected format to disk for
+        # download (demo/app.py:44-106 synthesize_audio -> output_dir).
+        if self.output_dir is not None:
+            written = self.synthesizer.write_outputs(
+                results, self.output_dir, output_types=requested,
+                language=language, speaker=speaker,
+            )
+            response["files"] = [str(p) for p in written]
+        return 200, response
+
+    def _control_rows(self) -> str:
+        boxes = " ".join(
+            f"<label><input type='checkbox' class='fmt' value='{f}'"
+            + (" checked" if f == "wav" else "")
+            + f"> {f}</label>"
+            for f in self.output_formats
+        )
+        return (
+            self.CONTROL_ROWS
+            + f'\n<div class="row">Outputs: {boxes}</div>'
+        )
+
+    def _control_body_js(self) -> str:
+        return self.CONTROL_BODY_JS + (
+            "\n  body.output_formats = Array.from(document.querySelectorAll("
+            "'.fmt:checked')).map(e => e.value);"
+        )
 
     def render_page(self) -> str:
         def options(values, labels):
@@ -229,8 +316,8 @@ class DemoApp:
             text_placeholder=self.ui["text_placeholder"],
             language_options=options(self.languages, self.language_labels),
             speaker_options=options(self.speakers, self.speaker_labels),
-            control_rows=self.CONTROL_ROWS,
-            control_body_js=self.CONTROL_BODY_JS,
+            control_rows=self._control_rows(),
+            control_body_js=self._control_body_js(),
         )
 
     # -- server -------------------------------------------------------------
@@ -290,11 +377,14 @@ class DemoApp:
 
 def create_demo_app(
     fs2_checkpoint, vocoder_checkpoint=None, allowlist=None, denylist=None,
-    ui_labels=None,
+    ui_labels=None, speakers=None, languages=None, output_formats=None,
+    output_dir=None,
 ) -> DemoApp:
     return DemoApp(
         fs2_checkpoint, vocoder_checkpoint, allowlist=allowlist,
-        denylist=denylist, ui_labels=ui_labels,
+        denylist=denylist, ui_labels=ui_labels, speakers=speakers,
+        languages=languages, output_formats=output_formats,
+        output_dir=output_dir,
     )
 
 
@@ -329,6 +419,13 @@ class StyleTTS2DemoApp(DemoApp):
         )
     )
 
+    # StyleTTS2 is wav-only end-to-end synthesis: no output-format boxes.
+    def _control_rows(self) -> str:
+        return self.CONTROL_ROWS
+
+    def _control_body_js(self) -> str:
+        return self.CONTROL_BODY_JS
+
     def __init__(
         self,
         checkpoint,
@@ -336,6 +433,10 @@ class StyleTTS2DemoApp(DemoApp):
         allowlist=None,
         denylist=None,
         ui_labels=None,
+        ref_speakers: Optional[dict] = None,
+        default_reference: Optional[Path | str] = None,
+        speakers: Optional[list] = None,
+        languages: Optional[list] = None,
     ):
         from everyvoice_tpu.models.styletts2.synthesize import (
             load_reference_style,
@@ -351,15 +452,27 @@ class StyleTTS2DemoApp(DemoApp):
             "subtitle": "Type a sentence and press Synthesize.",
             "text_placeholder": "Hello world",
         }
-        self.languages = sorted(self.lang2id) or ["default"]
-        # Precompute style vectors for named reference speakers.
-        self.ref_styles = {}
+        self.languages = _restrict(
+            languages, sorted(self.lang2id) or ["default"], "languages"
+        )
+        # Precompute style vectors for named reference speakers: explicit
+        # --ref-speaker Name=path entries plus every wav in --ref-audio-dir
+        # (reference demo/app.py:477-520 precomputes them at startup too).
+        ref_wavs: dict = {}
         if ref_audio_dir is not None:
             for wav in sorted(Path(ref_audio_dir).glob("*.wav")):
-                self.ref_styles[wav.stem] = load_reference_style(
-                    self.model, self.params, wav, self.config
-                )
-        self.speakers = sorted(self.ref_styles) or ["default"]
+                ref_wavs[wav.stem] = wav
+        ref_wavs.update(ref_speakers or {})
+        if default_reference is not None:
+            # Upload-mode default: the initial style (reference --reference).
+            ref_wavs.setdefault("default", Path(default_reference))
+        self.ref_styles = {
+            name: load_reference_style(self.model, self.params, wav, self.config)
+            for name, wav in ref_wavs.items()
+        }
+        self.speakers = _restrict(
+            speakers, sorted(self.ref_styles) or ["default"], "speakers"
+        )
         self.language_labels = {v: v for v in self.languages}
         self.speaker_labels = {v: v for v in self.speakers}
         if ui_labels:
@@ -412,17 +525,22 @@ class StyleTTS2DemoApp(DemoApp):
 
 def create_demo_app_styletts2(
     checkpoint, ref_audio_dir=None, allowlist=None, denylist=None,
-    ui_labels=None,
+    ui_labels=None, ref_speakers=None, default_reference=None, speakers=None,
+    languages=None,
 ) -> StyleTTS2DemoApp:
     return StyleTTS2DemoApp(
         checkpoint, ref_audio_dir=ref_audio_dir, allowlist=allowlist,
-        denylist=denylist, ui_labels=ui_labels,
+        denylist=denylist, ui_labels=ui_labels, ref_speakers=ref_speakers,
+        default_reference=default_reference, speakers=speakers,
+        languages=languages,
     )
 
 
 def create_demo_app_auto(
     checkpoint, vocoder_path=None, ref_audio_dir=None, allowlist=None,
-    denylist=None, ui_labels=None,
+    denylist=None, ui_labels=None, speakers=None, languages=None,
+    output_formats=None, output_dir=None, ref_speakers=None,
+    default_reference=None,
 ):
     """Dispatch on the checkpoint's model_info.name
     (parity: reference _peek_model_class, cli.py:687-702)."""
@@ -435,16 +553,23 @@ def create_demo_app_auto(
                 "StyleTTS2 is an end-to-end text-to-wav model; it does not "
                 "take a separate --vocoder-path."
             )
+        if output_formats:
+            raise ValueError(
+                "--output-format selects FastSpeech2 synthesis outputs; the "
+                "StyleTTS2 demo always returns wav audio."
+            )
         return create_demo_app_styletts2(
             checkpoint, ref_audio_dir=ref_audio_dir, allowlist=allowlist,
-            denylist=denylist, ui_labels=ui_labels,
+            denylist=denylist, ui_labels=ui_labels, ref_speakers=ref_speakers,
+            default_reference=default_reference, speakers=speakers,
+            languages=languages,
         )
     if name == "FastSpeech2":
-        if ref_audio_dir is not None:
+        if ref_audio_dir is not None or ref_speakers or default_reference:
             raise ValueError(
-                "--ref-audio-dir provides StyleTTS2 reference-speaker "
-                "styles; FastSpeech2 demos do not use it (pass a GST "
-                "style reference per request instead)."
+                "--ref-speaker/--reference/--ref-audio-dir provide StyleTTS2 "
+                "reference-speaker styles; FastSpeech2 demos do not use them "
+                "(pass a GST style reference per request instead)."
             )
         if vocoder_path is None:
             raise ValueError(
@@ -452,7 +577,8 @@ def create_demo_app_auto(
             )
         return create_demo_app(
             checkpoint, vocoder_path, allowlist=allowlist, denylist=denylist,
-            ui_labels=ui_labels,
+            ui_labels=ui_labels, speakers=speakers, languages=languages,
+            output_formats=output_formats, output_dir=output_dir,
         )
     raise ValueError(
         f"Cannot serve a demo for model type {name!r} — pass a FastSpeech2 "

@@ -23,6 +23,40 @@ def runner():
 # dummy_ckpts comes from conftest (session-scoped stub checkpoints).
 
 
+class TestDemoFlags:
+    """Reference demo flag semantics (cli.py:934-1075): allowlist/denylist
+    are mutually exclusive; --share has no tunnel here and must error, not
+    silently no-op."""
+
+    def test_allow_and_deny_mutually_exclusive(self, runner, tmp_path,
+                                               dummy_ckpts):
+        lst = tmp_path / "words.txt"
+        lst.write_text("hello\n")
+        result = runner.invoke(main, [
+            "demo", str(dummy_ckpts["fs2"]),
+            "--allowlist", str(lst), "--denylist", str(lst),
+        ])
+        assert result.exit_code != 0
+        assert "not both" in result.output
+
+    def test_share_is_a_loud_error(self, runner, dummy_ckpts):
+        result = runner.invoke(
+            main, ["demo", str(dummy_ckpts["fs2"]), "--share"]
+        )
+        assert result.exit_code != 0
+        assert "--share is not supported" in result.output
+
+    def test_reference_flag_spellings_in_help(self, runner):
+        result = runner.invoke(main, ["demo", "--help"])
+        assert result.exit_code == 0
+        for flag in ("-V", "--vocoder", "-s", "--speaker", "-l", "--language",
+                     "-O", "--output-format", "-o", "--output-dir",
+                     "-R", "--ref-speaker", "-r", "--reference",
+                     "-p", "--port", "-n", "--server-name",
+                     "-a", "--accelerator"):
+            assert flag in result.output, flag
+
+
 class TestHelp:
     def test_all_commands_listed(self, runner):
         result = runner.invoke(main, ["--help"])

@@ -135,6 +135,61 @@ class TestStyleTTS2Demo:
         assert "Diffusion steps" in page
 
 
+class TestRestrictionsAndOutputs:
+    """Reference demo flags: -s/-l restrict the dropdowns, -O restricts the
+    served output formats, and every synthesis also writes the selected
+    formats into --output-dir (reference cli.py:934-1010, demo/app.py:770)."""
+
+    def test_unknown_speaker_restriction_rejected(self, dummy_ckpts):
+        with pytest.raises(ValueError, match="speakers not in the model"):
+            create_demo_app(
+                dummy_ckpts["fs2"], dummy_ckpts["generator"],
+                speakers=["nobody"],
+            )
+
+    def test_unknown_format_rejected(self, dummy_ckpts):
+        with pytest.raises(ValueError, match="output formats"):
+            create_demo_app(
+                dummy_ckpts["fs2"], dummy_ckpts["generator"],
+                output_formats=["mp3"],
+            )
+
+    def test_format_restriction_and_file_outputs(self, dummy_ckpts, tmp_path):
+        app = create_demo_app(
+            dummy_ckpts["fs2"], dummy_ckpts["generator"],
+            output_formats=["wav", "textgrid"], output_dir=tmp_path / "out",
+        )
+        page = app.render_page()
+        assert "value='textgrid'" in page and "value='spec'" not in page
+        # a request for an unserved format is refused
+        code, body = app.synthesize_api(
+            {"text": "hello", "output_formats": ["spec"]}
+        )
+        assert code == 400 and "spec" in body["error"]
+        code, body = app.synthesize_api(
+            {"text": "hello world", "output_formats": ["wav", "textgrid"]}
+        )
+        assert code == 200
+        files = [str(f) for f in body["files"]]
+        assert any(f.endswith(".TextGrid") for f in files)
+        assert any(f.endswith(".wav") for f in files)
+        for f in files:
+            assert (tmp_path / "out") in __import__("pathlib").Path(f).parents
+
+    def test_ref_speaker_parsing(self, tmp_path):
+        from everyvoice_tpu.demo.app import parse_ref_speakers
+
+        wav = tmp_path / "eric.wav"
+        wav.write_bytes(b"RIFF")
+        assert parse_ref_speakers([f"Eric={wav}"]) == {"Eric": wav}
+        with pytest.raises(ValueError, match="must look like"):
+            parse_ref_speakers(["no-separator"])
+        with pytest.raises(ValueError, match="not found"):
+            parse_ref_speakers([f"X={tmp_path}/missing.wav"])
+        with pytest.raises(ValueError, match="twice"):
+            parse_ref_speakers([f"Eric={wav}", f"Eric={wav}"])
+
+
 class TestPageContract:
     """No browser runs in this image (the reference drives its demo with
     Playwright, tests/regression/test-demo-app-lj-full.py), so pin statically

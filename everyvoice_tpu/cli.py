@@ -152,14 +152,24 @@ def new_project(resume_from):
               help="Steps to run (default: all relevant for the model kind; "
               "'ood' stages out-of-domain text for StyleTTS2 SLM-adversarial "
               "training).")
-@click.option("-O", "--overwrite", is_flag=True)
-@click.option("--cpus", default=1, help="Host workers for audio IO.")
+@click.option("-O", "--overwrite", is_flag=True,
+              help="Redo all preprocessing even when artifacts exist.")
+@click.option("-C", "--cpus", default=1, show_default=True,
+              help="Host workers for audio IO.")
+@click.option("-D", "--debug", is_flag=True, help="Enable debug logging.")
 @click.option("-c", "--config-args", multiple=True,
               help="key.path=value config overrides")
-def preprocess(model_kind, config_path, steps, overwrite, cpus, config_args):
+def preprocess(model_kind, config_path, steps, overwrite, cpus, debug,
+               config_args):
     """Preprocess a dataset (batched, on-device DSP)."""
     from everyvoice_tpu.preprocessor import Preprocessor
 
+    if debug:
+        import logging
+
+        from everyvoice_tpu.logger import logger as _logger
+
+        _logger.setLevel(logging.DEBUG)
     config = _load_config(model_kind, config_path, config_args)
     if not steps:
         if model_kind == "spec-to-wav":
@@ -533,6 +543,87 @@ def synthesize_from_text(model_path, text, filelist, language, speaker,
         basenames=basenames,
     )
     for path in written:
+        click.echo(str(path))
+
+
+@synthesize.command("text-to-wav")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("-t", "--text", multiple=True, help="Text(s) to synthesize.")
+@click.option("-f", "--filelist", type=click.Path(exists=True, path_type=Path),
+              default=None, help="Filelist with texts to synthesize.")
+@click.option("-l", "--language", default=None)
+@click.option("-r", "--reference", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="Reference wav whose encoded style sets the speaker "
+              "identity (blended with the diffusion-sampled style).")
+@click.option("--diffusion-steps", default=5, show_default=True)
+@click.option("--embedding-scale", default=1.0, show_default=True,
+              help="Classifier-free guidance scale for the style diffusion.")
+@click.option("--acoustic-blend", default=0.5, show_default=True,
+              help="0=all reference acoustic style, 1=all sampled.")
+@click.option("--prosody-blend", default=0.5, show_default=True,
+              help="0=all reference prosodic style, 1=all sampled.")
+@click.option("--seed", default=0, show_default=True)
+@click.option("-O", "--output-type", "output_types", multiple=True,
+              type=click.Choice(["wav"]), default=("wav",), show_default=True,
+              help="StyleTTS2 is end-to-end; wav is the only output type.")
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              default=Path("synthesis_output"), show_default=True)
+def synthesize_text_to_wav(model_path, text, filelist, language, reference,
+                           diffusion_steps, embedding_scale, acoustic_blend,
+                           prosody_blend, seed, output_types, output_dir):
+    """End-to-end text → wav with a StyleTTS2 checkpoint
+    (reference `everyvoice synthesize text-to-wav`,
+    tests/regression/regression-test.sh:110)."""
+    import jax
+    import numpy as np
+
+    from everyvoice_tpu.dsp import write_wav
+    from everyvoice_tpu.models.styletts2.synthesize import (
+        load_reference_style,
+        load_styletts2_model,
+        synthesize_text,
+    )
+    from everyvoice_tpu.train.checkpoint import load_checkpoint_header
+    from everyvoice_tpu.utils import slugify, truncate_basename
+
+    try:
+        name = load_checkpoint_header(model_path)["model_info"]["name"]
+    except ValueError as e:
+        raise click.ClickException(str(e)) from None
+    if name != "StyleTTS2Module":
+        raise click.ClickException(
+            f"synthesize text-to-wav takes a StyleTTS2 checkpoint, not {name}"
+            " — use `synthesize from-text` for FastSpeech2 models."
+        )
+    texts = list(text)
+    basenames = None
+    if filelist is not None:
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        rows = generic_psv_filelist_reader(filelist)
+        texts += [r.get("characters") or r.get("text") or "" for r in rows]
+        basenames = [r.get("basename") for r in rows]
+    if not texts:
+        raise click.ClickException("Provide --text or --filelist")
+    model, params, st2_config, tp, _ = load_styletts2_model(model_path)
+    ref_styles = None
+    if reference is not None:
+        ref_styles = load_reference_style(model, params, reference, st2_config)
+    out = Path(output_dir) / "wav"
+    out.mkdir(parents=True, exist_ok=True)
+    sr = st2_config.preprocessing.audio.output_sampling_rate
+    for i, t in enumerate(texts):
+        wav = synthesize_text(
+            model, params, st2_config, tp, t, language=language,
+            ref_styles=ref_styles, diffusion_steps=diffusion_steps,
+            embedding_scale=embedding_scale, acoustic_blend=acoustic_blend,
+            prosody_blend=prosody_blend, rng=jax.random.PRNGKey(seed),
+        )
+        base = (basenames[i] if basenames and i < len(basenames)
+                else truncate_basename(slugify(t)))
+        path = out / f"{base}--default--{language or 'default'}.wav"
+        write_wav(path, np.asarray(wav), sr)
         click.echo(str(path))
 
 

@@ -57,6 +57,45 @@ class TestDemoFlags:
             assert flag in result.output, flag
 
 
+class TestSynthesizeTextToWav:
+    """`synthesize text-to-wav` (reference regression-test.sh:110) is the
+    StyleTTS2 end-to-end path with style-control flags."""
+
+    def test_rejects_non_styletts2_checkpoint(self, runner, dummy_ckpts):
+        result = runner.invoke(main, [
+            "synthesize", "text-to-wav", str(dummy_ckpts["fs2"]),
+            "--text", "hello",
+        ])
+        assert result.exit_code != 0
+        assert "StyleTTS2 checkpoint" in result.output
+
+    def test_style_flags_in_help(self, runner):
+        result = runner.invoke(main, ["synthesize", "text-to-wav", "--help"])
+        assert result.exit_code == 0
+        for flag in ("--reference", "--diffusion-steps", "--embedding-scale",
+                     "--acoustic-blend", "--prosody-blend", "--seed"):
+            assert flag in result.output, flag
+
+    @pytest.mark.slow
+    def test_end_to_end_with_reference_style(self, runner, tmp_path):
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from model_stubs import get_dummy_styletts2_checkpoint
+
+        ckpt = get_dummy_styletts2_checkpoint(tmp_path)
+        ref = (Path("/root/reference/everyvoice/tests/data/lj/wavs")
+               / "LJ050-0269.wav")
+        result = runner.invoke(main, [
+            "synthesize", "text-to-wav", str(ckpt),
+            "--text", "hello world", "--reference", str(ref),
+            "--diffusion-steps", "2", "-o", str(tmp_path / "out"),
+        ])
+        assert result.exit_code == 0, result.output
+        wavs = list((tmp_path / "out" / "wav").glob("*.wav"))
+        assert len(wavs) == 1
+
+
 class TestHelp:
     def test_all_commands_listed(self, runner):
         result = runner.invoke(main, ["--help"])

@@ -129,13 +129,17 @@ def _pin_device(accelerator: str) -> None:
 
 
 @main.command("new-project")
-@click.option("--resume-from", type=click.Path(path_type=Path), default=None,
-              help="Resume a saved wizard session.")
-def new_project(resume_from):
+@click.option("-r", "--resume-from", type=click.Path(path_type=Path),
+              default=None, help="Resume a saved wizard session.")
+@click.option("--trace", is_flag=True, hidden=True,
+              help="Enable question tree trace mode.")
+@click.option("--debug-state", is_flag=True, hidden=True,
+              help="Enable wizard state debug/trace mode.")
+def new_project(resume_from, trace, debug_state):
     """Create a new project with a guided wizard."""
     from everyvoice_tpu.wizard.main_tour import get_main_wizard_tour
 
-    tour = get_main_wizard_tour()
+    tour = get_main_wizard_tour(trace=trace, debug_state=debug_state)
     tour.run(resume_from=resume_from)
 
 
@@ -1003,25 +1007,44 @@ def demo(model_path, vocoder_path, speakers, languages, output_formats,
 
 @main.command()
 @click.argument("wav_dir", type=click.Path(exists=True, path_type=Path),
-                metavar="WAV_DIR_OR_FILE")
-@click.option("-r", "--reference-dir", type=click.Path(exists=True, path_type=Path),
+                metavar="[WAV_DIR_OR_FILE]", required=False, default=None)
+@click.option("-f", "--audio-file", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="A single audio file to evaluate (reference -f spelling).")
+@click.option("-d", "--audio-directory",
+              type=click.Path(exists=True, path_type=Path), default=None,
+              help="A directory of audio files to evaluate "
+              "(reference -d spelling).")
+@click.option("-g", "--reference-dir", type=click.Path(exists=True, path_type=Path),
               default=None,
               help="Ground-truth wavs (same filenames) for intrusive metrics.")
-@click.option("-n", "--non-matching-references",
+@click.option("-r", "--non-matching-reference", "-n",
+              "--non-matching-references", "non_matching_references",
               type=click.Path(exists=True, path_type=Path), default=None,
-              help="Directory of clean speech wavs (any content) used as "
-              "non-matching references for subjective MOS estimation "
+              help="A clean speech wav (or directory of wavs, any content) "
+              "used as non-matching reference for subjective MOS estimation "
               "(requires torchaudio SQUIM weights).")
 @click.option("-o", "--output", type=click.Path(path_type=Path),
               default=Path("evaluation.json"))
-def evaluate(wav_dir, reference_dir, non_matching_references, output):
+def evaluate(wav_dir, audio_file, audio_directory, reference_dir,
+             non_matching_references, output):
     """Objective evaluation (SI-SDR/STOI + signal reports) and, when
     available, SQUIM objective/subjective-MOS scores of synthesized wavs;
     intrusive metrics require --reference-dir."""
     from everyvoice_tpu.evaluation import evaluate_directory
 
+    # The reference requires exactly one of -f/-d (cli.py:293-300); we also
+    # accept the positional spelling for either.
+    targets = [p for p in (wav_dir, audio_file, audio_directory)
+               if p is not None]
+    if len(targets) != 1:
+        raise click.ClickException(
+            "Please choose to evaluate either a single file or an entire "
+            "directory (one of WAV_DIR_OR_FILE, --audio-file, or "
+            "--audio-directory)."
+        )
     results = evaluate_directory(
-        wav_dir, reference_dir=reference_dir,
+        targets[0], reference_dir=reference_dir,
         non_matching_reference_dir=non_matching_references,
     )
     Path(output).write_text(json.dumps(results, indent=1), encoding="utf8")

@@ -232,13 +232,17 @@ def load_non_matching_references(
     nmr_dir: Optional[Path | str], limit: int = 5
 ) -> list:
     """Load up to `limit` 16 kHz mono non-matching reference recordings for
-    subjective MOS estimation."""
+    subjective MOS estimation. Accepts a directory of wavs or a single wav
+    (the reference's -r/--non-matching-reference takes one file,
+    everyvoice/cli.py:264-272)."""
     if nmr_dir is None:
         return []
     from everyvoice_tpu.dsp import read_wav
 
+    nmr_dir = Path(nmr_dir)
+    paths = [nmr_dir] if nmr_dir.is_file() else sorted(nmr_dir.glob("**/*.wav"))
     refs = []
-    for wav_path in sorted(Path(nmr_dir).glob("**/*.wav"))[:limit]:
+    for wav_path in paths[:limit]:
         audio, sr = read_wav(wav_path)
         refs.append(resample_to_16k(audio.mean(axis=0), sr))
     return refs

@@ -17,7 +17,9 @@ from everyvoice_tpu.wizard.steps import (
 from everyvoice_tpu.wizard.tour import Tour, interactive_ask
 
 
-def get_main_wizard_tour(ask=interactive_ask) -> Tour:
+def get_main_wizard_tour(
+    ask=interactive_ask, trace: bool = False, debug_state: bool = False
+) -> Tour:
     steps = [
         NameStep(),
         ContactNameStep(),
@@ -26,4 +28,10 @@ def get_main_wizard_tour(ask=interactive_ask) -> Tour:
         *get_dataset_steps(0),
         MoreDatasetsStep(),
     ]
-    return Tour("EveryVoice TPU new-project wizard", steps, ask=ask)
+    return Tour(
+        "EveryVoice TPU new-project wizard",
+        steps,
+        ask=ask,
+        trace=trace,
+        debug_state=debug_state,
+    )

@@ -173,10 +173,17 @@ class Tour:
         steps: List[Step],
         state: Optional[dict] = None,
         ask: Callable = interactive_ask,
+        trace: bool = False,
+        debug_state: bool = False,
     ):
         self.name = name
         self.state = state if state is not None else {}
         self.ask = ask
+        # Question-tree trace mode / state debug mode (reference
+        # wizard/tour.py:205-213,430-432: hidden --trace/--debug-state flags
+        # print each visited step and the wizard state as the tour runs).
+        self.trace_mode = trace
+        self.debug_state = debug_state
         self.trace: list = []  # [(name, response)] for save/resume
         self.history: List[Step] = []  # completed steps, for "back"
         self.root = RootStep()
@@ -282,9 +289,13 @@ class Tour:
                 step = self._next_step()
                 if step is None:
                     break
+                if self.debug_state:
+                    print(f"[wizard state before {step.name}] {self.state}")
                 try:
                     step.run()
                     self.history.append(step)
+                    if self.trace_mode:
+                        print(f"{step.name}: {step.response!r}")
                 except KeyboardInterrupt:
                     self.keyboard_interrupt_action()
         finally:

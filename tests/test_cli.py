@@ -339,11 +339,32 @@ class TestEvaluateCLI:
         write_wav(ref / "a.wav", x, 22050)
         out = tmp_path / "eval.json"
         result = runner.invoke(
-            main, ["evaluate", str(est), "-r", str(ref), "-o", str(out)]
+            main, ["evaluate", str(est), "-g", str(ref), "-o", str(out)]
         )
         assert result.exit_code == 0, result.output
         data = json.loads(out.read_text())
         assert data[0]["si_sdr"] > 30
+
+        # Reference flag spellings (-f single file / -d directory,
+        # everyvoice/cli.py:248-262) address the same paths.
+        out2 = tmp_path / "eval2.json"
+        result = runner.invoke(
+            main, ["evaluate", "-f", str(est / "a.wav"), "-o", str(out2)]
+        )
+        assert result.exit_code == 0, result.output
+        assert len(json.loads(out2.read_text())) == 1
+        result = runner.invoke(
+            main, ["evaluate", "-d", str(est), "-o", str(out2)]
+        )
+        assert result.exit_code == 0, result.output
+
+        # Exactly one target is required (reference cli.py:293-300).
+        result = runner.invoke(main, ["evaluate"])
+        assert result.exit_code != 0
+        result = runner.invoke(
+            main, ["evaluate", str(est), "-f", str(est / "a.wav")]
+        )
+        assert result.exit_code != 0
 
 
 class TestFetchPretrained:

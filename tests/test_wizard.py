@@ -155,6 +155,20 @@ class TestTourMechanics:
         with pytest.raises(StepError, match="20 times"):
             tour.run()
 
+    def test_trace_and_debug_state_modes(self, capsys):
+        """Hidden --trace/--debug-state CLI flags (reference
+        wizard/tour.py:205-213,430-432) print each step and the state."""
+        tour = Tour(
+            "t", [RecordingStep("first"), RecordingStep("second")],
+            ask=scripted_ask(["A", "B"]), trace=True, debug_state=True,
+        )
+        tour.run()
+        out = capsys.readouterr().out
+        assert "first: 'A'" in out
+        assert "second: 'B'" in out
+        assert "[wizard state before second]" in out
+        assert "'first': 'A'" in out  # state snapshot is printed
+
     def test_save_and_resume(self, tmp_path):
         tour = Tour("t", [NameStep()], ask=scripted_ask(["My Project"]))
         tour.run()

@@ -357,8 +357,10 @@ def segment_features(segment: str) -> Optional[tuple]:
     decomposed = unicodedata.normalize("NFD", segment)
     component_vecs: List[list] = []
     current: Optional[list] = None
+    tied = False
     for ch in decomposed:
         if ch in TIE_BARS:
+            tied = True
             continue
         if ch in BASE_FEATURES:
             current = list(BASE_FEATURES[ch])
@@ -374,6 +376,19 @@ def segment_features(segment: str) -> Optional[tuple]:
         return None
     if len(component_vecs) == 1:
         return tuple(component_vecs[0])
+    if tied and len(component_vecs) == 2:
+        first, second = component_vecs
+        is_stop = first[_IDX["cont"]] == -1.0 and first[_IDX["son"]] == -1.0
+        is_fric = second[_IDX["cont"]] == 1.0 and second[_IDX["son"]] == -1.0
+        if is_stop and is_fric:
+            # Tied affricate: stop closure released into a fricative — the
+            # single-segment value is the fricative's place/voicing/stridency
+            # with [-cont, +delrel] (textbook affricate spec; panphon gives
+            # t͡ʃ exactly this decomposition), NOT the mean of the parts.
+            out = list(second)
+            out[_IDX["cont"]] = -1.0
+            out[_IDX["delrel"]] = 1.0
+            return tuple(out)
     import numpy as np
 
     stacked = np.asarray(component_vecs)

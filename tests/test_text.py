@@ -132,6 +132,114 @@ class TestPhonologicalFeatures:
         assert feats[3][26 + 11] == 1.0  # silence slot
 
 
+class TestArticulatoryTable:
+    """Validate the generated feature table against textbook phonology.
+
+    panphon itself is not installable in this image (reference
+    everyvoice/text/features.py:3 consumes its table), so instead of value
+    goldens these pin the *linguistic* ground truth the table must encode:
+    natural classes, minimal pairs, and distance ordering. A wrong row in
+    the generated table breaks one of these.
+    """
+
+    IDX = {
+        n: i
+        for i, n in enumerate(
+            [
+                "syl", "son", "cons", "cont", "delrel", "lat", "nas",
+                "strid", "voi", "sg", "cg", "ant", "cor", "distr", "lab",
+                "hi", "lo", "back", "round", "velaric", "tense", "long",
+                "hitone", "hireg",
+            ]
+        )
+    }
+
+    def feat(self, seg, name):
+        return segment_features(seg)[self.IDX[name]]
+
+    @pytest.mark.parametrize(
+        "vl,vd",
+        [("p", "b"), ("t", "d"), ("k", "ɡ"), ("f", "v"), ("s", "z"), ("ʃ", "ʒ")],
+    )
+    def test_voicing_minimal_pairs(self, vl, vd):
+        a, b = np.array(segment_features(vl)), np.array(segment_features(vd))
+        (diff,) = np.nonzero(a != b)
+        assert list(diff) == [self.IDX["voi"]]
+        assert a[self.IDX["voi"]] == -1.0 and b[self.IDX["voi"]] == 1.0
+
+    @pytest.mark.parametrize("seg", ["m", "n", "ŋ"])
+    def test_nasals_are_sonorant_stops(self, seg):
+        assert self.feat(seg, "nas") == 1.0
+        assert self.feat(seg, "son") == 1.0
+        assert self.feat(seg, "cont") == -1.0
+
+    @pytest.mark.parametrize("seg", ["a", "e", "i", "o", "u", "ə"])
+    def test_vowels_are_syllabic_sonorants(self, seg):
+        assert self.feat(seg, "syl") == 1.0
+        assert self.feat(seg, "son") == 1.0
+        assert self.feat(seg, "cons") == -1.0
+
+    def test_vowel_height_backness_rounding(self):
+        for seg in ("i", "u"):
+            assert self.feat(seg, "hi") == 1.0 and self.feat(seg, "lo") == -1.0
+        assert self.feat("a", "lo") == 1.0
+        for seg in ("u", "o"):
+            assert self.feat(seg, "round") == 1.0
+            assert self.feat(seg, "back") == 1.0
+        for seg in ("i", "e"):
+            assert self.feat(seg, "round") == -1.0
+            assert self.feat(seg, "back") == -1.0
+
+    def test_place_classes(self):
+        for seg in ("p", "b", "m", "f", "v"):
+            assert self.feat(seg, "lab") == 1.0
+        for seg in ("t", "d", "n", "s", "z", "l", "ɾ"):
+            assert self.feat(seg, "cor") == 1.0
+        for seg in ("k", "ɡ", "ŋ", "x"):
+            assert self.feat(seg, "hi") == 1.0
+            assert self.feat(seg, "cor") == -1.0
+
+    def test_manner_classes(self):
+        assert self.feat("l", "lat") == 1.0
+        for seg in ("s", "z", "ʃ", "ʒ", "f", "v"):
+            assert self.feat(seg, "cont") == 1.0
+            assert self.feat(seg, "strid") == 1.0
+        for seg in ("p", "t", "k", "b", "d", "ɡ"):
+            assert self.feat(seg, "cont") == -1.0
+        # Affricates: stop closure with delayed release
+        assert self.feat("t͡ʃ", "delrel") == 1.0
+
+    def test_glides_are_nonsyllabic_vocoids(self):
+        for seg in ("j", "w"):
+            assert self.feat(seg, "syl") == -1.0
+            assert self.feat(seg, "son") == 1.0
+            assert self.feat(seg, "cons") == -1.0
+        assert self.feat("w", "round") == 1.0
+
+    def test_laryngeals(self):
+        assert self.feat("h", "sg") == 1.0
+        assert self.feat("ʔ", "cg") == 1.0
+
+    def test_length_modifier(self):
+        assert self.feat("aː", "long") == 1.0
+        assert self.feat("a", "long") == -1.0
+
+    def test_distance_ordering(self):
+        """Hamming distance over the table must respect similarity: a
+        voicing pair is closer than a place pair, which is closer than a
+        consonant/vowel pair (the property symbol mapping relies on —
+        reference everyvoice/text/utils_heavy.py feature edit distance)."""
+
+        def d(x, y):
+            return float(
+                np.abs(np.array(segment_features(x)) - np.array(segment_features(y))).sum()
+            )
+
+        assert d("p", "b") < d("p", "t") < d("p", "a")
+        assert d("i", "e") < d("i", "u") <= d("i", "s")
+        assert d("m", "n") < d("m", "s")
+
+
 class TestIPA:
     def test_affricate_tie(self):
         assert tokenize_ipa("t͡ʃa") == ["t͡ʃ", "a"]

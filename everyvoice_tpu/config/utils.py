@@ -37,7 +37,7 @@ PossiblyRelativePath = Annotated[
 ]
 
 
-def _relative_path_must_exist(value: Any, info: ValidationInfo = None) -> Path:
+def _relative_path_must_exist(value: Any, info: ValidationInfo) -> Path:
     path = relative_to_absolute_path(value, info)
     if path is not None and not path.exists():
         raise ValueError(f"Path '{path}' does not exist")

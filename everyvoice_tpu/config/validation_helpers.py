@@ -71,7 +71,7 @@ def path_is_a_directory(value: Path, info: ValidationInfo) -> Path:
     return value
 
 
-def relative_to_absolute_path(value: Any, info: ValidationInfo = None) -> Path | None:
+def relative_to_absolute_path(value: Any, info: ValidationInfo) -> Path | None:
     """Resolve a possibly-relative path against the config file's directory.
 
     The directory arrives through the pydantic validation context

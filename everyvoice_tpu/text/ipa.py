@@ -64,6 +64,10 @@ def _consonant(
         s(cor=1, ant=1)
     elif place == "postalveolar":
         s(cor=1, ant=-1, distr=1)
+    elif place == "alveolopalatal":
+        # Polish/Mandarin-type ɕ ʑ: postalveolar tongue-blade contact plus a
+        # raised (palatalized) body.
+        s(cor=1, ant=-1, distr=1, hi=1, back=-1)
     elif place == "retroflex":
         s(cor=1, ant=-1, distr=-1)
     elif place == "palatal":
@@ -85,7 +89,9 @@ def _consonant(
         s(son=1, nas=1)
     elif manner == "fricative":
         s(cont=1)
-        if strident is None and place in ("alveolar", "postalveolar", "labiodental"):
+        if strident is None and place in (
+            "alveolar", "postalveolar", "alveolopalatal", "labiodental"
+        ):
             s(strid=1)
     elif manner == "affricate":
         s(delrel=1)
@@ -153,6 +159,7 @@ def _build_base_table() -> Dict[str, list]:
         ("s", "alveolar", False), ("z", "alveolar", True),
         ("ʃ", "postalveolar", False), ("ʒ", "postalveolar", True),
         ("ʂ", "retroflex", False), ("ʐ", "retroflex", True),
+        ("ɕ", "alveolopalatal", False), ("ʑ", "alveolopalatal", True),
         ("ç", "palatal", False), ("ʝ", "palatal", True),
         ("x", "velar", False), ("ɣ", "velar", True),
         ("χ", "uvular", False), ("ʁ", "uvular", True),

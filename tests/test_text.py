@@ -220,6 +220,23 @@ class TestArticulatoryTable:
         assert self.feat("h", "sg") == 1.0
         assert self.feat("ʔ", "cg") == 1.0
 
+    def test_alveolopalatal_sibilants(self):
+        a, b = np.array(segment_features("ɕ")), np.array(segment_features("ʑ"))
+        (diff,) = np.nonzero(a != b)
+        assert list(diff) == [self.IDX["voi"]]
+        for seg in ("ɕ", "ʑ"):
+            assert self.feat(seg, "strid") == 1.0
+            assert self.feat(seg, "cor") == 1.0
+            assert self.feat(seg, "hi") == 1.0
+            assert self.feat(seg, "cont") == 1.0
+        # ɕ is distinct from both ʃ (by tongue-body height) and ç (by
+        # coronality/stridency)
+        assert segment_features("ɕ") != segment_features("ʃ")
+        assert segment_features("ɕ") != segment_features("ç")
+        # and the tied affricate composes: t͡ɕ = ɕ with stop closure
+        assert self.feat("t͡ɕ", "delrel") == 1.0
+        assert self.feat("t͡ɕ", "cont") == -1.0
+
     def test_length_modifier(self):
         assert self.feat("aː", "long") == 1.0
         assert self.feat("a", "long") == -1.0
@@ -399,6 +416,42 @@ class TestRuleG2P:
         for lang in ("spa", "ita", "fin", "deu", "fra"):
             assert lang in AVAILABLE_G2P_ENGINES
             assert callable(get_g2p_engine(lang))
+
+    def test_every_builtin_language_emits_known_ipa(self):
+        """Every registered rule engine must emit only segments the
+        articulatory table knows — a gap here silently zeroes PFS rows for
+        that language (caught live: Polish ɕ/ʑ were missing)."""
+        from everyvoice_tpu.text.ipa import is_ipa_segment
+        from everyvoice_tpu.text.phonemizer import (
+            AVAILABLE_G2P_ENGINES,
+            get_g2p_engine,
+        )
+
+        samples = {
+            "tur": "merhaba dünya", "pol": "dzień dobry świecie",
+            "ces": "dobrý den světe", "hrv": "dobar dan svijete",
+            "ron": "bună ziua lume", "por": "olá mundo",
+            "cat": "bon dia món", "hun": "jó napot világ",
+            "ind": "selamat pagi dunia", "swa": "habari ya dunia",
+            "dan": "hej verden", "swe": "hej världen",
+            "est": "tere maailm", "eus": "kaixo mundua",
+            "rus": "привет мир", "ukr": "привіт світ",
+            "ell": "γεια σου κόσμε", "spa": "hola mundo",
+            "ita": "ciao mondo", "fin": "hei maailma",
+            "deu": "hallo welt", "fra": "bonjour le monde",
+            "eng": "church judge strength",
+        }
+        assert set(samples) <= set(AVAILABLE_G2P_ENGINES)
+        unknown = {}
+        for lang, text in samples.items():
+            phones = get_g2p_engine(lang)(text)
+            bad = [
+                p for p in phones
+                if p.strip() and not is_ipa_segment(p.strip("ˈˌː"))
+            ]
+            if bad:
+                unknown[lang] = bad
+        assert not unknown, f"unknown IPA segments: {unknown}"
 
     def test_spanish(self):
         from everyvoice_tpu.text.phonemizer import get_g2p_engine

@@ -994,3 +994,14 @@ class TestPortablePaths:
         )
         assert config.preprocessing.save_dir.is_absolute()
         assert str(config.preprocessing.save_dir).startswith(str(moved))
+        # Every relative path field must resolve against the config file's
+        # own directory, not the process cwd (a bare PossiblyRelativePath
+        # once silently skipped resolution when pydantic classified its
+        # validator as no-info — caught by the e2e regression harness).
+        for ds in config.preprocessing.source_data:
+            assert ds.filelist.is_absolute()
+            assert str(ds.filelist).startswith(str(moved))
+            assert ds.filelist.exists()
+            assert ds.data_dir.is_absolute()
+        assert config.training.training_filelist.is_absolute()
+        assert str(config.training.training_filelist).startswith(str(moved))

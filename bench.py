@@ -121,6 +121,13 @@ def main() -> None:
         (run_chain_one(24) - run_chain_one(4)) / 20.0 * 1000
     )
 
+    # MFU: XLA's own flop count for the compiled serving program over the
+    # measured marginal step time, against the chip's bf16 peak.
+    from everyvoice_tpu.utils.flops import compiled_flops, mfu
+
+    flops = compiled_flops(synthesize_p, fs2_params, gen_params, text, lengths)
+    utilization = mfu(flops, elapsed_per_batch, jax.devices()[0])
+
     result = {
         "metric": "synthesized audio sec/sec/chip (RTF), FastSpeech2+HiFiGAN batched text-to-wav",
         "value": round(rtf, 2),
@@ -131,6 +138,10 @@ def main() -> None:
             "audio_seconds_per_batch": round(audio_seconds, 2),
             "wall_seconds_per_batch": round(elapsed_per_batch, 4),
             "p50_single_utterance_latency_ms": round(p50_ms, 2),
+            "tflops_per_batch": (
+                round(flops / 1e12, 3) if flops else None
+            ),
+            "mfu": round(utilization, 4) if utilization else None,
             "device": str(jax.devices()[0]),
         },
     }

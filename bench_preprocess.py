@@ -2,10 +2,18 @@
 (BASELINE config #2: spectrogram/energy/pitch extraction over a synthetic
 1k-utterance corpus).
 
-Prints ONE JSON line with utterances/second and audio-seconds/second for the
-full feature pipeline (fused Pallas log-mel + energy + batched YIN F0) on one
-chip. The reference's equivalent is a joblib CPU pool running torchaudio +
-pyworld per file (tens of files/second on many cores).
+Two modes, each printing ONE JSON line:
+
+- default: the device-resident feature pipeline (fused Pallas log-mel +
+  energy + batched YIN F0) — the chip's ceiling for the DSP core.
+- `--end-to-end`: the REAL corpus pipeline, disk to artifacts — writes a
+  synthetic wav corpus, then times `Preprocessor.preprocess()` end to end
+  (audio load/filter/resample/save + text tokenization + spec/attn/energy/
+  pitch artifacts + stats normalization + train/val split), including all
+  host IO. This is the honest competitor to the reference's joblib CPU pool
+  (reference preprocessor.py:1084-1209, tens of files/second on many cores).
+
+Usage: python bench_preprocess.py [N_UTTS] [--end-to-end] [--cpus K]
 """
 
 from __future__ import annotations
@@ -17,6 +25,105 @@ import time
 import numpy as np
 
 
+def build_corpus(root, n_utts: int, sr: int = 22050, seed: int = 0):
+    """Write a synthetic wav corpus + filelist.psv; returns total audio
+    seconds. Utterances are 3-10 s of band-limited noise-modulated tone,
+    loud enough to pass the -36 LUFS silence filter."""
+    from everyvoice_tpu.dsp.audio_io import write_wav
+
+    rng = np.random.default_rng(seed)
+    wav_dir = root / "wavs"
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    words = ("the quick brown fox jumps over a lazy dog near my big red "
+             "house and sings").split()
+    rows = []
+    total_seconds = 0.0
+    for i in range(n_utts):
+        seconds = float(rng.uniform(3.0, 10.0))
+        total_seconds += seconds
+        t = np.arange(int(seconds * sr)) / sr
+        f0 = 110.0 * (1 + 0.3 * np.sin(2 * np.pi * 0.7 * t + i))
+        tone = 0.3 * np.sin(2 * np.pi * np.cumsum(f0) / sr)
+        noise = 0.05 * rng.standard_normal(t.size)
+        envelope = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 1.3 * t))
+        audio = ((tone + noise) * envelope).astype(np.float32)
+        write_wav(wav_dir / f"utt{i:05d}.wav", audio, sr)
+        text = " ".join(
+            words[int(j) % len(words)]
+            for j in rng.integers(0, len(words), 8)
+        )
+        rows.append(f"utt{i:05d}|{text}")
+    with open(root / "filelist.psv", "w", encoding="utf8") as f:
+        f.write("basename|text\n")
+        f.write("\n".join(rows) + "\n")
+    return total_seconds
+
+
+def end_to_end(n_utts: int, cpus: int) -> None:
+    """Disk -> artifacts wall-clock over a real corpus via the public
+    Preprocessor API (the BASELINE config #2 number)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from everyvoice_tpu.config import PreprocessingConfig, TextConfig
+    from everyvoice_tpu.config.preprocessing_config import Dataset
+    from everyvoice_tpu.models.fs2 import FastSpeech2Config
+    from everyvoice_tpu.preprocessor import Preprocessor
+
+    root = Path(tempfile.mkdtemp(prefix="evtpu-bench-corpus-"))
+    try:
+        build_t0 = time.perf_counter()
+        total_seconds = build_corpus(root, n_utts)
+        print(
+            f"# corpus: {n_utts} utts / {total_seconds:.0f} s audio "
+            f"(built in {time.perf_counter() - build_t0:.1f} s)",
+            file=sys.stderr,
+        )
+        config = FastSpeech2Config(
+            contact={"contact_name": "bench", "contact_email": "b@e.ca"},
+            preprocessing=PreprocessingConfig(
+                save_dir=root / "preprocessed",
+                source_data=[Dataset(
+                    label="bench",
+                    permissions_obtained=True,
+                    data_dir=root / "wavs",
+                    filelist=root / "filelist.psv",
+                )],
+            ),
+            text=TextConfig(symbols={
+                "letters": list("abcdefghijklmnopqrstuvwxyz"),
+            }),
+        )
+        steps = ("audio", "text", "spec", "attn", "energy", "pitch")
+        t0 = time.perf_counter()
+        Preprocessor(config).preprocess(
+            to_process=steps, overwrite=True, cpus=cpus
+        )
+        elapsed = time.perf_counter() - t0
+        save_dir = root / "preprocessed"
+        n_specs = len(list((save_dir / "spec").glob("*.npy")))
+        result = {
+            "metric": ("end-to-end preprocessing (disk wavs -> artifacts + "
+                       "stats + split), utterances/sec"),
+            "value": round(n_utts / elapsed, 1),
+            "unit": "utterances/s",
+            "vs_baseline": None,
+            "detail": {
+                "corpus_utts": n_utts,
+                "corpus_audio_seconds": round(total_seconds, 1),
+                "wall_seconds": round(elapsed, 2),
+                "audio_seconds_per_second": round(total_seconds / elapsed, 1),
+                "spec_artifacts_written": n_specs,
+                "host_cpus": cpus,
+                "steps": list(steps) + ["stats", "split"],
+            },
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -25,7 +132,14 @@ def main() -> None:
     from everyvoice_tpu.dsp.pitch import estimate_f0
     from everyvoice_tpu.ops.mel_pallas import fused_log_mel
 
-    n_utts = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n_utts = int(args[0]) if args else 1000
+    if "--end-to-end" in sys.argv:
+        cpus = 4
+        if "--cpus" in sys.argv:
+            cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        end_to_end(n_utts, cpus)
+        return
     sr, hop = 22050, 256
     batch = 16
     seconds_per_utt = 7.0  # typical corpus mean

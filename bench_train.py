@@ -102,6 +102,12 @@ def main() -> None:
     steps_per_s = iters / elapsed
     hours_for_100k = 100_000 / steps_per_s / 3600
 
+    # MFU from XLA's flop count of the compiled train step (fwd+bwd+update).
+    from everyvoice_tpu.utils.flops import compiled_flops, mfu
+
+    flops = compiled_flops(train_step, params, opt_state, batch, key)
+    utilization = mfu(flops, elapsed / iters, jax.devices()[0])
+
     result = {
         "metric": "FastSpeech2 training steps/sec/chip (alignment learning, batch 16, 1000 frames)",
         "value": round(steps_per_s, 2),
@@ -111,6 +117,8 @@ def main() -> None:
             "batch": batch_size,
             "step_ms": round(elapsed / iters * 1000, 2),
             "hours_for_100k_steps": round(hours_for_100k, 2),
+            "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+            "mfu": round(utilization, 4) if utilization else None,
             "loss": float(loss),
             "device": str(jax.devices()[0]),
         },

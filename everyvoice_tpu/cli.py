@@ -1188,7 +1188,13 @@ def fetch_pretrained(model_kind, config_path, output_dir):
             "egress, stage the files manually and set the "
             "pretrained.*.local_* / model.slm.model config fields."
         ) from exc
-    click.echo("Fetched pretrained components. Config overrides:")
+    click.echo(
+        "Fetched pretrained components. Pass these overrides to "
+        "`train text-to-wav` (or set them in the config) to train with "
+        "them — the JDC F0 net provides frozen F0 targets, the ASR "
+        "initializes the TMA aligner, PL-BERT initializes the text-context "
+        "encoder, and WavLM enables SLM-adversarial training:"
+    )
     for key, value in fetched.items():
         click.echo(f"  -c {key}={value}")
 

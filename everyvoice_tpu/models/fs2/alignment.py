@@ -62,11 +62,13 @@ def forward_sum_loss(
     attn_logprob: jnp.ndarray,
     src_lengths: jnp.ndarray,
     mel_lengths: jnp.ndarray,
+    row_weights: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Monotonic forward-sum (CTC-like, no blank) alignment loss.
 
     α[t, n] = logp̂[t, n] + logaddexp(α[t−1, n], α[t−1, n−1]); the loss is
-    −α[T−1, N−1] normalized by mel length, averaged over the batch."""
+    −α[T−1, N−1] normalized by mel length, averaged over the batch
+    (optionally weighted by 0/1 `row_weights` to drop pad rows)."""
     b, t_max, n_max = attn_logprob.shape
     # Log-softmax over the text axis restricted to valid positions.
     text_mask = jnp.arange(n_max)[None, :] < src_lengths[:, None]
@@ -92,7 +94,12 @@ def forward_sum_loss(
     t_idx = jnp.clip(mel_lengths - 1, 0, t_max - 1)
     n_idx = jnp.clip(src_lengths - 1, 0, n_max - 1)
     final = alphas[t_idx, jnp.arange(b), n_idx]
-    return jnp.mean(-final / jnp.maximum(mel_lengths, 1))
+    per_row = -final / jnp.maximum(mel_lengths, 1)
+    if row_weights is None:
+        return jnp.mean(per_row)
+    return jnp.sum(per_row * row_weights) / jnp.maximum(
+        jnp.sum(row_weights), 1.0
+    )
 
 
 def viterbi_alignment(

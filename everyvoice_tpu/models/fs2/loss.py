@@ -37,10 +37,19 @@ def compute_fs2_losses(
     learn_alignment: bool = True,
     bin_loss_ramp: float = 1.0,
 ) -> dict:
-    """Returns a dict of individual losses plus 'total'."""
+    """Returns a dict of individual losses plus 'total'.
+
+    When the batch carries `row_weights` (0/1 per row, from
+    pad_batch_for_eval), pad-duplicated rows are masked out of every term so
+    they never bias the monitored loss."""
     losses = {}
     frame_mask = outputs["frame_mask"]
     src_mask = outputs["src_mask"]
+    row_weights = batch.get("row_weights")
+    if row_weights is not None:
+        real = row_weights > 0.5
+        frame_mask = frame_mask & real[:, None]
+        src_mask = src_mask & real[:, None]
     mel_target = batch["mel"]
 
     losses["mel"] = masked_loss(
@@ -58,7 +67,7 @@ def compute_fs2_losses(
         src_lengths = batch["text_lengths"]
         mel_lengths = batch["mel_lengths"]
         losses["attn_ctc"] = forward_sum_loss(
-            attn_logprob, src_lengths, mel_lengths
+            attn_logprob, src_lengths, mel_lengths, row_weights=row_weights
         )
         if "attn_hard" in outputs:
             attn_hard = outputs["attn_hard"]
@@ -66,6 +75,9 @@ def compute_fs2_losses(
             attn_hard = jax.lax.stop_gradient(
                 viterbi_alignment(attn_logprob, src_lengths, mel_lengths)
             )
+        if row_weights is not None:
+            # Zeroed hard paths drop pad rows from the binarization mean.
+            attn_hard = attn_hard * row_weights[:, None, None]
         losses["attn_bin"] = bin_loss_ramp * binarization_loss(
             attn_soft, attn_hard
         )

@@ -414,10 +414,9 @@ def load_asr_params(
     """Load `pretrained.asr.local_checkpoint` (+ optional `local_config`)
     into (ASRCNN module, flax params), remapping token tables onto project
     symbol IDs when both symbol tables are given."""
-    import torch
+    from everyvoice_tpu.models.styletts2.plbert import load_torch_or_npz_state
 
-    state = torch.load(str(checkpoint_path), map_location="cpu",
-                       weights_only=False)
+    state = load_torch_or_npz_state(checkpoint_path)
     if isinstance(state, dict) and "model" in state:
         state = state["model"]
     geometry = (

@@ -199,12 +199,29 @@ class StyleTTS2PLBERTConfig(ConfigModel):
     local_config: Optional[Path] = Field(None)
 
 
+# The frozen symbol table the published StyleTTS2 pretrained components
+# (multilingual PL-BERT text encoder, ASR aligner) were trained with —
+# pad + punctuation + basic Latin + IPA, 178 rows; the index of a symbol is
+# its embedding-table row. A data table like text/arpabet.py: it is the
+# published checkpoints' contract (reference check_group.py:299-439 maps
+# user symbols into it; `check pretrained-symbols` suggests substitutions).
+PRETRAINED_SYMBOL_TABLE: List[str] = (
+    ["$"]
+    + list(';:,.!?¡¿—…"«»“” ')
+    + list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+    + list(
+        "ɑɐɒæɓʙβɔɕçɗɖðʤəɘɚɛɜɝɞɟʄɡɠɢʛɦɧħɥʜɨɪʝɭɬɫɮʟɱɯɰŋɳɲɴøɵɸθœɶʘɹɺɾɻʀʁɽʂʃʈʧ"
+        "ʉʊʋⱱʌɣɤʍχʎʏʑʐʒʔʡʕʢǀǁǂǃˈˌːˑʼʴʰʱʲʷˠˤ˞↓↑→↗↘'̩'ᵻ"
+    )
+)
+
+
 class StyleTTS2PretrainedConfig(ConfigModel):
     f0: StyleTTS2JDCConfig = Field(default_factory=StyleTTS2JDCConfig)
     asr: StyleTTS2ASRConfig = Field(default_factory=StyleTTS2ASRConfig)
     plbert: StyleTTS2PLBERTConfig = Field(default_factory=StyleTTS2PLBERTConfig)
     pretrained_symbols: List[str] = Field(
-        default_factory=list,
+        default_factory=lambda: list(PRETRAINED_SYMBOL_TABLE),
         description="The frozen text symbol table the pretrained components "
         "were trained with; user symbols must map into it "
         "(reference base_cli/check_group.py:299-439).",

@@ -232,10 +232,11 @@ def convert_torch_jdc_state(state_dict: dict) -> dict:
 
 def load_jdc_params(path) -> Tuple[JDCNet, dict]:
     """Load `pretrained.f0.local_path` (the bst.t7 checkpoint staged by
-    `everyvoice-tpu fetch-pretrained`) into (JDCNet module, params)."""
-    import torch
+    `everyvoice-tpu fetch-pretrained`, or an .npz with the same keys) into
+    (JDCNet module, params)."""
+    from everyvoice_tpu.models.styletts2.plbert import load_torch_or_npz_state
 
-    state = torch.load(str(path), map_location="cpu", weights_only=False)
+    state = load_torch_or_npz_state(path)
     params = convert_torch_jdc_state(state)
     return JDCNet(), jax.tree_util.tree_map(jnp.asarray, params)
 

@@ -41,6 +41,17 @@ def norm_loss(energy_pred, energy_target, mask):
     return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 
+def asr_s2s_loss(s2s_logits, text, mask):
+    """The reference's seq2seq TMA loss (λ_s2s): cross-entropy of the
+    pretrained ASR decoder's text predictions under teacher forcing. The
+    decoder emits N+1 steps (sos step first); step i predicts token i, and
+    the final step's EOS prediction is unsupervised (the pretrained table's
+    EOS row has no project symbol ID)."""
+    logp = jax.nn.log_softmax(s2s_logits[:, :-1], axis=-1)  # (B, N, n_token)
+    picked = jnp.take_along_axis(logp, text[..., None], axis=-1)[..., 0]
+    return -jnp.sum(picked * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
 def style_reconstruction_loss(style_pred, style_target):
     """λ_sty: L1 between diffusion-sampled and encoder-extracted styles."""
     return jnp.mean(jnp.abs(style_pred - style_target))

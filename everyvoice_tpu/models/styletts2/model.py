@@ -4,12 +4,24 @@ encoder, reference-audio style encoders, AdaIN iSTFT decoder with
 harmonic+noise source, prosody predictor, style diffusion).
 
 Pretrained-component policy: the reference downloads PL-BERT / JDC-F0 /
-ASR-aligner / WavLM from HuggingFace (`fetch-pretrained`). This environment
-has no egress, so (a) a trainable in-framework text-context encoder stands in
-for PL-BERT, (b) F0 targets come from the framework's batched F0 estimator,
-(c) alignment reuses the FastSpeech2 alignment learner, and (d) SLM-
-adversarial training activates only when local WavLM weights are supplied.
-Hooks accept local torch checkpoints for all four.
+ASR-aligner / WavLM from HuggingFace (`fetch-pretrained`,
+reference cli.py:622-644; docs/guides/styletts2.md:7-13). All four are
+consumed when their `pretrained.*.local_*` / `model.slm.model` config fields
+point at locally staged torch checkpoints:
+
+- PL-BERT (`plbert_geometry` set): a flax ALBERT (`plbert.py`) becomes the
+  text-context encoder conditioning the prosody predictor and the style
+  diffusion, fine-tuned at `optimizer.bert_lr`.
+- ASR aligner (`asr_geometry` set): a flax CNN+attention-seq2seq ASR
+  (`asr.py`) becomes the TMA aligner (its decoder attention feeds the
+  mono/s2s losses and joint durations), fine-tuned at `optimizer.ft_lr`.
+- JDC F0 (trainer-held, frozen): per-frame F0 targets from the mel.
+- WavLM (trainer-held, frozen): the SLM-adversarial discriminator backbone.
+
+Without local weights, trainable in-framework stand-ins are used: a conv
+text-context encoder for PL-BERT, the FastSpeech2 alignment learner for the
+ASR, the framework's batched F0 estimator for JDC; SLM-adversarial training
+stays off.
 """
 
 from __future__ import annotations
@@ -52,13 +64,32 @@ class StyleTTS2Module(nn.Module):
     diff_layers: int = 3
     diff_heads: int = 8
     diff_head_features: int = 64
+    # Pretrained-component geometry, as hashable tuples of (field, value)
+    # pairs (None = use the trainable in-framework stand-in). Set by the
+    # trainer when local checkpoints are staged; recorded in the checkpoint
+    # header so inference rebuilds the same module structure.
+    plbert_geometry: Optional[tuple] = None
+    asr_geometry: Optional[tuple] = None
 
     @classmethod
     def from_config(
-        cls, config: StyleTTS2Config, n_symbols: int, n_langs: int = 1
+        cls,
+        config: StyleTTS2Config,
+        n_symbols: int,
+        n_langs: int = 1,
+        plbert_geometry: Optional[dict] = None,
+        asr_geometry: Optional[dict] = None,
     ) -> "StyleTTS2Module":
         m = config.model
         return cls(
+            plbert_geometry=(
+                tuple(sorted(plbert_geometry.items()))
+                if plbert_geometry else None
+            ),
+            asr_geometry=(
+                tuple(sorted(asr_geometry.items()))
+                if asr_geometry else None
+            ),
             n_symbols=n_symbols,
             hidden_dim=m.hidden_dim,
             style_dim=m.style_dim,
@@ -83,17 +114,36 @@ class StyleTTS2Module(nn.Module):
         from everyvoice_tpu.models.fs2.alignment import AlignmentEncoder
 
         self.text_encoder = TextEncoder(self.n_symbols, self.hidden_dim)
-        # Trainable context encoder standing in for PL-BERT (see module doc).
-        self.context_encoder = TextEncoder(
-            self.n_symbols, self.hidden_dim, n_convs=2
-        )
-        # TPU-native TMA (text-mel aligner): where the reference fine-tunes a
-        # pretrained ASR's attention (styletts2 text_aligner; losses mono/s2s,
-        # schema everyvoice-text-to-wav-0.5.json lambda_mono/lambda_s2s), this
-        # learns the alignment directly with the fixed-shape soft-attention +
-        # forward-sum + Viterbi machinery shared with FastSpeech2 — no torch
-        # ASR checkpoint needed, and every DP is a lax.scan.
-        self.tma_aligner = AlignmentEncoder(dim=self.hidden_dim // 2)
+        if self.plbert_geometry is not None:
+            # Pretrained PL-BERT (ALBERT) text-context encoder — the
+            # reference's bert + bert_encoder pair (fine-tuned at bert_lr).
+            from everyvoice_tpu.models.styletts2.plbert import PLBERT
+
+            self.plbert_encoder = PLBERT(**dict(self.plbert_geometry))
+            self.plbert_proj = nn.Dense(self.hidden_dim)
+        else:
+            # Trainable context encoder standing in for PL-BERT
+            # (see module doc).
+            self.context_encoder = TextEncoder(
+                self.n_symbols, self.hidden_dim, n_convs=2
+            )
+        if self.asr_geometry is not None:
+            # Pretrained ASR text-aligner — the reference's text_aligner,
+            # whose decoder attention is the TMA source (fine-tuned at
+            # ft_lr).
+            from everyvoice_tpu.models.styletts2.asr import ASRCNN
+
+            self.text_aligner = ASRCNN(**dict(self.asr_geometry))
+        else:
+            # TPU-native TMA (text-mel aligner): where the reference
+            # fine-tunes a pretrained ASR's attention (styletts2
+            # text_aligner; losses mono/s2s, schema
+            # everyvoice-text-to-wav-0.5.json lambda_mono/lambda_s2s), this
+            # learns the alignment directly with the fixed-shape
+            # soft-attention + forward-sum + Viterbi machinery shared with
+            # FastSpeech2 — no torch ASR checkpoint needed, and every DP is
+            # a lax.scan.
+            self.tma_aligner = AlignmentEncoder(dim=self.hidden_dim // 2)
         self.acoustic_style_encoder = StyleEncoder(self.style_dim)
         self.prosodic_style_encoder = StyleEncoder(self.style_dim)
         self.predictor = ProsodyPredictor(
@@ -136,10 +186,26 @@ class StyleTTS2Module(nn.Module):
             self.prosodic_style_encoder(ref_mel),
         )
 
+    def text_context_states(self, tokens, mask, deterministic=True):
+        """(B, N, hidden) contextual text states — PL-BERT (projected) when
+        pretrained weights are wired, the conv stand-in otherwise."""
+        if self.plbert_geometry is not None:
+            return self.plbert_proj(self.plbert_encoder(tokens, mask))
+        return self.context_encoder(tokens, mask, deterministic)
+
     def text_context_embedding(self, tokens, mask, deterministic=True):
-        ctx = self.context_encoder(tokens, mask, deterministic)
+        ctx = self.text_context_states(tokens, mask, deterministic)
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
         return jnp.sum(ctx * mask[..., None], axis=1) / denom
+
+    def prosody_encoding(self, tokens, mask, text_enc, deterministic=True):
+        """The prosody predictor's text input: with PL-BERT wired, the
+        projected PL-BERT states (the reference predictor consumes
+        bert_encoder(bert(texts)), not the acoustic text encoder); without
+        it, the acoustic text encoding."""
+        if self.plbert_geometry is not None:
+            return self.text_context_states(tokens, mask, deterministic)
+        return text_enc
 
     def denoise_style(self, noisy, sigma, text_embedding):
         return self.denoiser(noisy, sigma, text_embedding)
@@ -151,12 +217,46 @@ class StyleTTS2Module(nn.Module):
         self, tokens, text_lengths, mel, mel_lengths,
         language_id=None, deterministic=True,
     ):
-        """Soft + log attention (B, T_mel, N_text) between text and mel —
-        the TMA path feeding the mono/s2s losses and joint durations."""
+        """TMA attention between text and mel: (attn_soft, attn_logprob) of
+        shape (B, T_mel, N_text) plus an aux dict — with the pretrained ASR
+        wired, aux carries its seq2seq logits (B, N+1, n_token) for the
+        reference's s2s CE loss; without it, aux is empty and the losses use
+        the forward-sum alignment likelihood instead."""
         mask = lengths_to_mask(text_lengths, tokens.shape[1])
         mel_mask = lengths_to_mask(mel_lengths, mel.shape[1])
-        text_enc = self.encode_text(tokens, mask, language_id, deterministic)
-        return self.tma_aligner(text_enc, mel, mask, mel_mask)
+        if self.asr_geometry is not None:
+            text_enc = None
+        else:
+            text_enc = self.encode_text(
+                tokens, mask, language_id, deterministic
+            )
+        return self._tma(
+            text_enc, tokens, mel, mel_lengths, mask, mel_mask, deterministic
+        )
+
+    def _tma(self, text_enc, tokens, mel, mel_lengths, mask, mel_mask,
+             deterministic):
+        if self.asr_geometry is not None:
+            from everyvoice_tpu.models.styletts2.asr import (
+                asr_attention_to_tma,
+            )
+            from everyvoice_tpu.models.styletts2.jdc import (
+                REFERENCE_MEL_MEAN,
+                REFERENCE_MEL_STD,
+            )
+
+            normalized = (mel - REFERENCE_MEL_MEAN) / REFERENCE_MEL_STD
+            _, s2s_logits, attn = self.text_aligner(
+                normalized, mel_lengths, tokens, deterministic
+            )
+            attn_soft, attn_logprob = asr_attention_to_tma(
+                attn, mel.shape[1], mask, mel_mask
+            )
+            return attn_soft, attn_logprob, {"s2s_logits": s2s_logits}
+        attn_soft, attn_logprob = self.tma_aligner(
+            text_enc, mel, mask, mel_mask
+        )
+        return attn_soft, attn_logprob, {}
 
     def decode(
         self, frames, f0_frames, energy_frames, acoustic_style, noise_key=None
@@ -185,14 +285,17 @@ class StyleTTS2Module(nn.Module):
         # TMA attention over the reference mel (also guarantees the aligner
         # parameters exist from init).
         if mel_lengths is None:
-            mel_mask = jnp.ones(ref_mel.shape[:2], bool)
-        else:
-            mel_mask = lengths_to_mask(mel_lengths, ref_mel.shape[1])
-        attn_soft, attn_logprob = self.tma_aligner(
-            text_enc, ref_mel, mask, mel_mask
+            mel_lengths = jnp.full(
+                (tokens.shape[0],), ref_mel.shape[1], jnp.int32
+            )
+        mel_mask = lengths_to_mask(mel_lengths, ref_mel.shape[1])
+        attn_soft, attn_logprob, _ = self._tma(
+            text_enc, tokens, ref_mel, mel_lengths, mask, mel_mask,
+            deterministic,
         )
         dur_logits, f0_pred, energy_pred = self.predict_prosody(
-            text_enc, prosodic_style, mask, deterministic
+            self.prosody_encoding(tokens, mask, text_enc, deterministic),
+            prosodic_style, mask, deterministic,
         )
         # The context embedding and denoiser also run here (they're needed by
         # the stage-2 losses), which guarantees their parameters exist from

@@ -136,6 +136,19 @@ def _t(x) -> np.ndarray:
     return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
 
+def load_torch_or_npz_state(path) -> dict:
+    """Load a flat {torch state_dict key: array} mapping from either a torch
+    checkpoint (needs torch installed) or an `.npz` archive with the same
+    keys (torch-free staging for converted/stripped checkpoints)."""
+    path = Path(path)
+    if path.suffix == ".npz":
+        with np.load(str(path)) as archive:
+            return {key: archive[key] for key in archive.files}
+    import torch
+
+    return torch.load(str(path), map_location="cpu", weights_only=False)
+
+
 def strip_plbert_training_prefixes(state_dict: dict) -> dict:
     """PL-BERT `step_*.t7` checkpoints store {'net': state} where keys are
     `module.encoder.<albert key>` (DataParallel wrapper + the training
@@ -271,10 +284,7 @@ def load_plbert_params(
     AlbertModel state dict) into (PLBERT module, flax params). When both
     symbol tables are given, the embedding table is remapped onto project
     symbol IDs and the module vocab becomes len(project_symbols)."""
-    import torch
-
-    state = torch.load(str(checkpoint_path), map_location="cpu",
-                       weights_only=False)
+    state = load_torch_or_npz_state(checkpoint_path)
     geometry = (
         geometry_from_config_yml(config_path)
         if config_path is not None

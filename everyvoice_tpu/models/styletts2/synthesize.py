@@ -30,9 +30,15 @@ def load_styletts2_model(ckpt_path: Path | str):
         config.text,
         target_text_representation_level=config.model.target_text_representation_level,
     )
+    # Rebuild the exact module structure the weights were trained with:
+    # the trainer records pretrained-component geometry (PL-BERT / ASR
+    # aligner submodules) in the checkpoint header.
+    components = ckpt.get("pretrained_components") or {}
     model = StyleTTS2Module.from_config(
         config, n_symbols=len(text_processor.symbols),
         n_langs=max(len(hp.get("lang2id", {})), 1),
+        plbert_geometry=components.get("plbert"),
+        asr_geometry=components.get("asr"),
     )
     params = ckpt["state_dict"].get("generator", ckpt["state_dict"])
     # Device-resident once at load (host numpy params would re-upload the
@@ -101,8 +107,14 @@ def _jitted_pipeline(model, n_text: int, steps: int,
             prosodic = blends[1] * prosodic + (1 - blends[1]) * ref_prosodic
 
         text_enc = model.apply(params, tokens, mask, method="encode_text")
+        # With PL-BERT wired, the prosody predictor consumes the PL-BERT
+        # context states (the reference's bert_dur path); otherwise the
+        # acoustic text encoding.
+        pros_enc = model.apply(
+            params, tokens, mask, text_enc, method="prosody_encoding"
+        )
         dur_logits, f0_tok, energy_tok = model.apply(
-            params, text_enc, prosodic, mask, method="predict_prosody"
+            params, pros_enc, prosodic, mask, method="predict_prosody"
         )
         durations = jnp.clip(jnp.argmax(dur_logits, axis=-1), 1, model.max_dur)
         durations = jnp.where(mask, durations, 0)

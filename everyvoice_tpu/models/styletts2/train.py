@@ -24,9 +24,12 @@ import optax
 
 from everyvoice_tpu.logger import logger
 from everyvoice_tpu.parallel.mesh import (
+    pad_batch_for_eval,
     pad_batch_to_devices,
     replicate_tree,
     shard_batch,
+    shard_stacked_batch,
+    stack_batches,
 )
 from everyvoice_tpu.train.loop import TrainerBase
 
@@ -48,10 +51,20 @@ class StyleTTS2Trainer(TrainerBase):
         self.dataset = dataset
         self.val_dataset = val_dataset
         self.lang2id = lang2id or {}
+        (
+            self.plbert_geometry,
+            self.asr_geometry,
+            self._plbert_pretrained,
+            self._asr_pretrained,
+            self.jdc_module,
+            self.jdc_params,
+        ) = self._load_pretrained_components()
         self.model = StyleTTS2Module.from_config(
             config,
             n_symbols=dataset.n_symbols,
             n_langs=max(len(self.lang2id), 1),
+            plbert_geometry=self.plbert_geometry,
+            asr_geometry=self.asr_geometry,
         )
         self.mpd = MultiPeriodDiscriminator(
             periods=tuple(config.model.decoder.mpd_layers)
@@ -79,8 +92,7 @@ class StyleTTS2Trainer(TrainerBase):
             )
         opt = config.training.optimizer
 
-        def _opt():
-            base = optax.adamw(opt.lr)
+        def _clip(base):
             if gradient_clip_val is not None and gradient_clip_val > 0:
                 # Reference parity: Trainer(gradient_clip_val=...) global-norm
                 # clipping (base_cli/helpers.py:193,269).
@@ -89,10 +101,136 @@ class StyleTTS2Trainer(TrainerBase):
                 )
             return base
 
-        self.gen_opt = _opt()
-        self.disc_opt = _opt()
+        if self._plbert_pretrained is not None or self._asr_pretrained is not None:
+            # Pretrained components fine-tune at their own learning rates
+            # (schema StyleTTS2OptimizerConfig: bert_lr for PL-BERT, ft_lr
+            # for the fine-tuned aligner), everything else at `lr`.
+            pretrained_labels = {}
+            if self._plbert_pretrained is not None:
+                pretrained_labels["plbert_encoder"] = "bert"
+            if self._asr_pretrained is not None:
+                pretrained_labels["text_aligner"] = "ft"
+
+            def label_tree(tree):
+                def label(path, _):
+                    for entry in path:
+                        key = getattr(entry, "key", None)
+                        if key in pretrained_labels:
+                            return pretrained_labels[key]
+                    return "base"
+
+                return jax.tree_util.tree_map_with_path(label, tree)
+
+            self.gen_opt = _clip(
+                optax.multi_transform(
+                    {
+                        "base": optax.adamw(opt.lr),
+                        "bert": optax.adamw(opt.bert_lr),
+                        "ft": optax.adamw(opt.ft_lr),
+                    },
+                    label_tree,
+                )
+            )
+        else:
+            self.gen_opt = _clip(optax.adamw(opt.lr))
+        self.disc_opt = _clip(optax.adamw(opt.lr))
         self.losses_cfg = config.training.losses
         self._train_step = None
+
+    def _load_pretrained_components(self):
+        """Stage the fetched pretrained components (config `pretrained.*`,
+        reference docs/guides/styletts2.md:7-13): PL-BERT and the ASR
+        aligner return (geometry, converted flax params) for grafting into
+        the generator tree; JDC returns a frozen (module, params) pair held
+        by the trainer. Symbol-table remapping uses the frozen
+        `pretrained.pretrained_symbols` table (reference
+        check_group.py:299-439)."""
+        pre = self.config.pretrained
+        project_symbols = list(self.dataset.text_processor.symbols)
+        pretrained_symbols = list(pre.pretrained_symbols)
+
+        def _present(path, what):
+            if path is None:
+                return False
+            if Path(path).exists():
+                return True
+            logger.warning(
+                f"pretrained.{what} is set to {path} but no such file "
+                "exists — using the trainable in-framework stand-in. Run "
+                "`everyvoice-tpu fetch-pretrained text-to-wav` to stage it."
+            )
+            return False
+
+        jdc_module = jdc_params = None
+        if _present(pre.f0.local_path, "f0.local_path"):
+            from everyvoice_tpu.models.styletts2.jdc import load_jdc_params
+
+            jdc_module, jdc_params = load_jdc_params(pre.f0.local_path)
+            logger.info(
+                f"Loaded pretrained JDC F0 network from {pre.f0.local_path} "
+                "(frozen; F0 targets now come from it)."
+            )
+        plbert_geometry = plbert_params = None
+        if _present(pre.plbert.local_checkpoint, "plbert.local_checkpoint"):
+            from everyvoice_tpu.models.styletts2.plbert import (
+                load_plbert_params,
+            )
+
+            module, plbert_params = load_plbert_params(
+                pre.plbert.local_checkpoint,
+                config_path=(
+                    pre.plbert.local_config
+                    if pre.plbert.local_config
+                    and Path(pre.plbert.local_config).exists()
+                    else None
+                ),
+                project_symbols=project_symbols,
+                pretrained_symbols=pretrained_symbols,
+            )
+            plbert_geometry = {
+                field: getattr(module, field)
+                for field in (
+                    "vocab_size", "hidden_size", "num_layers", "num_heads",
+                    "intermediate_size", "embedding_size",
+                    "max_position_embeddings",
+                )
+            }
+            logger.info(
+                "Loaded pretrained PL-BERT from "
+                f"{pre.plbert.local_checkpoint} (text-context encoder; "
+                f"fine-tuning at bert_lr={self.config.training.optimizer.bert_lr})."
+            )
+        asr_geometry = asr_params = None
+        if _present(pre.asr.local_checkpoint, "asr.local_checkpoint"):
+            from everyvoice_tpu.models.styletts2.asr import load_asr_params
+
+            module, asr_params = load_asr_params(
+                pre.asr.local_checkpoint,
+                config_path=(
+                    pre.asr.local_config
+                    if pre.asr.local_config
+                    and Path(pre.asr.local_config).exists()
+                    else None
+                ),
+                project_symbols=project_symbols,
+                pretrained_symbols=pretrained_symbols,
+            )
+            asr_geometry = {
+                field: getattr(module, field)
+                for field in (
+                    "n_token", "input_dim", "hidden_dim", "n_layers",
+                    "token_embedding_dim",
+                )
+            }
+            logger.info(
+                "Loaded pretrained ASR text-aligner from "
+                f"{pre.asr.local_checkpoint} (TMA aligner; fine-tuning at "
+                f"ft_lr={self.config.training.optimizer.ft_lr})."
+            )
+        return (
+            plbert_geometry, asr_geometry, plbert_params, asr_params,
+            jdc_module, jdc_params,
+        )
 
     def build_steps(self):
         from everyvoice_tpu.dsp import get_spectral_transform
@@ -107,9 +245,11 @@ class StyleTTS2Trainer(TrainerBase):
             durations_from_hard_attention,
             forward_sum_loss,
             phone_average,
+            phone_average_by_durations,
             viterbi_alignment,
         )
         from everyvoice_tpu.models.styletts2.loss import (
+            asr_s2s_loss,
             diffusion_edm_loss,
             duration_ce_loss,
             duration_l1_loss,
@@ -197,6 +337,27 @@ class StyleTTS2Trainer(TrainerBase):
         else:
             synthesize_ood = None
 
+        jdc_on = self.jdc_module is not None
+        asr_on = self._asr_pretrained is not None
+        if jdc_on:
+            from everyvoice_tpu.models.styletts2.jdc import jdc_f0
+
+            jdc_module, jdc_params = self.jdc_module, self.jdc_params
+
+        def target_f0_frames(batch):
+            """Frame-level F0 targets: the frozen pretrained JDC network on
+            the mel (reference pitch_extractor) when staged, the
+            preprocessor's batched estimator otherwise."""
+            if not jdc_on:
+                return batch["f0_frames"]
+            f0 = jax.lax.stop_gradient(
+                jdc_f0(jdc_module, jdc_params, batch["mel"])
+            )
+            mel_valid = jnp.arange(batch["mel"].shape[1])[None, :] < (
+                batch["mel_lengths"][:, None]
+            )
+            return jnp.where(mel_valid, f0, 0.0)
+
         def tma_durations(attn_logprob, batch):
             """Monotonic (Viterbi) durations from the aligner attention —
             used as joint targets once the TMA phase begins."""
@@ -206,76 +367,101 @@ class StyleTTS2Trainer(TrainerBase):
             )
             return hard, durations_from_hard_attention(hard)
 
-        def alignment_targets(gen_params, batch, phase):
+        def alignment_targets(gen_params, batch, tma_active):
             """Gradient-free duration and token-prosody targets, computed
-            ONCE per step and shared by both loss functions: after
-            tma_epoch the Viterbi durations replace teacher durations, and
-            f0/energy token targets are re-averaged over the SAME hard
+            ONCE per step and shared by both loss functions. `tma_active`
+            is STATIC (one recompile at tma_epoch): the aligner forward is
+            only traced when its output is used — after tma_epoch, or from
+            epoch 0 when the pretrained ASR aligner is staged (whose
+            attention is usable immediately, the reason the reference ships
+            it). When active, Viterbi durations replace teacher durations
+            and f0/energy token targets are re-averaged over the SAME hard
             alignment (the dataloader's token averages were computed over
             the stale teacher/uniform durations)."""
-            _, attn_logprob = model.apply(
-                jax.lax.stop_gradient(gen_params),
-                batch["text"], batch["text_lengths"], batch["mel"],
-                batch["mel_lengths"],
-                language_id=batch.get("language_id"),
-                deterministic=True,
-                method="align_text_mel",
-            )
-            hard, aligned = tma_durations(attn_logprob, batch)
-            tma_on = phase[0] > 0.5
+            f0_frames = target_f0_frames(batch)
+            if tma_active or asr_on:
+                _, attn_logprob, _ = model.apply(
+                    jax.lax.stop_gradient(gen_params),
+                    batch["text"], batch["text_lengths"], batch["mel"],
+                    batch["mel_lengths"],
+                    language_id=batch.get("language_id"),
+                    deterministic=True,
+                    method="align_text_mel",
+                )
+                hard, aligned = tma_durations(attn_logprob, batch)
+                return {
+                    "durations": aligned,
+                    "f0_tokens": phone_average(f0_frames, hard),
+                    "energy_tokens": phone_average(
+                        batch["energy_frames"], hard
+                    ),
+                    "f0_frames": f0_frames,
+                }
             return {
-                "durations": jnp.where(tma_on, aligned, batch["durations"]),
-                "f0_tokens": jnp.where(
-                    tma_on,
-                    phone_average(batch["f0_frames"], hard),
-                    batch["f0_tokens"],
+                "durations": batch["durations"],
+                "f0_tokens": (
+                    phone_average_by_durations(f0_frames, batch["durations"])
+                    if jdc_on
+                    else batch["f0_tokens"]
                 ),
-                "energy_tokens": jnp.where(
-                    tma_on,
-                    phone_average(batch["energy_frames"], hard),
-                    batch["energy_tokens"],
-                ),
+                "energy_tokens": batch["energy_tokens"],
+                "f0_frames": f0_frames,
             }
 
         def gen_loss_fn(gen_params, disc_params, batch, rng, slm_params,
-                        phase, targets, ood_active):
-            # phase = [tma_on, diff_on, joint_on] as 0/1 floats — dynamic so
-            # epoch transitions never trigger a recompile.
-            tma_on, diff_on, joint_on = phase[0], phase[1], phase[2]
+                        phase, targets, ood_active, tma_active):
+            # phase = [tma_on, diff_on, joint_on] as 0/1 floats; diff/joint
+            # stay dynamic, tma_active is STATIC so the pre-tma_epoch steps
+            # never even trace the gradient-carrying aligner pass
+            # (reference: TMA losses phase in at tma_epoch).
+            diff_on, joint_on = phase[1], phase[2]
             rng_noise, rng_diff, rng_drop, rng_ood = jax.random.split(rng, 4)
-            # The TMA attention with gradients (for the mono/s2s losses);
-            # duration/prosody TARGETS come pre-computed in `targets`.
-            attn_soft, attn_logprob = align_rm(
-                gen_params,
-                batch["text"], batch["text_lengths"], batch["mel"],
-                batch["mel_lengths"], batch.get("language_id"), rng_drop,
+            src_mask = jnp.arange(batch["text"].shape[1])[None, :] < (
+                batch["text_lengths"][:, None]
             )
-            attn_hard, _ = tma_durations(attn_logprob, batch)
+            losses = {}
+            if tma_active:
+                # The TMA attention with gradients (for the mono/s2s
+                # losses); duration/prosody TARGETS come pre-computed in
+                # `targets`.
+                attn_soft, attn_logprob, attn_aux = align_rm(
+                    gen_params,
+                    batch["text"], batch["text_lengths"], batch["mel"],
+                    batch["mel_lengths"], batch.get("language_id"), rng_drop,
+                )
+                attn_hard, _ = tma_durations(attn_logprob, batch)
+                # TMA losses (schema lambda_s2s / lambda_mono). With the
+                # pretrained ASR aligner, s2s is the reference's seq2seq CE
+                # on the ASR decoder's text predictions; with the
+                # in-framework aligner, forward-sum is the
+                # alignment-likelihood analog. Binarization against the
+                # Viterbi path is the monotonicity term in both cases.
+                if "s2s_logits" in attn_aux:
+                    losses["s2s"] = asr_s2s_loss(
+                        attn_aux["s2s_logits"], batch["text"], src_mask
+                    )
+                else:
+                    losses["s2s"] = forward_sum_loss(
+                        attn_logprob, batch["text_lengths"],
+                        batch["mel_lengths"],
+                    )
+                losses["mono"] = binarization_loss(attn_soft, attn_hard)
+            else:
+                losses["s2s"] = jnp.asarray(0.0)
+                losses["mono"] = jnp.asarray(0.0)
             dur_targets = targets["durations"]
             out = decode_rm(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
                 batch["mel_lengths"], dur_targets,
-                batch["f0_frames"], batch["energy_frames"],
+                targets["f0_frames"], batch["energy_frames"],
                 batch.get("language_id"), rng_noise, rng_drop,
             )
             wav_fake = out["wav"]
             wav_real = batch["audio"][:, : wav_fake.shape[1]]
-            losses = {}
             mel_fake = dynamic_range_compression(mel_fn(wav_fake))
             mel_real = dynamic_range_compression(mel_fn(wav_real))
             losses["mel"] = jnp.mean(jnp.abs(mel_fake - mel_real))
-            src_mask = jnp.arange(batch["text"].shape[1])[None, :] < (
-                batch["text_lengths"][:, None]
-            )
-            # TMA losses (schema lambda_s2s / lambda_mono): forward-sum is
-            # the alignment-likelihood analog of the reference's seq2seq ASR
-            # CE; binarization against the Viterbi path is the monotonicity
-            # term.
-            losses["s2s"] = forward_sum_loss(
-                attn_logprob, batch["text_lengths"], batch["mel_lengths"]
-            )
-            losses["mono"] = binarization_loss(attn_soft, attn_hard)
             losses["ce"] = duration_ce_loss(
                 out["duration_logits"], dur_targets, src_mask, max_dur
             )
@@ -374,7 +560,7 @@ class StyleTTS2Trainer(TrainerBase):
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
                 batch["mel_lengths"], dur_used,
-                batch["f0_frames"], batch["energy_frames"],
+                targets["f0_frames"], batch["energy_frames"],
                 batch.get("language_id"), rng_noise, rng_drop,
             )
             wav_fake = jax.lax.stop_gradient(out["wav"])
@@ -418,12 +604,10 @@ class StyleTTS2Trainer(TrainerBase):
         # Donating the old params/opt-state buffers lets XLA write the
         # updated ones in place — without it the step holds two full copies
         # of each (the last ~134 MB that kept batch 8 from fitting on v5e).
-        @partial(jax.jit, static_argnames=("ood_active",),
-                 donate_argnums=(0, 1, 2, 3))
-        def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
-                       batch, rng, slm_params, phase, ood_active=False):
+        def step_body(gen_params, disc_params, gen_opt_state, disc_opt_state,
+                      batch, rng, slm_params, phase, ood_active, tma_active):
             rng, rng_d, rng_g = jax.random.split(rng, 3)
-            targets = alignment_targets(gen_params, batch, phase)
+            targets = alignment_targets(gen_params, batch, tma_active)
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
             )(disc_params, gen_params, batch, rng_d, slm_params, phase,
@@ -435,7 +619,7 @@ class StyleTTS2Trainer(TrainerBase):
             (g_loss, g_metrics), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True
             )(gen_params, disc_params, batch, rng_g, slm_params, phase,
-              targets, ood_active)
+              targets, ood_active, tma_active)
             g_updates, gen_opt_state = gen_opt.update(
                 g_grads, gen_opt_state, gen_params
             )
@@ -444,16 +628,69 @@ class StyleTTS2Trainer(TrainerBase):
             return (gen_params, disc_params, gen_opt_state, disc_opt_state,
                     metrics, rng)
 
+        # Donating the old params/opt-state buffers lets XLA write the
+        # updated ones in place — without it the step holds two full copies
+        # of each (the last ~134 MB that kept batch 8 from fitting on v5e).
+        @partial(jax.jit, static_argnames=("ood_active", "tma_active"),
+                 donate_argnums=(0, 1, 2, 3))
+        def train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
+                       batch, rng, slm_params, phase, ood_active=False,
+                       tma_active=True):
+            return step_body(
+                gen_params, disc_params, gen_opt_state, disc_opt_state,
+                batch, rng, slm_params, phase, ood_active, tma_active,
+            )
+
         self._train_step = train_step
+
+        # Multi-step dispatch (--steps-per-execution): lax.scan over a
+        # (steps, batch, ...) stacked super-batch — one host dispatch for N
+        # optimizer steps, like HiFiGAN's multi_train_step. The per-epoch
+        # phase/ood/tma flags are constants across a scan group because
+        # groups never span epochs.
+        @partial(jax.jit, static_argnames=("ood_active", "tma_active"),
+                 donate_argnums=(0, 1, 2, 3))
+        def multi_train_step(gen_params, disc_params, gen_opt_state,
+                             disc_opt_state, batches, rng, slm_params, phase,
+                             ood_active=False, tma_active=True):
+            def body(carry, batch):
+                gp, dp, gos, dos, rng_c = carry
+                gp, dp, gos, dos, metrics, rng_c = step_body(
+                    gp, dp, gos, dos, batch, rng_c, slm_params, phase,
+                    ood_active, tma_active,
+                )
+                return (gp, dp, gos, dos, rng_c), metrics
+
+            (gen_params, disc_params, gen_opt_state, disc_opt_state, rng), \
+                metrics = jax.lax.scan(
+                    body,
+                    (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                     rng),
+                    batches,
+                )
+            last = jax.tree.map(lambda m: m[-1], metrics)
+            return (gen_params, disc_params, gen_opt_state, disc_opt_state,
+                    last, rng)
+
+        self._multi_train_step = multi_train_step
 
         @jax.jit
         def val_step(gen_params, batch):
-            """Held-out reconstruction metrics, deterministic forward."""
+            """Held-out reconstruction metrics, deterministic forward.
+            Prosody targets come from the same source as training (JDC F0
+            when staged) so the monitored loss ranks checkpoints against
+            consistent targets."""
+            f0_frames = target_f0_frames(batch)
+            f0_tokens = (
+                phone_average_by_durations(f0_frames, batch["durations"])
+                if jdc_on
+                else batch["f0_tokens"]
+            )
             out = model.apply(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
                 durations=batch["durations"],
-                f0_frames=batch["f0_frames"],
+                f0_frames=f0_frames,
                 energy_frames=batch["energy_frames"],
                 mel_lengths=batch["mel_lengths"],
                 deterministic=True,
@@ -465,8 +702,19 @@ class StyleTTS2Trainer(TrainerBase):
             src_mask = jnp.arange(batch["text"].shape[1])[None, :] < (
                 batch["text_lengths"][:, None]
             )
+            row_weights = batch.get("row_weights")
+            if row_weights is not None:
+                # Weight out pad-duplicated rows (pad_batch_for_eval): the
+                # 0/1 weights zero the token masks and the mel term.
+                src_mask = src_mask & (row_weights > 0.5)[:, None]
+                mel_per_row = jnp.mean(jnp.abs(mel_fake - mel_real), axis=(1, 2))
+                mel_loss = jnp.sum(mel_per_row * row_weights) / jnp.maximum(
+                    jnp.sum(row_weights), 1.0
+                )
+            else:
+                mel_loss = jnp.mean(jnp.abs(mel_fake - mel_real))
             losses = {
-                "mel": jnp.mean(jnp.abs(mel_fake - mel_real)),
+                "mel": mel_loss,
                 "ce": duration_ce_loss(
                     out["duration_logits"], batch["durations"], src_mask,
                     max_dur,
@@ -475,7 +723,7 @@ class StyleTTS2Trainer(TrainerBase):
                     out["duration_logits"], batch["durations"], src_mask
                 ),
                 "f0": f0_loss(
-                    out["f0_prediction"], batch["f0_tokens"], src_mask
+                    out["f0_prediction"], f0_tokens, src_mask
                 ),
                 "norm": norm_loss(
                     out["energy_prediction"], batch["energy_tokens"], src_mask
@@ -571,25 +819,62 @@ class StyleTTS2Trainer(TrainerBase):
     def validate(self, gen_params, max_batches: int = 8) -> dict:
         t = self.training_config
         totals: dict = {}
+        rows = 0
         count = 0
+        batch_size = max(t.batch_size, self.n_devices, 1)
         for host_batch in self.val_dataset.batches(
-            t.batch_size, shuffle=False, drop_last=False
+            batch_size, shuffle=False, drop_last=False
         ):
             host_batch.pop("basenames", None)
-            host_batch = pad_batch_to_devices(host_batch, self.n_devices)
+            # Full-batch-size padding keeps one eval compile shape; pad rows
+            # are 0-weighted in the losses and in this aggregation.
+            host_batch, n_true = pad_batch_for_eval(
+                host_batch, self.n_devices, batch_size
+            )
             losses = jax.device_get(
                 self._val_step(gen_params, shard_batch(host_batch, self.mesh))
             )
             for key, value in losses.items():
-                totals[key] = totals.get(key, 0.0) + float(value)
+                totals[key] = totals.get(key, 0.0) + float(value) * n_true
+            rows += n_true
             count += 1
             if count >= max_batches:
                 break
-        if count == 0:
+        if rows == 0:
             return {}
-        return {f"validation/{k}": v / count for k, v in totals.items()}
+        return {f"validation/{k}": v / rows for k, v in totals.items()}
+
+    def _graft_pretrained(self, gen_params, name, pretrained, what):
+        """Replace the freshly initialized `params/<name>` subtree with the
+        converted pretrained weights, verifying tree structure and shapes
+        (a mismatch means the staged checkpoint's geometry disagrees with
+        the module the config built)."""
+        params = gen_params["params"]
+        if name not in params:
+            raise ValueError(
+                f"Model has no '{name}' subtree to graft {what} into — "
+                "the module was built without it."
+            )
+        fresh_leaves = jax.tree.leaves(params[name])
+        pre_leaves = jax.tree.leaves(pretrained)
+        if jax.tree.structure(params[name]) != jax.tree.structure(pretrained):
+            raise ValueError(
+                f"The converted {what} parameter tree does not match the "
+                f"model's '{name}' structure — check the staged checkpoint "
+                "and its config.yml."
+            )
+        for fresh, pre in zip(fresh_leaves, pre_leaves):
+            if fresh.shape != pre.shape:
+                raise ValueError(
+                    f"Shape mismatch grafting {what}: expected "
+                    f"{fresh.shape}, checkpoint has {pre.shape}."
+                )
+        params[name] = jax.tree.map(jnp.asarray, pretrained)
+        return gen_params
 
     def init_params(self, example_batch, rng=None):
+        from flax.core import unfreeze
+
         rng = rng or jax.random.PRNGKey(0)
         gen_params = jax.jit(
             self.model.init, static_argnames=("deterministic",)
@@ -603,6 +888,17 @@ class StyleTTS2Trainer(TrainerBase):
             energy_frames=jnp.asarray(example_batch["energy_frames"]),
             deterministic=False,
         )
+        gen_params = unfreeze(gen_params)
+        if self._plbert_pretrained is not None:
+            gen_params = self._graft_pretrained(
+                gen_params, "plbert_encoder", self._plbert_pretrained,
+                "PL-BERT",
+            )
+        if self._asr_pretrained is not None:
+            gen_params = self._graft_pretrained(
+                gen_params, "text_aligner", self._asr_pretrained,
+                "the ASR aligner",
+            )
         wav = jnp.zeros((2, 4096))
         disc_params = {
             "mpd": jax.jit(self.mpd.init)(rng, wav),
@@ -615,17 +911,24 @@ class StyleTTS2Trainer(TrainerBase):
             )
         return gen_params, disc_params
 
+    def _ckpt_extra(self) -> dict:
+        """Checkpoint header extras: the stage tag plus the pretrained-
+        component geometry, so inference rebuilds the exact module
+        structure (plbert/asr submodules) the weights were trained with."""
+        return {
+            "stage": self.mode,
+            "pretrained_components": {
+                "plbert": self.plbert_geometry,
+                "asr": self.asr_geometry,
+            },
+        }
+
     def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
             profile_steps: int = 0, steps_per_execution: int = 1):
-        if steps_per_execution > 1:
-            logger.warning(
-                "StyleTTS2 training does not support multi-step dispatch "
-                "(two optimizers + per-epoch phase flags); running with "
-                "steps_per_execution=1."
-            )
         t = self.training_config
         max_steps = max_steps if max_steps is not None else t.max_steps
         max_epochs = t.epochs_1st if self.mode == "first" else t.epochs_2nd
+        spe = max(int(steps_per_execution), 1)
         self.build_steps()
         try:
             example = next(self.dataset.batches(t.batch_size, shuffle=False))
@@ -636,7 +939,19 @@ class StyleTTS2Trainer(TrainerBase):
             ) from None
         example.pop("basenames", None)
         gen_params, disc_params = self.init_params(example)
-        if self.mode == "second":
+        # Three-way resume within a stage (reference
+        # base_cli/helpers.py:278-375): training.finetune_checkpoint resumes
+        # weights (+ optimizer state and step/epoch counters when the config
+        # allows). It takes precedence over the stage-1 pickup — a stage-2
+        # resume checkpoint already contains the stage-1 weights it grew
+        # from.
+        state, opt_restore = self.load_finetune_checkpoint(
+            {"generator": gen_params, "discriminators": disc_params}
+        )
+        gen_params = state.get("generator", gen_params)
+        disc_params = state.get("discriminators", disc_params)
+        resumed = t.finetune_checkpoint is not None
+        if self.mode == "second" and not resumed:
             first_stage = Path(t.first_stage_path)
             if first_stage.exists():
                 from everyvoice_tpu.train.checkpoint import load_checkpoint
@@ -652,27 +967,41 @@ class StyleTTS2Trainer(TrainerBase):
                     f"Stage-1 checkpoint {first_stage} not found; "
                     "training stage 2 from scratch."
                 )
+        gen_opt_state = self.gen_opt.init(gen_params)
+        disc_opt_state = self.disc_opt.init(disc_params)
+        if opt_restore is not None:
+            from flax import serialization
+
+            if opt_restore.get("gen") is not None:
+                gen_opt_state = serialization.from_state_dict(
+                    gen_opt_state, opt_restore["gen"]
+                )
+            if opt_restore.get("disc") is not None:
+                disc_opt_state = serialization.from_state_dict(
+                    disc_opt_state, opt_restore["disc"]
+                )
         if self.fsdp:
             from everyvoice_tpu.parallel import (
-                fresh_sharded_opt_state,
+                shard_opt_state_like,
                 shard_params,
             )
 
             gen_params = shard_params(gen_params, self.mesh, fsdp=True)
             disc_params = shard_params(disc_params, self.mesh, fsdp=True)
-            # Optimizer states are always fresh here — init directly on the
-            # sharded params (no full-state host round trip).
-            gen_opt_state = fresh_sharded_opt_state(
-                self.gen_opt.init, gen_params
+            # The opt states may carry restored resume values, so transfer
+            # them into the sharded layouts rather than re-initializing.
+            gen_opt_state = shard_opt_state_like(
+                jax.device_get(gen_opt_state), self.gen_opt.init, gen_params
             )
-            disc_opt_state = fresh_sharded_opt_state(
-                self.disc_opt.init, disc_params
+            disc_opt_state = shard_opt_state_like(
+                jax.device_get(disc_opt_state), self.disc_opt.init,
+                disc_params,
             )
         else:
             gen_params = replicate_tree(gen_params, self.mesh)
             disc_params = replicate_tree(disc_params, self.mesh)
-            gen_opt_state = replicate_tree(self.gen_opt.init(gen_params), self.mesh)
-            disc_opt_state = replicate_tree(self.disc_opt.init(disc_params), self.mesh)
+            gen_opt_state = replicate_tree(gen_opt_state, self.mesh)
+            disc_opt_state = replicate_tree(disc_opt_state, self.mesh)
         slm_params = (
             replicate_tree(self.slm_params, self.mesh)
             if self.slm_params is not None
@@ -685,39 +1014,61 @@ class StyleTTS2Trainer(TrainerBase):
         val_metrics: dict = {}
         metrics: dict = {}
         dispatches = 0
+        checkpointed_at = -1
         while not stop and self.epoch < max_epochs:
             steps_at_epoch_start = self.global_step
             phase = self.phase_weights(self.epoch)
-            # Static per-epoch flag: OOD slmadv synthesis is only traced
-            # (and paid) from joint_epoch on — one extra compile at the
-            # phase boundary instead of dead compute every earlier step.
+            # Static per-epoch flags — one recompile at each phase boundary
+            # instead of dead compute every earlier step: OOD slmadv
+            # synthesis is only traced from joint_epoch on, and the
+            # gradient-carrying TMA aligner pass + mono/s2s losses only from
+            # tma_epoch on (always on in stage 2).
             ood_active = (
                 self.mode == "second"
                 and self.epoch >= t.losses.joint_epoch
             )
+            tma_active = (
+                self.mode == "second"
+                or self.epoch >= t.losses.tma_epoch
+            )
             from everyvoice_tpu.dataloader.prefetch import prefetch
 
             def device_batches():
+                group: list = []
                 for host_batch in self.dataset.batches(
                     t.batch_size, shuffle=True, seed=self.epoch, drop_last=True
                 ):
                     host_batch.pop("basenames", None)
                     host_batch = pad_batch_to_devices(host_batch, self.n_devices)
-                    yield shard_batch(host_batch, self.mesh)
+                    if spe <= 1:
+                        yield 1, shard_batch(host_batch, self.mesh)
+                    else:
+                        group.append(host_batch)
+                        if len(group) == spe:
+                            yield spe, shard_stacked_batch(
+                                stack_batches(group), self.mesh
+                            )
+                            group = []
+                for host_batch in group:
+                    yield 1, shard_batch(host_batch, self.mesh)
 
-            for sharded in prefetch(device_batches()):
+            for n_steps, sharded in prefetch(device_batches()):
                 if dispatches == 1 and profile_steps:
                     self.start_profile(profile_steps)
+                step_fn = (
+                    self._train_step if n_steps == 1 else self._multi_train_step
+                )
                 (gen_params, disc_params, gen_opt_state, disc_opt_state,
-                 metrics, rng) = self._train_step(
+                 metrics, rng) = step_fn(
                     gen_params, disc_params, gen_opt_state, disc_opt_state,
                     sharded, rng, slm_params, phase,
-                    ood_active=ood_active,
+                    ood_active=ood_active, tma_active=tma_active,
                 )
                 dispatches += 1
-                self.global_step += 1
+                prev_step = self.global_step
+                self.global_step += n_steps
                 self.tick_profile()
-                if self.global_step % log_every == 0:
+                if self.global_step // log_every > prev_step // log_every:
                     self.log_metrics(
                         {f"training/{k}": v for k, v in metrics.items()},
                         self.global_step,
@@ -731,24 +1082,39 @@ class StyleTTS2Trainer(TrainerBase):
                     "empty (check filelists and preprocessed artifacts)."
                 )
             self.epoch += 1
-            # Held-out validation each epoch: top-k checkpoints rank on
-            # validation loss, not the last training batch.
+            # Held-out validation each epoch, then save_last + top-k ranked
+            # on the validation loss — crash recovery and checkpoint
+            # selection at every epoch, not just at end of fit (reference
+            # base_cli/helpers.py:234-251; the longest-running model must
+            # survive a crash at epoch 190/200).
             val_metrics = self.validate(gen_params)
             if val_metrics:
                 self.log_metrics(val_metrics, self.global_step)
-        if "validation/total" in val_metrics:
-            monitored = val_metrics["validation/total"]
-        elif metrics:
-            monitored = float(metrics["gen/total"])
-        else:
-            # Zero-epoch run (e.g. a smoke config): nothing trained, so
-            # there is no loss to rank on — still write the checkpoint.
-            monitored = float("inf")
-        self.maybe_checkpoint(
-            float(monitored),
-            {"generator": gen_params, "discriminators": disc_params},
-            None,
-            extra={"stage": self.mode},
-        )
+            monitored = val_metrics.get(
+                "validation/total",
+                float(metrics["gen/total"]) if metrics else float("inf"),
+            )
+            self.maybe_checkpoint(
+                float(monitored),
+                {"generator": gen_params, "discriminators": disc_params},
+                {"gen": gen_opt_state, "disc": disc_opt_state},
+                extra=self._ckpt_extra(),
+            )
+            checkpointed_at = self.global_step
+        if checkpointed_at != self.global_step:
+            # Zero-epoch runs (e.g. smoke configs) and mid-epoch max_steps
+            # stops still leave a final checkpoint behind.
+            if "validation/total" in val_metrics:
+                monitored = val_metrics["validation/total"]
+            elif metrics:
+                monitored = float(metrics["gen/total"])
+            else:
+                monitored = float("inf")
+            self.maybe_checkpoint(
+                float(monitored),
+                {"generator": gen_params, "discriminators": disc_params},
+                {"gen": gen_opt_state, "disc": disc_opt_state},
+                extra=self._ckpt_extra(),
+            )
         self.wait_for_checkpoints()
         return gen_params, disc_params

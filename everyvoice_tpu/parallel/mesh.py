@@ -67,18 +67,25 @@ def resolve_devices(
     accelerator: str = "auto", devices: str | int = "auto"
 ) -> list:
     """Map the reference CLI's --accelerator/--devices flags onto jax
-    devices ('auto' prefers TPU, falls back to CPU)."""
-    if accelerator in ("auto", "tpu", "gpu"):
+    devices. 'auto' prefers any accelerator and falls back to CPU; an
+    explicit accelerator that has no devices on this host is an error
+    (requesting `-a gpu` must not silently train on whatever is present)."""
+    if accelerator == "auto":
         try:
             devs = jax.devices()
         except RuntimeError:
             devs = jax.devices("cpu")
-        if accelerator == "auto" and devs and devs[0].platform == "cpu":
-            devs = jax.devices("cpu")
-    elif accelerator == "cpu":
-        devs = jax.devices("cpu")
     else:
-        devs = jax.devices()
+        try:
+            devs = jax.devices(accelerator)
+        except RuntimeError as exc:
+            available = {d.platform for d in jax.devices()}
+            raise RuntimeError(
+                f"--accelerator {accelerator} was requested but this host "
+                f"has no {accelerator} devices (available platforms: "
+                f"{', '.join(sorted(available)) or 'none'}). Use "
+                "`--accelerator auto` to take whatever is present."
+            ) from exc
     if devices not in ("auto", None):
         devs = devs[: int(devices)]
     return devs
@@ -205,6 +212,36 @@ def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
         k: jax.device_put(v, sharding) if hasattr(v, "shape") else v
         for k, v in batch.items()
     }
+
+
+def pad_batch_for_eval(
+    batch: dict, n_devices: int, batch_size: Optional[int] = None
+) -> tuple:
+    """Pad an evaluation batch up to the full training `batch_size` (so the
+    jitted eval step reuses one compile shape even for the trailing partial
+    batch) — or, without one, to the next device multiple — by repeating
+    rows cyclically, and record which rows are real in a `row_weights`
+    (target,) float array added to the batch (1 = real, 0 = pad). Loss
+    functions mask pad rows out with it so duplicated items never bias the
+    monitored validation loss. Returns (padded_batch, n_true_rows)."""
+    first = next(v for v in batch.values() if isinstance(v, np.ndarray))
+    b = first.shape[0]
+    target = max(batch_size or 0, b, 1)
+    if target % n_devices:
+        target += n_devices - target % n_devices
+    weights = np.zeros(target, np.float32)
+    weights[:b] = 1.0
+    if target == b:
+        return {**batch, "row_weights": weights}, b
+    reps = np.arange(target - b) % b
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.shape[:1] == (b,):
+            out[key] = np.concatenate([value, value[reps]], axis=0)
+        else:
+            out[key] = value
+    out["row_weights"] = weights
+    return out, b
 
 
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:

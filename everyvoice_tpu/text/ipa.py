@@ -94,8 +94,14 @@ def _consonant(
         ):
             s(strid=1)
     elif manner == "affricate":
+        # Affricates in the base table are built by tying a stop and a
+        # fricative (see the tied-composition path), so this branch only
+        # serves future direct rows; keep its stridency places in sync with
+        # the fricative branch above.
         s(delrel=1)
-        if place in ("alveolar", "postalveolar"):
+        if strident is None and place in (
+            "alveolar", "postalveolar", "alveolopalatal", "labiodental"
+        ):
             s(strid=1)
     elif manner == "approximant":
         s(son=1, cont=1, cons=-1)

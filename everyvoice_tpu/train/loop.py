@@ -27,6 +27,7 @@ from everyvoice_tpu.logger import logger
 from everyvoice_tpu.parallel.mesh import (
     compress_for_transfer,
     make_mesh,
+    pad_batch_for_eval,
     pad_batch_to_devices,
     replicate_tree,
     shard_batch,
@@ -529,25 +530,27 @@ class FastSpeech2Trainer(TrainerBase):
 
     def validate(self, params) -> dict:
         totals: dict = {}
-        count = 0
-        # Validate at the training batch size: a smaller batch would give the
-        # jitted eval step a second batch shape, costing an extra 20-40s XLA
-        # compile per run on TPU. Short rows are padded (and masked) anyway.
-        for batch in self.val_dataset.batches(
-            max(self.training_config.batch_size, self.n_devices, 1),
-            shuffle=False,
-        ):
-            batch = pad_batch_to_devices(batch, self.n_devices)
+        rows = 0
+        # Validate at the training batch size; the trailing partial batch is
+        # padded up to the SAME size (a smaller batch would give the jitted
+        # eval step a second batch shape, costing an extra 20-40s XLA compile
+        # per run on TPU), with pad rows 0-weighted in every loss term and in
+        # the aggregation so duplicated items never bias the monitored loss.
+        batch_size = max(self.training_config.batch_size, self.n_devices, 1)
+        for batch in self.val_dataset.batches(batch_size, shuffle=False):
             batch.pop("basenames", None)
+            batch, n_true = pad_batch_for_eval(
+                batch, self.n_devices, batch_size
+            )
             batch = compress_for_transfer(batch, ("mel", "attn_prior"))
             losses = jax.device_get(
                 self._eval_step(params, shard_batch(batch, self.mesh))
             )
             for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            count += 1
+                totals[k] = totals.get(k, 0.0) + float(v) * n_true
+            rows += n_true
         self.log_validation_media(params)
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        return {k: v / max(rows, 1) for k, v in totals.items()}
 
     # -- validation media (spectrogram images + vocoded audio, the role of
     # the reference's TensorBoard audio logging when training.vocoder_path
@@ -778,7 +781,18 @@ class HiFiGANTrainer(TrainerBase):
             fake = generator.apply(gen_params, mel_segs)
             mel_fake = dynamic_range_compression(mel_fn(fake))
             mel_real = dynamic_range_compression(mel_fn(audio_segs))
-            return {"total": mel_l1_loss(mel_real, mel_fake)}
+            row_weights = batch.get("row_weights")
+            if row_weights is None:
+                return {"total": mel_l1_loss(mel_real, mel_fake)}
+            # Weight out pad-duplicated rows (pad_batch_for_eval).
+            per_row = jnp.mean(
+                jnp.abs(mel_real - mel_fake),
+                axis=tuple(range(1, mel_real.ndim)),
+            )
+            total = jnp.sum(per_row * row_weights) / jnp.maximum(
+                jnp.sum(row_weights), 1.0
+            )
+            return {"total": total}
 
         self._train_step = train_step
         self._multi_train_step = multi_train_step
@@ -936,21 +950,23 @@ class HiFiGANTrainer(TrainerBase):
 
     def validate(self, gen_params) -> dict:
         totals: dict = {}
-        count = 0
+        rows = 0
         # Validate at the training batch size so the jitted eval step reuses
-        # the training batch shape instead of compiling a second program.
+        # the training batch shape instead of compiling a second program;
+        # the trailing partial batch pads up to it with 0-weighted rows.
+        batch_size = max(self.training_config.batch_size, self.n_devices, 1)
         for batch in self.val_dataset.segment_batches(
-            max(self.training_config.batch_size, self.n_devices, 1),
-            self.audio_config.vocoder_segment_size,
-            shuffle=False,
+            batch_size, self.audio_config.vocoder_segment_size, shuffle=False,
         ):
-            batch = pad_batch_to_devices(batch, self.n_devices)
             batch.pop("basenames", None)
+            batch, n_true = pad_batch_for_eval(
+                batch, self.n_devices, batch_size
+            )
             batch = compress_for_transfer(batch, ("mel",))
             losses = jax.device_get(
                 self._eval_step(gen_params, shard_batch(batch, self.mesh))
             )
             for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            count += 1
-        return {k: v / max(count, 1) for k, v in totals.items()}
+                totals[k] = totals.get(k, 0.0) + float(v) * n_true
+            rows += n_true
+        return {k: v / max(rows, 1) for k, v in totals.items()}

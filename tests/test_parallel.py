@@ -460,3 +460,13 @@ class TestStrategyErrors:
             parse_strategy("fsdp_tp2")
         with pytest.raises(ValueError, match="Unknown --strategy"):
             parse_strategy("fsdp2")
+
+    def test_explicit_accelerator_without_devices_errors(self):
+        """`-a gpu` on a host with no GPUs must fail loudly, not silently
+        train on whatever platform is present."""
+        from everyvoice_tpu.parallel import resolve_devices
+
+        with pytest.raises(RuntimeError, match="--accelerator gpu"):
+            resolve_devices("gpu")
+        assert resolve_devices("cpu")
+        assert resolve_devices("auto")

@@ -447,7 +447,8 @@ class TestRuleG2P:
             phones = get_g2p_engine(lang)(text)
             bad = [
                 p for p in phones
-                if p.strip() and not is_ipa_segment(p.strip("ˈˌː"))
+                # tokens that are only stress/length marks are valid IPA
+                if p.strip("ˈˌː ") and not is_ipa_segment(p.strip("ˈˌː"))
             ]
             if bad:
                 unknown[lang] = bad

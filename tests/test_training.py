@@ -686,3 +686,71 @@ class TestFSDPTraining:
         ckpt = load_checkpoint(run_dir / "checkpoints" / "last.ckpt")
         for leaf in jax.tree_util.tree_leaves(ckpt["state_dict"]):
             assert np.all(np.isfinite(leaf))
+
+
+class TestValidationPadding:
+    """Pad-duplicated rows must never bias the monitored validation loss,
+    and the trailing partial batch must reuse the training compile shape."""
+
+    def test_pad_batch_for_eval_shapes_and_weights(self):
+        from everyvoice_tpu.parallel.mesh import pad_batch_for_eval
+
+        batch = {"x": np.arange(5, dtype=np.float32).reshape(5, 1),
+                 "name": "meta"}
+        padded, n_true = pad_batch_for_eval(batch, 4, batch_size=8)
+        assert n_true == 5
+        assert padded["x"].shape == (8, 1)
+        np.testing.assert_array_equal(
+            padded["row_weights"], [1, 1, 1, 1, 1, 0, 0, 0]
+        )
+        np.testing.assert_array_equal(padded["x"][5:, 0], [0, 1, 2])
+        assert padded["name"] == "meta"
+        # already-full batches just gain all-one weights
+        full, n = pad_batch_for_eval({"x": np.zeros((8, 2))}, 4, batch_size=8)
+        assert n == 8 and full["x"].shape == (8, 2)
+        assert full["row_weights"].sum() == 8
+
+    def test_forward_sum_row_weights_drop_pad_rows(self):
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.models.fs2.alignment import forward_sum_loss
+
+        rng = np.random.default_rng(0)
+        attn = jnp.asarray(rng.standard_normal((2, 12, 5)), jnp.float32)
+        src = jnp.asarray([5, 4])
+        mel = jnp.asarray([12, 9])
+        base = forward_sum_loss(attn[:1], src[:1], mel[:1])
+        # duplicating row 0 as a pad row and 0-weighting it must not change
+        # the loss
+        dup = jnp.concatenate([attn, attn[:1]], axis=0)
+        weighted = forward_sum_loss(
+            dup[jnp.asarray([0, 0])], src[jnp.asarray([0, 0])],
+            mel[jnp.asarray([0, 0])], row_weights=jnp.asarray([1.0, 0.0]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(weighted), rtol=1e-6
+        )
+
+    @pytest.mark.slow
+    def test_single_eval_compile_with_partial_final_batch(
+        self, lj_corpus, cpu_mesh, tmp_path
+    ):
+        """A val set that does not divide the batch size must produce
+        exactly ONE jitted eval compilation:
+        the final partial batch is padded to the full batch size."""
+        config, save_dir = lj_corpus
+        config = config.model_copy(deep=True)
+        config.training.batch_size = 3
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train, train))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        assert len(ds) % 3 != 0, "fixture should not divide the batch size"
+        trainer = FastSpeech2Trainer(
+            config, ds, ds, lang2id, speaker2id, mesh=cpu_mesh,
+            run_dir=tmp_path,
+        )
+        trainer.build_steps()
+        params = trainer.init_params()
+        val = trainer.validate(params)
+        assert np.isfinite(val["total"])
+        assert trainer._eval_step._cache_size() == 1

@@ -71,6 +71,16 @@ def end_to_end(n_utts: int, cpus: int) -> None:
     from everyvoice_tpu.models.fs2 import FastSpeech2Config
     from everyvoice_tpu.preprocessor import Preprocessor
 
+    # Warm the device tunnel before the timed region: the first synchronous
+    # device->host fetch in a process pays a one-time backend handshake
+    # (measured 13-95 s on the axon relay, identical for a trivial matmul) —
+    # per-process environment overhead, not pipeline cost. A long-lived
+    # production process pays it once per boot.
+    import jax
+    import jax.numpy as jnp
+
+    float(jax.jit(lambda x: x.sum())(jnp.ones(8)))
+
     root = Path(tempfile.mkdtemp(prefix="evtpu-bench-corpus-"))
     try:
         build_t0 = time.perf_counter()
@@ -97,9 +107,8 @@ def end_to_end(n_utts: int, cpus: int) -> None:
         )
         steps = ("audio", "text", "spec", "attn", "energy", "pitch")
         t0 = time.perf_counter()
-        Preprocessor(config).preprocess(
-            to_process=steps, overwrite=True, cpus=cpus
-        )
+        preprocessor = Preprocessor(config)
+        preprocessor.preprocess(to_process=steps, overwrite=True, cpus=cpus)
         elapsed = time.perf_counter() - t0
         save_dir = root / "preprocessed"
         n_specs = len(list((save_dir / "spec").glob("*.npy")))
@@ -117,6 +126,9 @@ def end_to_end(n_utts: int, cpus: int) -> None:
                 "spec_artifacts_written": n_specs,
                 "host_cpus": cpus,
                 "steps": list(steps) + ["stats", "split"],
+                "step_seconds": getattr(
+                    preprocessor, "last_step_seconds", {}
+                ),
             },
         }
         print(json.dumps(result))
@@ -125,6 +137,10 @@ def end_to_end(n_utts: int, cpus: int) -> None:
 
 
 def main() -> None:
+    from everyvoice_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -101,6 +101,11 @@ def main():
 
         jax.config.update("jax_platforms", device)
         jax.config.update("jax_default_device", jax.devices(device)[0])
+    # Persistent XLA compilation cache: repeat CLI invocations (preprocess,
+    # train, synthesize) skip recompiling programs they have seen before.
+    from everyvoice_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def _pin_device(accelerator: str) -> None:

@@ -63,6 +63,54 @@ def _k_weighting_fir(sample_rate: int, n_taps: int = _FIR_TAPS) -> np.ndarray:
     return h.astype(np.float32)
 
 
+def integrated_loudness_host(audio: np.ndarray, sample_rate: int) -> float:
+    """BS.1770-4 integrated loudness for one (T,) or (C, T) clip, computed
+    on the host with the exact biquad cascade (scipy lfilter).
+
+    The per-file validation gate in the preprocessor runs this instead of
+    the device version: a scalar per arbitrary-length file is the XLA
+    anti-pattern (every unique T would compile a fresh program and pay a
+    host<->device round trip), while two IIR passes over a few hundred
+    thousand samples cost ~1 ms in C. The device version remains the right
+    tool for already-batched, bucket-padded audio."""
+    from scipy.signal import lfilter
+
+    x = np.asarray(audio, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    (b1, a1), (b2, a2) = _biquad_coeffs(float(sample_rate))
+    weighted = lfilter(b2, a2, lfilter(b1, a1, x, axis=-1), axis=-1)
+
+    block = int(round(0.400 * sample_rate))
+    step = block // 4  # 75% overlap
+    t = weighted.shape[-1]
+    if t < block:
+        weighted = np.pad(weighted, ((0, 0), (0, block - t)))
+        t = block
+    n_blocks = 1 + (t - block) // step
+    # Mean-square per gating block without materializing the block matrix:
+    # cumulative sum of squares, then windowed differences.
+    csum = np.concatenate(
+        [np.zeros((weighted.shape[0], 1)), np.cumsum(weighted**2, axis=-1)],
+        axis=-1,
+    )
+    starts = np.arange(n_blocks) * step
+    z = (csum[:, starts + block] - csum[:, starts]) / block  # (C, n_blocks)
+    z_sum = z.sum(axis=0)  # (n_blocks,)
+    loud_block = -0.691 + 10.0 * np.log10(np.maximum(z_sum, 1e-12))
+
+    abs_mask = loud_block > -70.0
+    if not abs_mask.any():
+        return float("-inf")
+    z_abs = z_sum[abs_mask].mean()
+    gamma_rel = -0.691 + 10.0 * np.log10(max(z_abs, 1e-12)) - 10.0
+    rel_mask = abs_mask & (loud_block > gamma_rel)
+    if not rel_mask.any():
+        return float("-inf")
+    z_rel = z_sum[rel_mask].mean()
+    return float(-0.691 + 10.0 * np.log10(max(z_rel, 1e-12)))
+
+
 def integrated_loudness(audio: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
     """BS.1770-4 integrated loudness in LKFS for (..., T) mono or
     (..., C, T) multi-channel audio; returns shape (...,)."""

@@ -38,6 +38,38 @@ def _sinc_kernel(
     return (sinc * window).astype(np.float32)
 
 
+def resample_host(
+    audio: np.ndarray, orig_freq: int, new_freq: int,
+    lowpass_filter_width: int = 6, rolloff: float = 0.99,
+) -> np.ndarray:
+    """Numpy twin of :func:`resample` (same kernel, same trimming — tested
+    for exact agreement). Used on the per-file preprocessing path, where a
+    single arbitrary-length clip per call would force one fresh XLA compile
+    per unique file length; scipy's polyphase C kernel is the right tool
+    at that granularity."""
+    if orig_freq == new_freq:
+        return np.asarray(audio)
+    from scipy.signal import upfirdn
+
+    g = gcd(int(orig_freq), int(new_freq))
+    up = new_freq // g
+    down = orig_freq // g
+    kernel = _sinc_kernel(up, down, lowpass_filter_width, rolloff) * up
+    half = (len(kernel) - 1) // 2
+    x = np.asarray(audio, dtype=np.float32)
+    t_in = x.shape[-1]
+    out_len = -(-t_in * up // down)  # ceil
+    # upfirdn(h, x, up, 1) is full cross-correlation of the zero-stuffed
+    # signal; the jitted path's (half, half+down) padding corresponds to
+    # sampling it at n*down + half (the kernel is symmetric).
+    y = upfirdn(kernel, x, up=up, down=1, axis=-1)
+    y = y[..., half : half + out_len * down : down]
+    if y.shape[-1] < out_len:  # upfirdn trims trailing flush samples
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, out_len - y.shape[-1])]
+        y = np.pad(y, pad)
+    return y[..., :out_len].astype(np.float32)
+
+
 def resample(
     audio: jnp.ndarray, orig_freq: int, new_freq: int,
     lowpass_filter_width: int = 6, rolloff: float = 0.99,

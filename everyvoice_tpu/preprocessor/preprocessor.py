@@ -40,10 +40,13 @@ from everyvoice_tpu.utils import n_times, write_filelist
 
 PROCESSING_ORDER = ("audio", "text", "pfs", "spec", "attn", "energy", "pitch")
 FILENAME_SEP = "--"
-# Pad audio lengths up to multiples of this many frames so XLA compiles a
-# bounded number of bucket shapes.
+# Pad audio lengths up to power-of-two frame counts (min 128 frames), so
+# the whole corpus compiles at most ~4 feature-program shapes (e.g. 3.7 s
+# fits 256 frames, 11 s fits 1024). The extra arithmetic on pad zeros is
+# microseconds per batch; an XLA compile is seconds — trading dense FLOPs
+# for fewer shapes is strictly a win here. Combined with the persistent
+# compilation cache, re-runs pay zero compiles.
 BUCKET_FRAMES = 128
-BATCH_PAD = 8  # pad batch dim to a multiple of this
 
 
 class Preprocessor:
@@ -128,14 +131,19 @@ class Preprocessor:
     ):
         """Decode + validate + apply effects ONCE at the native rate
         (constraints per reference preprocessor.py:131-218). Returns
-        (audio (C, T) jnp, sr) or None if rejected. Rate-specific work
+        (audio (C, T) np, sr) or None if rejected. Rate-specific work
         (resample/normalize/hop-truncate) happens in _finalize_audio so a
-        dual-rate config decodes and gates each file once, not per rate."""
-        import jax.numpy as jnp
+        dual-rate config decodes and gates each file once, not per rate.
 
+        Everything here runs on the host: one scalar gate per
+        arbitrary-length file is exactly the shape-polymorphic work XLA is
+        worst at (each unique length would compile a fresh program), while
+        the numpy/scipy versions cost ~1 ms per clip and parallelize across
+        the audio thread pool. The device DSP earns its keep in the
+        bucket-padded batched feature pass, not here."""
         from everyvoice_tpu.dsp import (
             apply_sox_effects,
-            integrated_loudness,
+            integrated_loudness_host,
             read_wav,
         )
 
@@ -164,14 +172,14 @@ class Preprocessor:
                 self.counters.increment("audio_too_short")
             return None
 
-        lufs = float(integrated_loudness(jnp.asarray(audio), sr))
+        lufs = integrated_loudness_host(audio, sr)
         if np.isnan(lufs) or lufs < -36.0:
             logger.warning(f"Audio empty (loudness {lufs:.1f}): {wav_path} — skipping")
             if update_counters:
                 self.counters.increment("audio_empty")
             return None
 
-        x = jnp.asarray(audio)
+        x = np.asarray(audio)
         if sox_effects:
             try:
                 x, sr = apply_sox_effects(x, sr, sox_effects)
@@ -188,18 +196,18 @@ class Preprocessor:
                         hop_size: int, normalize: bool = True):
         """Rate-specific conditioning of an already validated (C, T) clip:
         resample, mixdown, peak-normalize ×0.95, truncate to a hop
-        multiple. Returns (audio float32 (T,), sr)."""
-        import jax.numpy as jnp
+        multiple. Host numpy throughout (see _load_conditioned_audio).
+        Returns (audio float32 (T,), sr)."""
+        from everyvoice_tpu.dsp import resample_host
 
-        from everyvoice_tpu.dsp import resample
-
+        x = np.asarray(x)
         if resample_rate is not None and resample_rate != sr:
-            x = resample(x, sr, resample_rate)
+            x = resample_host(x, sr, resample_rate)
             sr = resample_rate
         if x.shape[0] > 1:  # effects may not have mixed down; do it here
-            x = jnp.mean(x, axis=0, keepdims=True)
+            x = np.mean(x, axis=0, keepdims=True)
         if normalize:
-            x = x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-9) * 0.95
+            x = x / max(np.max(np.abs(x)), 1e-9) * 0.95
         x = np.asarray(x[0], dtype=np.float32)
         max_samples = (x.shape[0] // hop_size) * hop_size
         return x[:max_samples], sr
@@ -414,8 +422,17 @@ class Preprocessor:
             def spec_pipeline(batch):
                 return dynamic_range_compression(spec_fn(batch))
 
+        pcm16 = self.audio_config.target_bit_depth == 16
+
         @jax.jit
         def program(batch):
+            # With 16-bit audio artifacts (the default), batches arrive as
+            # int16 PCM — their exact on-disk encoding (read_wav returns
+            # i/32768, so round(x*32768) round-trips losslessly): half the
+            # host->device bytes of float32, converted on device where the
+            # cast is free bandwidth-wise.
+            if pcm16:
+                batch = batch.astype(jnp.float32) / 32768.0
             spec = spec_pipeline(batch)
             energy = compute_energy(spec)
             f0 = estimate_f0(
@@ -463,23 +480,14 @@ class Preprocessor:
         # Sort by length so buckets are dense.
         todo.sort(key=lambda entry: len(entry[1]))
 
+        import jax
+
         program = self._feature_program()
-        i = 0
-        while i < len(todo):
-            chunk = todo[i : i + batch_size]
-            i += batch_size
-            max_len = max(len(a) for _, a, _ in chunk)
-            padded_len = -(-max_len // bucket_samples) * bucket_samples
-            b_pad = -(-len(chunk) // BATCH_PAD) * BATCH_PAD
-            batch = np.zeros((b_pad, padded_len), dtype=np.float32)
-            for j, (_, a, _) in enumerate(chunk):
-                batch[j, : len(a)] = a
-            spec, energy, f0 = program(batch)
+
+        def write_outputs(chunk, outputs) -> None:
             # One fused transfer per batch (three sequential np.asarray
             # fetches would each pay a device round trip).
-            import jax
-
-            spec, energy, f0 = jax.device_get((spec, energy, f0))
+            spec, energy, f0 = jax.device_get(outputs)
             for j, (item, a, paths) in enumerate(chunk):
                 n_frames = len(a) // hop  # drop the center-pad extra frame to
                 # keep the reference's frames == samples//hop contract
@@ -497,6 +505,40 @@ class Preprocessor:
                     if self.overwrite or not path.exists():
                         np.save(path, f0[j, :n_frames], allow_pickle=False)
                         self._features_written["pitch"].append(path)
+
+        # Double-buffered loop: dispatch batch i+1 and queue its async
+        # device->host copy before fetching batch i, so device compute,
+        # result transfer, and host artifact writes all overlap.
+        pending = None  # (chunk, device outputs) awaiting fetch + write
+        i = 0
+        while i < len(todo):
+            chunk = todo[i : i + batch_size]
+            i += batch_size
+            max_len = max(len(a) for _, a, _ in chunk)
+            n_buckets = max(-(-max_len // bucket_samples), 1)
+            n_buckets = 1 << (n_buckets - 1).bit_length()  # next power of 2
+            padded_len = n_buckets * bucket_samples
+            pcm16 = self.audio_config.target_bit_depth == 16
+            dtype = np.int16 if pcm16 else np.float32
+            batch = np.zeros((batch_size, padded_len), dtype=dtype)
+            for j, (_, a, _) in enumerate(chunk):
+                if pcm16:
+                    batch[j, : len(a)] = np.clip(
+                        np.round(a * 32768.0), -32768, 32767
+                    ).astype(np.int16)
+                else:
+                    batch[j, : len(a)] = a
+            outputs = program(batch)
+            for leaf in outputs:
+                try:
+                    leaf.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    break  # backend without async copies: device_get blocks
+            if pending is not None:
+                write_outputs(*pending)
+            pending = (chunk, outputs)
+        if pending is not None:
+            write_outputs(*pending)
 
     # ------------------------------------------------------------------
     # attention priors
@@ -604,9 +646,13 @@ class Preprocessor:
         random.seed(self.preprocessing_config.dataset_split_seed)
         processed_filelist = self.save_dir / Path(output_path).name
 
+        import time as _time
+
+        step_seconds: dict = {}
         for process in PROCESSING_ORDER:
             if process not in to_process:
                 continue
+            _t0 = _time.perf_counter()
             if process != "text":
                 (self.save_dir / process).mkdir(parents=True, exist_ok=True)
             if process == "audio":
@@ -682,6 +728,7 @@ class Preprocessor:
                     (self.save_dir / w).mkdir(parents=True, exist_ok=True)
                 filelist = self.load_filelist(processed_filelist)
                 self.process_features_batched(filelist, want=wanted)
+            step_seconds[process] = round(_time.perf_counter() - _t0, 2)
 
         # stats + normalization. Normalization must be idempotent across
         # re-runs: artifacts on disk are already z-scored once stats.json
@@ -739,8 +786,10 @@ class Preprocessor:
         write_filelist(filelist[:train_split], self.save_dir / f"training_{name}")
         write_filelist(filelist[train_split:], self.save_dir / f"validation_{name}")
         self.save_config_lock(in_progress=False)
+        self.last_step_seconds = step_seconds  # introspection (benchmarks)
+        timing = ", ".join(f"{k} {v}s" for k, v in step_seconds.items())
         logger.info(
-            f"Finished preprocessing: {', '.join(to_process)}. "
+            f"Finished preprocessing: {', '.join(to_process)} ({timing}). "
             f"Files are at {self.save_dir.absolute()}."
         )
 

@@ -18,6 +18,53 @@ from unicodedata import normalize
 # config file IO
 
 
+def enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    TPU compiles of the batched DSP/training programs cost seconds to tens of
+    seconds; with the cache, every CLI invocation after the first reuses
+    them (preprocess → train → synthesize all hit the same shapes run to
+    run). Idempotent and cheap; a user-set JAX_COMPILATION_CACHE_DIR or
+    jax_compilation_cache_dir wins. Override the location with
+    EVERYVOICE_TPU_CACHE_DIR; set it empty to disable.
+
+    Safe to call before jax is imported (it then only sets the env vars
+    jax reads at import time, keeping the CLI's lazy-import discipline).
+    """
+    import sys
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already configured the cache
+    cache_dir = os.environ.get("EVERYVOICE_TPU_CACHE_DIR")
+    if cache_dir == "":
+        return
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"),
+            "everyvoice_tpu", "xla",
+        )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return
+    if "jax" not in sys.modules:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+        return
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return  # already configured by a caller
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except AttributeError:  # very old jax
+        pass
+
+
 def load_config_file(path: Path | str) -> Any:
     """Load a YAML or JSON config file into plain Python objects."""
     import yaml

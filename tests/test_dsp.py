@@ -128,6 +128,20 @@ class TestResample:
         rms_out = np.sqrt((out[2000:-2000] ** 2).mean())
         assert abs(rms_in - rms_out) / rms_in < 0.02
 
+    def test_host_matches_device(self, tone, noise):
+        # resample_host must be the same filter, sample for sample — the
+        # preprocessor writes host-resampled wavs that the batched device
+        # pipeline later consumes.
+        from everyvoice_tpu.dsp import resample_host
+
+        for x in (tone, noise, np.stack([tone[: len(noise)], noise * 0.5])):
+            for new_sr in (16000, 44100, 24000):
+                dev = np.asarray(resample(jnp.asarray(x), SR, new_sr))
+                host = resample_host(x, SR, new_sr)
+                assert host.shape == dev.shape
+                assert np.allclose(host, dev, atol=2e-5), (
+                    new_sr, np.abs(host - dev).max())
+
 
 class TestLoudness:
     def test_sine_loudness_close_to_theory(self):
@@ -146,6 +160,33 @@ class TestLoudness:
     def test_silence_is_minus_inf(self):
         x = np.zeros(SR, dtype=np.float32)
         assert np.isinf(float(integrated_loudness(jnp.asarray(x), SR)))
+
+    def test_host_matches_device(self):
+        # The host path (exact biquads) and the device path (truncated-FIR
+        # approximation of the same cascade) must agree on real-ish audio:
+        # the preprocessor's -36 LUFS gate uses the host one, tests and
+        # batched paths use the device one.
+        from everyvoice_tpu.dsp import integrated_loudness_host
+
+        rng = np.random.default_rng(7)
+        t = np.arange(int(SR * 2.3)) / SR
+        for x in (
+            np.sin(2 * np.pi * 997.0 * t).astype(np.float32),
+            (0.2 * np.sin(2 * np.pi * 150.0 * t)
+             + 0.05 * rng.standard_normal(t.size)).astype(np.float32),
+            np.stack([  # stereo, slightly different channels
+                0.3 * np.sin(2 * np.pi * 440.0 * t),
+                0.2 * np.sin(2 * np.pi * 330.0 * t),
+            ]).astype(np.float32),
+        ):
+            host = integrated_loudness_host(x, SR)
+            dev = float(integrated_loudness(jnp.asarray(x), SR))
+            assert abs(host - dev) < 0.05, (host, dev)
+
+    def test_host_silence_is_minus_inf(self):
+        from everyvoice_tpu.dsp import integrated_loudness_host
+
+        assert np.isinf(integrated_loudness_host(np.zeros(SR, np.float32), SR))
 
 
 class TestPitch:

@@ -1,9 +1,15 @@
-"""Benchmark: FastSpeech2 training throughput on one TPU chip.
+"""Benchmark: training throughput on one TPU chip.
 
-Prints ONE JSON line with training steps/second for the default model
-(4×256 Conformer, alignment learning on, batch 16, 1000-frame budget) —
-the reference's qualitative baseline is "less than a day for most datasets"
-on one GPU at a 100k-step budget (BASELINE.md).
+Prints ONE JSON line with training steps/second.
+
+- default (``python bench_train.py [BATCH]``): FastSpeech2 (4×256
+  Conformer, alignment learning on, batch 16, 1000-frame budget) — the
+  reference's qualitative baseline is "less than a day for most datasets"
+  on one GPU at a 100k-step budget (BASELINE.md).
+- ``--model hifigan``: the full HiFiGAN GAN step (MPD[2,3,5,7,11] +
+  MSD×3, both optimizer updates, 8192-sample segments) via the production
+  trainer's own jitted step — reference guidance "up to 2 weeks" on one
+  GPU.
 """
 
 from __future__ import annotations
@@ -15,6 +21,78 @@ import time
 import numpy as np
 
 
+def bench_hifigan(batch_size: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from everyvoice_tpu.models.hifigan import HiFiGANConfig
+    from everyvoice_tpu.train.loop import HiFiGANTrainer, training_rng
+
+    config = HiFiGANConfig(
+        contact={"contact_name": "bench", "contact_email": "b@e.ca"}
+    )
+    trainer = HiFiGANTrainer(config, dataset=None, val_dataset=None)
+    trainer.build_steps()
+    gen_params, disc_params = trainer.init_params()
+    gen_opt_state = trainer.gen_opt.init(gen_params)
+    disc_opt_state = trainer.disc_opt.init(disc_params)
+
+    a = config.preprocessing.audio
+    seg = a.vocoder_segment_size
+    seg_frames = seg // a.fft_hop_size
+    np_rng = np.random.default_rng(0)
+    batch = {
+        "mel": jnp.asarray(
+            np_rng.standard_normal((batch_size, seg_frames, a.n_mels)),
+            jnp.float32,
+        ),
+        "audio": jnp.asarray(
+            np_rng.standard_normal((batch_size, seg)) * 0.2, jnp.float32
+        ),
+    }
+    rng = training_rng(1)
+    gan_on = jnp.asarray(1.0)
+    step = trainer._train_step
+
+    state = (gen_params, disc_params, gen_opt_state, disc_opt_state)
+    *state, metrics, rng = step(*state, batch, rng, gan_on)
+    jax.block_until_ready(metrics)  # compile
+
+    def run_chain(iters: int) -> float:
+        nonlocal state, rng
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            *state, metrics, rng = step(*state, batch, rng, gan_on)
+        float(metrics["gen/total"])
+        return time.perf_counter() - t0
+
+    run_chain(2)
+    n_short, n_long = 4, 24
+    t_short, t_long = run_chain(n_short), run_chain(n_long)
+    elapsed, iters = t_long - t_short, n_long - n_short
+    steps_per_s = iters / elapsed
+
+    from everyvoice_tpu.utils.flops import compiled_flops, mfu
+
+    flops = compiled_flops(step, *state, batch, rng, gan_on)
+    utilization = mfu(flops, elapsed / iters, jax.devices()[0])
+    print(json.dumps({
+        "metric": ("HiFiGAN full GAN training steps/sec/chip "
+                   "(MPD+MSD, both optimizer updates, 8192-sample segments)"),
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "detail": {
+            "batch": batch_size,
+            "step_ms": round(elapsed / iters * 1000, 2),
+            "hours_for_100k_steps": round(100_000 / steps_per_s / 3600, 2),
+            "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+            "mfu": round(utilization, 4) if utilization else None,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -23,7 +101,17 @@ def main() -> None:
     from everyvoice_tpu.models.fs2.loss import compute_fs2_losses
     from everyvoice_tpu.models.fs2.model import FastSpeech2
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    argv = sys.argv[1:]
+    model = "fs2"
+    if "--model" in argv:
+        i = argv.index("--model")
+        model = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("-")]
+    batch_size = int(args[0]) if args else 16
+    if model == "hifigan":
+        bench_hifigan(batch_size)
+        return
     n_text, n_frames, n_mels = 128, 1000, 80
 
     model = FastSpeech2(n_symbols=100, max_frames=n_frames)

@@ -344,6 +344,11 @@ def _common_train_options(fn):
                       help="Run N optimizer steps per device dispatch "
                       "(lax.scan over stacked batches); amortizes host "
                       "overhead for small models.")(fn)
+    fn = click.option("--compute-precision", default="auto",
+                      type=click.Choice(["auto", "float32", "bfloat16"]),
+                      help="Training conv/matmul compute dtype. 'auto' = "
+                      "bfloat16 on TPU (parameters, losses, and optimizer "
+                      "state always stay float32), float32 elsewhere.")(fn)
     return fn
 
 
@@ -352,7 +357,7 @@ def _common_train_options(fn):
 @_common_train_options
 def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
                        strategy, gradient_clip_val, profile_steps,
-                       steps_per_execution):
+                       steps_per_execution, compute_precision):
     """Train a FastSpeech2 feature-prediction model."""
     from everyvoice_tpu.dataloader import FastSpeech2Dataset
     from everyvoice_tpu.parallel import parse_strategy, setup_mesh
@@ -375,6 +380,7 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
     trainer = FastSpeech2Trainer(
         config, ds, vds, lang2id, speaker2id, stats=stats, mesh=mesh,
         gradient_clip_val=gradient_clip_val, fsdp=strat.fsdp,
+        compute_dtype=compute_precision,
     )
     trainer.fit(
         profile_steps=profile_steps, steps_per_execution=steps_per_execution
@@ -387,7 +393,7 @@ def train_text_to_spec(config_path, config_args, accelerator, devices, nodes,
 @_common_train_options
 def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
                       strategy, gradient_clip_val, profile_steps,
-                      steps_per_execution):
+                      steps_per_execution, compute_precision):
     """Train a HiFiGAN (or iSTFTNet) vocoder."""
     from everyvoice_tpu.dataloader import HiFiGANDataset
     from everyvoice_tpu.parallel import parse_strategy, setup_mesh
@@ -403,7 +409,7 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
                       model_parallel=strat.model_parallel)
     trainer = HiFiGANTrainer(config, ds, vds, mesh=mesh,
                              gradient_clip_val=gradient_clip_val,
-                             fsdp=strat.fsdp)
+                             fsdp=strat.fsdp, compute_dtype=compute_precision)
     trainer.fit(profile_steps=profile_steps,
                 steps_per_execution=steps_per_execution)
     click.echo(f"Training complete; checkpoints at {trainer.ckpt_dir}")
@@ -415,7 +421,7 @@ def train_spec_to_wav(config_path, config_args, accelerator, devices, nodes,
 @_common_train_options
 def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
                       nodes, strategy, gradient_clip_val, profile_steps,
-                      steps_per_execution):
+                      steps_per_execution, compute_precision):
     """Train a StyleTTS2-class end-to-end model (two stages)."""
     from everyvoice_tpu.dataloader import StyleTTS2Dataset
     from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
@@ -431,6 +437,11 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     strat = parse_strategy(strategy)
     mesh = setup_mesh(accelerator, devices, nodes=nodes,
                       model_parallel=strat.model_parallel)
+    if compute_precision == "bfloat16":
+        click.echo(
+            "Note: StyleTTS2 training does not yet support bfloat16 compute; "
+            "running float32.", err=True,
+        )
     trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
                                mode=mode, gradient_clip_val=gradient_clip_val,
                                fsdp=strat.fsdp)

@@ -65,11 +65,16 @@ class FastSpeech2(nn.Module):
     max_frames: int = 1000
     # normalization stats ranges for variance bins (z-scored values)
     variance_range: float = 6.0
+    # Conv/matmul compute dtype for the Conformer stacks, variance
+    # predictors, postnet, and GST (params stay float32; the alignment
+    # encoder, heads, and losses always run in float32).
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(
         cls, config: FastSpeech2Config, n_symbols: int,
         n_speakers: int = 1, n_langs: int = 1,
+        compute_dtype: str = "float32",
     ) -> "FastSpeech2":
         m = config.model
         vp = m.variance_predictors
@@ -95,6 +100,7 @@ class FastSpeech2(nn.Module):
             n_speakers=max(n_speakers, 1), n_langs=max(n_langs, 1),
             use_gst=m.use_global_style_token_module,
             max_frames=m.max_length,
+            compute_dtype=compute_dtype,
         )
 
     def _bin_embed(self, values, mask, name):
@@ -139,6 +145,7 @@ class FastSpeech2(nn.Module):
         x = ConformerStack(
             self.enc_layers, self.dim, self.enc_heads, self.enc_ff_dim,
             self.enc_kernel, self.enc_dropout, name="encoder",
+            dtype=self.compute_dtype,
         )(x, src_mask, deterministic)
 
         # ----- conditioning
@@ -159,9 +166,9 @@ class FastSpeech2(nn.Module):
         if self.use_gst:
             ref = style_reference if style_reference is not None else mel
             if ref is not None:
-                style = GlobalStyleTokens(token_dim=self.dim, name="gst")(
-                    ref, deterministic
-                )
+                style = GlobalStyleTokens(
+                    token_dim=self.dim, name="gst", dtype=self.compute_dtype
+                )(ref, deterministic)
                 x = x + style[:, None, :]
         x = jnp.where(src_mask[..., None], x, 0.0)
 
@@ -195,6 +202,7 @@ class FastSpeech2(nn.Module):
         log_duration_pred = VariancePredictor(
             self.vp_layers, self.vp_kernel, self.dim, self.vp_dropout,
             self.vp_depthwise, out_bias_init=1.6, name="duration_predictor",
+            dtype=self.compute_dtype,
         )(x, src_mask, deterministic)
         out["log_duration_prediction"] = log_duration_pred
 
@@ -214,6 +222,7 @@ class FastSpeech2(nn.Module):
             pred = VariancePredictor(
                 self.vp_layers, self.vp_kernel, self.dim, self.vp_dropout,
                 self.vp_depthwise, name=f"{name}_predictor",
+                dtype=self.compute_dtype,
             )(feat_x, mask_lvl, deterministic)
             use = targets if (targets is not None and training_with_mel) else pred
             emb = self._bin_embed(use, mask_lvl, f"{name}_embed")
@@ -274,12 +283,13 @@ class FastSpeech2(nn.Module):
         dec = ConformerStack(
             self.dec_layers, self.dim, self.dec_heads, self.dec_ff_dim,
             self.dec_kernel, self.dec_dropout, name="decoder",
+            dtype=self.compute_dtype,
         )(frames, frame_mask, deterministic)
         mel_out = nn.Dense(self.n_mels, name="mel_head")(dec)
         mel_out = jnp.where(frame_mask[..., None], mel_out, 0.0)
         out["mel"] = mel_out
         if self.use_postnet:
-            out["postnet_mel"] = Postnet(self.n_mels, name="postnet")(
-                mel_out, frame_mask, deterministic
-            )
+            out["postnet_mel"] = Postnet(
+                self.n_mels, name="postnet", dtype=self.compute_dtype
+            )(mel_out, frame_mask, deterministic)
         return out

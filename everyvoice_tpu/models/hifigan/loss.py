@@ -8,8 +8,12 @@ import jax.numpy as jnp
 
 
 def discriminator_loss(real_scores, fake_scores, gan_type: str = "original"):
+    # Scores may arrive in a reduced compute dtype (bf16 discriminators on
+    # TPU); losses always reduce in float32.
     loss = 0.0
     for dr, dg in zip(real_scores, fake_scores):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         if gan_type == "wgan":
             loss += -jnp.mean(dr) + jnp.mean(dg)
         else:  # LSGAN
@@ -20,6 +24,7 @@ def discriminator_loss(real_scores, fake_scores, gan_type: str = "original"):
 def generator_adversarial_loss(fake_scores, gan_type: str = "original"):
     loss = 0.0
     for dg in fake_scores:
+        dg = dg.astype(jnp.float32)
         if gan_type == "wgan":
             loss += -jnp.mean(dg)
         else:
@@ -31,7 +36,9 @@ def feature_matching_loss(real_feats, fake_feats):
     loss = 0.0
     for dr_layers, dg_layers in zip(real_feats, fake_feats):
         for fr, fg in zip(dr_layers, dg_layers):
-            loss += jnp.mean(jnp.abs(fr - fg))
+            loss += jnp.mean(
+                jnp.abs(fr.astype(jnp.float32) - fg.astype(jnp.float32))
+            )
     return loss
 
 

@@ -52,6 +52,8 @@ class SpectralNormConv(nn.Module):
     strides: int = 1
     feature_group_count: int = 1
     n_power_iterations: int = 8
+    # Conv compute dtype (params and the power iteration stay float32).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,15 +77,16 @@ class SpectralNormConv(nn.Module):
         u = jax.lax.stop_gradient(u)
         v = jax.lax.stop_gradient(v)
         sigma = v @ flat @ u
+        dt = jnp.dtype(self.dtype)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel / (sigma + 1e-12),
+            x.astype(dt),
+            (kernel / (sigma + 1e-12)).astype(dt),
             window_strides=(self.strides,),
             padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.feature_group_count,
         )
-        return y + bias
+        return y + bias.astype(dt)
 
 
 class ResBlock1(nn.Module):
@@ -236,27 +239,35 @@ class HiFiGANGenerator(nn.Module):
 
 class PeriodDiscriminator(nn.Module):
     period: int
+    # Conv compute dtype (params stay float32; losses cast back to f32).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> tuple:
+        dt = jnp.dtype(self.compute_dtype)
         # wav: (B, T) → fold into (B, T//p, p) "2D" view
         b, t = wav.shape
         pad = (-t) % self.period
         x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect" if t > 1 else "constant")
-        x = x.reshape(b, -1, self.period, 1)  # (B, T/p, p, 1)
+        x = x.reshape(b, -1, self.period, 1).astype(dt)  # (B, T/p, p, 1)
         feats = []
         for ch in (32, 128, 512, 1024):
             x = nn.WeightNorm(
-                nn.Conv(ch, kernel_size=(5, 1), strides=(3, 1), padding=((2, 2), (0, 0)))
+                nn.Conv(
+                    ch, kernel_size=(5, 1), strides=(3, 1),
+                    padding=((2, 2), (0, 0)), dtype=dt,
+                )
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             feats.append(x)
         x = nn.WeightNorm(
-            nn.Conv(1024, kernel_size=(5, 1), padding=((2, 2), (0, 0)))
+            nn.Conv(1024, kernel_size=(5, 1), padding=((2, 2), (0, 0)), dtype=dt)
         )(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         feats.append(x)
-        x = nn.WeightNorm(nn.Conv(1, kernel_size=(3, 1), padding=((1, 1), (0, 0))))(x)
+        x = nn.WeightNorm(
+            nn.Conv(1, kernel_size=(3, 1), padding=((1, 1), (0, 0)), dtype=dt)
+        )(x)
         feats.append(x)
         return x.reshape(b, -1), feats
 
@@ -265,22 +276,26 @@ class ScaleDiscriminator(nn.Module):
     # The first (raw-audio) scale is spectrally normalized, as in HiFi-GAN;
     # pooled scales use weight norm.
     use_spectral_norm: bool = False
+    # Conv compute dtype (params stay float32; losses cast back to f32).
+    compute_dtype: str = "float32"
 
     def _conv(self, ch, k, stride=1, groups=1):
         if self.use_spectral_norm:
             return SpectralNormConv(
-                ch, kernel_size=k, strides=stride, feature_group_count=groups
+                ch, kernel_size=k, strides=stride, feature_group_count=groups,
+                dtype=self.compute_dtype,
             )
         return nn.WeightNorm(
             nn.Conv(
                 ch, kernel_size=(k,), strides=(stride,),
                 feature_group_count=groups, padding="SAME",
+                dtype=jnp.dtype(self.compute_dtype),
             )
         )
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> tuple:
-        x = wav[..., None]  # (B, T, 1)
+        x = wav[..., None].astype(jnp.dtype(self.compute_dtype))  # (B, T, 1)
         feats = []
         specs = [
             (128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
@@ -298,12 +313,13 @@ class ScaleDiscriminator(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> tuple:
         scores, feats = [], []
         for p in self.periods:
-            s, f = PeriodDiscriminator(p)(wav)
+            s, f = PeriodDiscriminator(p, compute_dtype=self.compute_dtype)(wav)
             scores.append(s)
             feats.append(f)
         return scores, feats
@@ -311,6 +327,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> tuple:
@@ -322,7 +339,9 @@ class MultiScaleDiscriminator(nn.Module):
                 x = nn.avg_pool(
                     x[..., None], window_shape=(4,), strides=(2,), padding="SAME"
                 )[..., 0]
-            s, f = ScaleDiscriminator(use_spectral_norm=(i == 0))(x)
+            s, f = ScaleDiscriminator(
+                use_spectral_norm=(i == 0), compute_dtype=self.compute_dtype
+            )(x)
             scores.append(s)
             feats.append(f)
         return scores, feats

@@ -34,14 +34,18 @@ class FeedForwardModule(nn.Module):
     dim: int
     hidden_dim: int
     dropout: float
+    # Compute dtype for matmuls/convs (params stay float32; flax norm layers
+    # compute their statistics in float32 regardless of dtype).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        x = nn.LayerNorm()(x)
-        x = nn.Dense(self.hidden_dim)(x)
+        dt = jnp.dtype(self.dtype)
+        x = nn.LayerNorm(dtype=dt)(x)
+        x = nn.Dense(self.hidden_dim, dtype=dt)(x)
         x = nn.swish(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim)(x)
+        x = nn.Dense(self.dim, dtype=dt)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -50,13 +54,15 @@ class ConformerConvModule(nn.Module):
     dim: int
     kernel_size: int
     dropout: float
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         # x: (B, T, C); mask: (B, T)
+        dt = jnp.dtype(self.dtype)
         residual_mask = mask[..., None]
-        x = nn.LayerNorm()(x)
-        x = nn.Dense(2 * self.dim)(x)  # pointwise expansion
+        x = nn.LayerNorm(dtype=dt)(x)
+        x = nn.Dense(2 * self.dim, dtype=dt)(x)  # pointwise expansion
         x = nn.glu(x, axis=-1)
         x = jnp.where(residual_mask, x, 0.0)
         x = nn.Conv(
@@ -64,12 +70,13 @@ class ConformerConvModule(nn.Module):
             kernel_size=(self.kernel_size,),
             feature_group_count=self.dim,  # depthwise
             padding="SAME",
+            dtype=dt,
         )(x)
         # GroupNorm over channels stands in for the paper's BatchNorm: it is
         # batch-independent, so jit/sharding need no cross-device stats.
-        x = nn.GroupNorm(num_groups=1)(x)
+        x = nn.GroupNorm(num_groups=1, dtype=dt)(x)
         x = nn.swish(x)
-        x = nn.Dense(self.dim)(x)  # pointwise projection
+        x = nn.Dense(self.dim, dtype=dt)(x)  # pointwise projection
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -80,27 +87,30 @@ class ConformerBlock(nn.Module):
     ff_dim: int
     conv_kernel_size: int
     dropout: float
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        dt = jnp.dtype(self.dtype)
         attn_mask = mask[:, None, None, :] & mask[:, None, :, None]
-        x = x + 0.5 * FeedForwardModule(self.dim, self.ff_dim, self.dropout)(
-            x, deterministic
-        )
-        y = nn.LayerNorm()(x)
+        x = x + 0.5 * FeedForwardModule(
+            self.dim, self.ff_dim, self.dropout, dtype=self.dtype
+        )(x, deterministic)
+        y = nn.LayerNorm(dtype=dt)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=dt,
         )(y, y, mask=attn_mask)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        x = x + ConformerConvModule(self.dim, self.conv_kernel_size, self.dropout)(
-            x, mask, deterministic
-        )
-        x = x + 0.5 * FeedForwardModule(self.dim, self.ff_dim, self.dropout)(
-            x, deterministic
-        )
-        x = nn.LayerNorm()(x)
+        x = x + ConformerConvModule(
+            self.dim, self.conv_kernel_size, self.dropout, dtype=self.dtype
+        )(x, mask, deterministic)
+        x = x + 0.5 * FeedForwardModule(
+            self.dim, self.ff_dim, self.dropout, dtype=self.dtype
+        )(x, deterministic)
+        x = nn.LayerNorm(dtype=dt)(x)
         return jnp.where(mask[..., None], x, 0.0)
 
 
@@ -111,17 +121,22 @@ class ConformerStack(nn.Module):
     ff_dim: int
     conv_kernel_size: int
     dropout: float
+    # bf16 compute runs the residual stream in bf16 too; the stack output is
+    # cast back to float32 so heads/losses keep full precision.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         pos = sinusoidal_positional_encoding(x.shape[1], self.dim)
         x = x + jnp.asarray(pos)[None, :, :]
+        x = x.astype(jnp.dtype(self.dtype))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for _ in range(self.layers):
             x = ConformerBlock(
-                self.dim, self.heads, self.ff_dim, self.conv_kernel_size, self.dropout
+                self.dim, self.heads, self.ff_dim, self.conv_kernel_size,
+                self.dropout, dtype=self.dtype,
             )(x, mask, deterministic)
-        return x
+        return x.astype(jnp.float32)
 
 
 class VariancePredictor(nn.Module):
@@ -137,9 +152,12 @@ class VariancePredictor(nn.Module):
     # Initial output bias: lets the duration predictor start at a sensible
     # prior (e.g. log1p(4) frames/token) instead of zero.
     out_bias_init: float = 0.0
+    # Hidden convs may run in bf16; the scalar head always outputs float32.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        dt = jnp.dtype(self.dtype)
         for _ in range(self.n_layers):
             if self.depthwise:
                 x = nn.Conv(
@@ -147,18 +165,20 @@ class VariancePredictor(nn.Module):
                     kernel_size=(self.kernel_size,),
                     feature_group_count=x.shape[-1],
                     padding="SAME",
+                    dtype=dt,
                 )(x)
-                x = nn.Conv(self.hidden_dim, kernel_size=(1,))(x)
+                x = nn.Conv(self.hidden_dim, kernel_size=(1,), dtype=dt)(x)
             else:
                 x = nn.Conv(
-                    self.hidden_dim, kernel_size=(self.kernel_size,), padding="SAME"
+                    self.hidden_dim, kernel_size=(self.kernel_size,),
+                    padding="SAME", dtype=dt,
                 )(x)
             x = nn.relu(x)
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=dt)(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         out = nn.Dense(
             1, bias_init=nn.initializers.constant(self.out_bias_init)
-        )(x)[..., 0]
+        )(x.astype(jnp.float32))[..., 0]
         return jnp.where(mask, out, 0.0)
 
 
@@ -198,18 +218,27 @@ class Postnet(nn.Module):
     kernel_size: int = 5
     n_layers: int = 5
     dropout: float = 0.5
+    # Hidden convs may run in bf16; the residual refinement is added to the
+    # float32 mel so the output keeps full precision.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, mel, mask, deterministic: bool = True):
-        x = mel
+        dt = jnp.dtype(self.dtype)
+        x = mel.astype(dt)
         for i in range(self.n_layers - 1):
-            x = nn.Conv(self.channels, kernel_size=(self.kernel_size,), padding="SAME")(x)
-            x = nn.GroupNorm(num_groups=1)(x)
+            x = nn.Conv(
+                self.channels, kernel_size=(self.kernel_size,), padding="SAME",
+                dtype=dt,
+            )(x)
+            x = nn.GroupNorm(num_groups=1, dtype=dt)(x)
             x = jnp.tanh(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Conv(self.n_mels, kernel_size=(self.kernel_size,), padding="SAME")(x)
+        x = nn.Conv(
+            self.n_mels, kernel_size=(self.kernel_size,), padding="SAME", dtype=dt
+        )(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        out = mel + x
+        out = mel + x.astype(jnp.float32)
         return jnp.where(mask[..., None], out, 0.0)
 
 
@@ -222,17 +251,21 @@ class GlobalStyleTokens(nn.Module):
     token_dim: int = 256
     heads: int = 4
     ref_channels: tuple = (32, 32, 64, 64, 128, 128)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, ref_mel, deterministic: bool = True):
+        dt = jnp.dtype(self.dtype)
         # ref_mel: (B, T, n_mels) → style embedding (B, token_dim)
-        x = ref_mel[..., None]  # (B, T, M, 1)
+        x = ref_mel[..., None].astype(dt)  # (B, T, M, 1)
         for ch in self.ref_channels:
-            x = nn.Conv(ch, kernel_size=(3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.GroupNorm(num_groups=1)(x)
+            x = nn.Conv(
+                ch, kernel_size=(3, 3), strides=(2, 2), padding="SAME", dtype=dt
+            )(x)
+            x = nn.GroupNorm(num_groups=1, dtype=dt)(x)
             x = nn.relu(x)
         b, t, m, c = x.shape
-        x = x.reshape(b, t, m * c)
+        x = x.reshape(b, t, m * c).astype(jnp.float32)
         x = nn.Dense(self.token_dim // 2)(x)
         # Temporal summary via a GRU-free mean+max pool (jit-friendly).
         summary = jnp.concatenate([x.mean(axis=1), x.max(axis=1)], axis=-1)

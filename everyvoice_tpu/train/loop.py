@@ -70,6 +70,37 @@ from everyvoice_tpu.train.optim import build_optimizer
 
 
 
+def resolve_compute_dtype(requested: str = "auto", device=None) -> str:
+    """TPU-first mixed precision for training compute.
+
+    'auto' resolves to bfloat16 conv/matmul compute on TPU — parameters,
+    losses, reductions, and optimizer state stay float32, and bf16 shares
+    float32's exponent range so (unlike fp16) GAN training needs no loss
+    scaling — and to float32 everywhere else, so CPU runs keep exact
+    reference numerics. The reference trains in full 32-bit (its Lightning
+    trainers never set `precision`); on the MXU, float32 compute runs at
+    less than half the bf16 rate, so this is a pure-throughput knob with
+    parameters still accumulated in float32.
+
+    `device` should be a device the step will actually run on (a trainer
+    passes one from its mesh — the mesh may be CPU even when the process's
+    default backend is a TPU); defaults to the default backend's first
+    device.
+    """
+    if requested != "auto":
+        return requested
+    platform = (device or jax.devices()[0]).platform
+    return "bfloat16" if platform in ("tpu", "axon") else "float32"
+
+
+def _mesh_device(mesh):
+    """First device of a Mesh, or None."""
+    try:
+        return mesh.devices.flat[0] if mesh is not None else None
+    except Exception:
+        return None
+
+
 def training_rng(seed: int):
     """Step rng for dropout/noise keys, using the TPU's hardware RNG
     ('rbg') instead of the default software threefry: generating dropout
@@ -260,7 +291,7 @@ class FastSpeech2Trainer(TrainerBase):
 
     def __init__(self, config, dataset, val_dataset, lang2id, speaker2id,
                  stats=None, mesh=None, run_dir=None, gradient_clip_val=None,
-                 fsdp=False):
+                 fsdp=False, compute_dtype="auto"):
         super().__init__(config, mesh=mesh, run_dir=run_dir, fsdp=fsdp)
         from everyvoice_tpu.models.fs2.model import FastSpeech2
 
@@ -269,11 +300,17 @@ class FastSpeech2Trainer(TrainerBase):
         self.lang2id = lang2id
         self.speaker2id = speaker2id
         self.stats = stats or {}
+        # bf16 Conformer/conv compute on TPU (params, alignment encoder,
+        # heads, and losses stay float32). See resolve_compute_dtype.
+        self.compute_dtype = resolve_compute_dtype(
+            compute_dtype, _mesh_device(self.mesh)
+        )
         self.model = FastSpeech2.from_config(
             config,
             n_symbols=len(dataset.text_processor.symbols),
             n_speakers=max(len(speaker2id), 1),
             n_langs=max(len(lang2id), 1),
+            compute_dtype=self.compute_dtype,
         )
         self.optimizer = build_optimizer(
             config.training.optimizer, self.model.dim,
@@ -628,7 +665,7 @@ class HiFiGANTrainer(TrainerBase):
     model_name = "HiFiGAN"
 
     def __init__(self, config, dataset, val_dataset, mesh=None, run_dir=None,
-                 gradient_clip_val=None, fsdp=False):
+                 gradient_clip_val=None, fsdp=False, compute_dtype="auto"):
         super().__init__(config, mesh=mesh, run_dir=run_dir, fsdp=fsdp)
         from everyvoice_tpu.models.hifigan.model import (
             HiFiGANGenerator,
@@ -638,9 +675,22 @@ class HiFiGANTrainer(TrainerBase):
 
         self.dataset = dataset
         self.val_dataset = val_dataset
-        self.generator = HiFiGANGenerator.from_config(config)
-        self.mpd = MultiPeriodDiscriminator(periods=tuple(config.model.mpd_layers))
-        self.msd = MultiScaleDiscriminator(n_scales=config.model.msd_layers)
+        # bf16 conv compute on TPU (params/losses/opt state stay float32);
+        # the GAN objective needs no loss scaling in bf16. See
+        # resolve_compute_dtype.
+        self.compute_dtype = resolve_compute_dtype(
+            compute_dtype, _mesh_device(self.mesh)
+        )
+        self.generator = HiFiGANGenerator.from_config(
+            config, compute_dtype=self.compute_dtype
+        )
+        self.mpd = MultiPeriodDiscriminator(
+            periods=tuple(config.model.mpd_layers),
+            compute_dtype=self.compute_dtype,
+        )
+        self.msd = MultiScaleDiscriminator(
+            n_scales=config.model.msd_layers, compute_dtype=self.compute_dtype
+        )
         self.gen_opt = build_optimizer(
             config.training.optimizer, gradient_clip_val=gradient_clip_val
         )

@@ -754,3 +754,116 @@ class TestValidationPadding:
         val = trainer.validate(params)
         assert np.isfinite(val["total"])
         assert trainer._eval_step._cache_size() == 1
+
+
+class TestComputePrecision:
+    """bf16 training compute (train.loop.resolve_compute_dtype + the
+    models' compute_dtype knobs — TPU-first mixed precision with float32
+    params/losses; no reference equivalent, its Lightning trainers train
+    full 32-bit)."""
+
+    def test_resolve_auto_per_platform(self):
+        from everyvoice_tpu.train.loop import resolve_compute_dtype
+
+        # On a CPU device 'auto' must keep exact reference numerics; the
+        # device matters, not the process's default backend (a CPU mesh on
+        # a TPU-attached host still resolves to float32).
+        cpu = jax.devices("cpu")[0]
+        assert resolve_compute_dtype("auto", cpu) == "float32"
+        assert resolve_compute_dtype("bfloat16", cpu) == "bfloat16"
+        assert resolve_compute_dtype("float32") == "float32"
+
+    def test_trainer_on_cpu_mesh_resolves_float32(self, lj_corpus, cpu_mesh):
+        config, _ = lj_corpus
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        lang2id, speaker2id = lookuptables_from_data((train, train))
+        ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+        trainer = FastSpeech2Trainer(
+            config, ds, ds, lang2id, speaker2id, mesh=cpu_mesh
+        )
+        assert trainer.compute_dtype == "float32"
+        assert trainer.model.compute_dtype == "float32"
+
+    def test_discriminators_bf16_track_f32(self):
+        import jax.numpy as jnp
+        from everyvoice_tpu.models.hifigan.model import (
+            MultiPeriodDiscriminator,
+            MultiScaleDiscriminator,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        wav = jax.random.normal(jax.random.PRNGKey(1), (2, 512)) * 0.2
+        for make in (
+            lambda dt: MultiPeriodDiscriminator((2, 3), compute_dtype=dt),
+            lambda dt: MultiScaleDiscriminator(2, compute_dtype=dt),
+        ):
+            m32, m16 = make("float32"), make("bfloat16")
+            params = m32.init(rng, wav)
+            # params are float32 regardless of compute dtype
+            p16 = m16.init(rng, wav)
+            assert all(
+                x.dtype == jnp.float32 for x in jax.tree.leaves(p16)
+            )
+            s32, _ = m32.apply(params, wav)
+            s16, _ = m16.apply(params, wav)
+            for a, b in zip(s32, s16):
+                assert b.dtype == jnp.bfloat16
+                a = np.asarray(a)
+                b = np.asarray(b, np.float32)
+                scale = np.abs(a).max() + 1e-9
+                assert np.abs(a - b).max() / scale < 0.1
+
+    def test_gan_losses_reduce_in_f32_from_bf16_scores(self):
+        import jax.numpy as jnp
+        from everyvoice_tpu.models.hifigan.loss import (
+            discriminator_loss,
+            feature_matching_loss,
+            generator_adversarial_loss,
+        )
+
+        real = [jnp.ones((2, 8), jnp.bfloat16)]
+        fake = [jnp.zeros((2, 8), jnp.bfloat16)]
+        feats_r = [[jnp.ones((2, 4, 3), jnp.bfloat16)]]
+        feats_f = [[jnp.zeros((2, 4, 3), jnp.bfloat16)]]
+        for loss in (
+            discriminator_loss(real, fake),
+            generator_adversarial_loss(fake),
+            feature_matching_loss(feats_r, feats_f),
+        ):
+            assert loss.dtype == jnp.float32
+            assert np.isfinite(float(loss))
+
+    def test_fs2_bf16_forward_tracks_f32(self):
+        import jax.numpy as jnp
+        from everyvoice_tpu.models.fs2.model import FastSpeech2
+
+        kw = dict(
+            n_symbols=20, enc_layers=1, dec_layers=1, dim=32, enc_heads=2,
+            dec_heads=2, enc_ff_dim=64, dec_ff_dim=64, vp_layers=1,
+            n_mels=16, max_frames=48, learn_alignment=False,
+        )
+        m32 = FastSpeech2(**kw)
+        m16 = FastSpeech2(compute_dtype="bfloat16", **kw)
+        text = jnp.asarray([[1, 2, 3, 4, 5, 6, 0, 0]], jnp.int32)
+        lengths = jnp.asarray([6], jnp.int32)
+        # Pin durations (teacher forcing) so both precisions regulate to the
+        # identical frame layout — the comparison then isolates numerics.
+        durations = jnp.where(
+            jnp.arange(8)[None, :] < 6, 4, 0
+        ).astype(jnp.int32)
+        kw_call = dict(durations=durations, teacher_forcing=True)
+        # eager init: teacher_forcing is python-static control flow
+        params = m32.init(jax.random.PRNGKey(0), text, lengths, **kw_call)
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(params))
+        out32 = m32.apply(params, text, lengths, **kw_call)
+        out16 = m16.apply(params, text, lengths, **kw_call)
+        mel32 = np.asarray(out32["mel"])
+        mel16 = np.asarray(out16["mel"], np.float32)
+        assert mel16.dtype == np.float32  # heads stay f32
+        # bf16 rounding compounds through LayerNorms and may flip a
+        # variance bin, so the bound is loose — what matters is that the
+        # two precisions compute the same function, not bit parity.
+        rms = np.sqrt(np.mean(mel32**2)) + 1e-9
+        assert np.sqrt(np.mean((mel32 - mel16) ** 2)) / rms < 0.15
+        corr = np.corrcoef(mel32.ravel(), mel16.ravel())[0, 1]
+        assert corr > 0.99

@@ -35,9 +35,11 @@ def main() -> None:
     sample_rate = 22050
     hop = 256
 
-    fs2 = FastSpeech2(n_symbols=100, max_frames=max_frames)
-    # Serving config: bf16 vocoder compute (params f32), as in the
-    # Synthesizer's deployment default.
+    # Serving config: bf16 conv/matmul compute for both stages (params f32),
+    # as in the Synthesizer's deployment default on TPU.
+    fs2 = FastSpeech2(
+        n_symbols=100, max_frames=max_frames, compute_dtype="bfloat16"
+    )
     gen = HiFiGANGenerator(compute_dtype="bfloat16")
     rng = jax.random.PRNGKey(0)
     text = jax.random.randint(rng, (batch, n_text), 2, 100)

@@ -437,14 +437,9 @@ def train_text_to_wav(config_path, mode, config_args, accelerator, devices,
     strat = parse_strategy(strategy)
     mesh = setup_mesh(accelerator, devices, nodes=nodes,
                       model_parallel=strat.model_parallel)
-    if compute_precision == "bfloat16":
-        click.echo(
-            "Note: StyleTTS2 training does not yet support bfloat16 compute; "
-            "running float32.", err=True,
-        )
     trainer = StyleTTS2Trainer(config, ds, vds, lang2id=lang2id, mesh=mesh,
                                mode=mode, gradient_clip_val=gradient_clip_val,
-                               fsdp=strat.fsdp)
+                               fsdp=strat.fsdp, compute_dtype=compute_precision)
     trainer.fit(profile_steps=profile_steps,
                 steps_per_execution=steps_per_execution)
     click.echo(f"Stage {mode} training complete; checkpoints at {trainer.ckpt_dir}")

@@ -16,9 +16,15 @@ from everyvoice_tpu.logger import logger
 OUTPUT_FORMATS = ("wav", "spec", "textgrid", "readalong-xml", "readalong-html")
 
 
-def load_fs2_from_checkpoint(ckpt_path: Path | str):
+def load_fs2_from_checkpoint(ckpt_path: Path | str,
+                             compute_dtype: str = "float32"):
     """Rebuild (model, params, config, text_processor, lookups) from a
-    checkpoint file."""
+    checkpoint file.
+
+    `compute_dtype` sets the Conformer/conv compute precision (params stay
+    float32). Defaults to float32 for exact numerics (check-data loss
+    scoring, teacher-forcing spec export); the `Synthesizer` serving path
+    requests bfloat16 on TPU."""
     from everyvoice_tpu.models.fs2.config import FastSpeech2Config
     from everyvoice_tpu.models.fs2.model import FastSpeech2
     from everyvoice_tpu.text import TextProcessor
@@ -42,6 +48,7 @@ def load_fs2_from_checkpoint(ckpt_path: Path | str):
         n_symbols=len(text_processor.symbols),
         n_speakers=max(len(speaker2id), 1),
         n_langs=max(len(lang2id), 1),
+        compute_dtype=compute_dtype,
     )
     import jax
 
@@ -53,15 +60,19 @@ def load_fs2_from_checkpoint(ckpt_path: Path | str):
 
 
 def load_vocoder_from_checkpoint(ckpt_path: Path | str,
-                                 compute_dtype: str = "bfloat16"):
+                                 compute_dtype: str = "auto"):
     """Load a HiFiGAN (full) or HiFiGANGenerator (exported) checkpoint
     (parity: hfgl load_hifigan_from_checkpoint, demo/app.py:28-33).
 
-    Serving defaults to bfloat16 convolution compute (params stay float32)
-    — standard TPU inference practice, ~1.4x faster on the MXU."""
+    Serving resolves 'auto' to bfloat16 convolution compute on TPU (params
+    stay float32 — standard TPU inference practice, ~1.4x faster on the
+    MXU) and exact float32 on CPU."""
     from everyvoice_tpu.models.hifigan.config import HiFiGANConfig
     from everyvoice_tpu.models.hifigan.model import HiFiGANGenerator
     from everyvoice_tpu.train.checkpoint import load_checkpoint
+    from everyvoice_tpu.utils.precision import resolve_compute_dtype
+
+    compute_dtype = resolve_compute_dtype(compute_dtype)
 
     ckpt = load_checkpoint(ckpt_path)
     name = ckpt["model_info"]["name"]
@@ -108,19 +119,29 @@ class Synthesizer:
         self,
         fs2_checkpoint: Path | str,
         vocoder_checkpoint: Optional[Path | str] = None,
+        compute_dtype: str = "auto",
     ):
         import jax
 
+        from everyvoice_tpu.utils.precision import resolve_compute_dtype
+
+        # Deployment precision: bf16 conv/matmul compute on TPU (params stay
+        # float32, ~1.4x faster on the MXU), exact float32 on CPU.
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
         (
             self.model, self.params, self.config, self.text_processor,
             self.lang2id, self.speaker2id,
-        ) = load_fs2_from_checkpoint(fs2_checkpoint)
+        ) = load_fs2_from_checkpoint(
+            fs2_checkpoint, compute_dtype=self.compute_dtype
+        )
         self.vocoder = None
         self.vocoder_params = None
         self.vocoder_config = None
         if vocoder_checkpoint is not None:
             self.vocoder, self.vocoder_params, self.vocoder_config = (
-                load_vocoder_from_checkpoint(vocoder_checkpoint)
+                load_vocoder_from_checkpoint(
+                    vocoder_checkpoint, compute_dtype=self.compute_dtype
+                )
             )
         self._jit_cache: dict = {}
         self._jax = jax

@@ -15,19 +15,25 @@ import numpy as np
 
 
 class AdaIN1d(nn.Module):
-    """Adaptive instance norm: per-channel scale/shift predicted from style."""
+    """Adaptive instance norm: per-channel scale/shift predicted from style.
+
+    Instance statistics are always reduced in float32 (matching flax's norm
+    layers); only the normalized output is cast to `dtype`."""
 
     channels: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, style):
         # x: (B, T, C); style: (B, S)
-        gamma_beta = nn.Dense(2 * self.channels)(style)
+        gamma_beta = nn.Dense(2 * self.channels)(style.astype(jnp.float32))
         gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.var(x, axis=1, keepdims=True)
-        normed = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-        return (1.0 + gamma[:, None, :]) * normed + beta[:, None, :]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.var(x32, axis=1, keepdims=True)
+        normed = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        out = (1.0 + gamma[:, None, :]) * normed + beta[:, None, :]
+        return out.astype(jnp.dtype(self.dtype))
 
 
 class AdaINResBlock1(nn.Module):
@@ -37,26 +43,30 @@ class AdaINResBlock1(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int]
+    # Conv compute dtype (params stay float32; AdaIN stats stay float32).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, style):
+        dt = jnp.dtype(self.dtype)
         for d in self.dilations:
-            y = AdaIN1d(x.shape[-1])(x, style)
+            y = AdaIN1d(x.shape[-1], dtype=self.dtype)(x, style)
             alpha1 = self.param(
                 f"alpha1_{d}", nn.initializers.ones, (1, 1, x.shape[-1])
-            )
+            ).astype(dt)
             y = y + (1.0 / (alpha1 + 1e-9)) * jnp.sin(alpha1 * y) ** 2  # snake
             y = nn.WeightNorm(
                 nn.Conv(self.channels, (self.kernel_size,),
-                        kernel_dilation=(d,), padding="SAME")
+                        kernel_dilation=(d,), padding="SAME", dtype=dt)
             )(y)
-            y = AdaIN1d(self.channels)(y, style)
+            y = AdaIN1d(self.channels, dtype=self.dtype)(y, style)
             alpha2 = self.param(
                 f"alpha2_{d}", nn.initializers.ones, (1, 1, self.channels)
-            )
+            ).astype(dt)
             y = y + (1.0 / (alpha2 + 1e-9)) * jnp.sin(alpha2 * y) ** 2
             y = nn.WeightNorm(
-                nn.Conv(self.channels, (self.kernel_size,), padding="SAME")
+                nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                        dtype=dt)
             )(y)
             x = x + y
         return x
@@ -96,24 +106,30 @@ class StyleEncoder(nn.Module):
     base_channels: int = 64
     max_channels: int = 512
     n_downs: int = 4
+    # Conv compute dtype (params stay float32; the pooled head and the
+    # style vector it emits are float32).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, mel):
-        x = mel[..., None]  # (B, T, M, 1)
+        dt = jnp.dtype(self.dtype)
+        x = mel[..., None].astype(dt)  # (B, T, M, 1)
         ch = self.base_channels
-        x = nn.Conv(ch, (3, 3), padding="SAME")(x)
+        x = nn.Conv(ch, (3, 3), padding="SAME", dtype=dt)(x)
         for _ in range(self.n_downs):
             out_ch = min(ch * 2, self.max_channels)
             y = nn.leaky_relu(x, 0.2)
-            y = nn.Conv(ch, (3, 3), padding="SAME")(y)
+            y = nn.Conv(ch, (3, 3), padding="SAME", dtype=dt)(y)
             y = nn.leaky_relu(y, 0.2)
-            y = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="SAME")(y)
-            skip = nn.Conv(out_ch, (1, 1), strides=(2, 2))(x)
-            x = (y + skip) / jnp.sqrt(2.0)
+            y = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=dt)(y)
+            skip = nn.Conv(out_ch, (1, 1), strides=(2, 2), dtype=dt)(x)
+            x = (y + skip) / jnp.sqrt(2.0).astype(dt)
             ch = out_ch
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(self.max_channels, (3, 3), padding="SAME")(x)
-        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.Conv(self.max_channels, (3, 3), padding="SAME", dtype=dt)(x)
+        # Pool and head in float32 so the style vector keeps full precision.
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(self.style_dim)(x)
 
 
@@ -187,16 +203,24 @@ class StyleDecoder(nn.Module):
     style_dim: int = 128
     sample_rate: int = 22050
     hop: int = 256
+    # Conv compute dtype for the upsampling/MRF stack (params stay float32;
+    # the harmonic source's phase accumulation and the iSTFT head always run
+    # in float32 — bf16 cumsum over thousands of samples would destroy
+    # phase coherence).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, features, f0_frames, energy, style, noise_key=None):
         # features: (B, T, C) frame-aligned; conditioning via AdaIN.
         from everyvoice_tpu.dsp.spectral import istft
 
+        dt = jnp.dtype(self.compute_dtype)
         x = nn.WeightNorm(
-            nn.Conv(self.upsample_initial_channel, (7,), padding="SAME")
-        )(features)
-        # Source excitation, downsampled back to feature resolution per stage.
+            nn.Conv(self.upsample_initial_channel, (7,), padding="SAME",
+                    dtype=dt)
+        )(features.astype(dt))
+        # Source excitation, downsampled back to feature resolution per
+        # stage (computed in float32: sample-rate phase cumsum).
         source = harmonic_noise_source(
             f0_frames, self.hop, self.sample_rate, key=noise_key
         )[..., 0]  # (B, S)
@@ -210,7 +234,8 @@ class StyleDecoder(nn.Module):
             cur_up *= rate
             x = nn.leaky_relu(x, 0.1)
             x = nn.WeightNorm(
-                nn.ConvTranspose(ch, (kernel,), strides=(rate,), padding="SAME")
+                nn.ConvTranspose(ch, (kernel,), strides=(rate,),
+                                 padding="SAME", dtype=dt)
             )(x)
             # Inject the downsampled source at this resolution.
             stride = self.hop // cur_up * self.gen_istft_hop_size
@@ -219,18 +244,25 @@ class StyleDecoder(nn.Module):
             src_ds = jax.image.resize(
                 source, (source.shape[0], src_len), method="linear"
             )
-            src_feat = nn.Conv(ch, (7,), padding="SAME")(src_ds[..., None])
+            src_feat = nn.Conv(ch, (7,), padding="SAME", dtype=dt)(
+                src_ds[..., None].astype(dt)
+            )
             x = x + src_feat
             acc = None
             for k, ds in zip(
                 self.resblock_kernel_sizes, self.resblock_dilation_sizes
             ):
-                y = AdaINResBlock1(ch, k, tuple(ds))(x, style)
+                y = AdaINResBlock1(ch, k, tuple(ds),
+                                   dtype=self.compute_dtype)(x, style)
                 acc = y if acc is None else acc + y
-            x = acc / len(self.resblock_kernel_sizes)
+            x = acc / jnp.asarray(
+                len(self.resblock_kernel_sizes), x.dtype
+            )
         x = nn.leaky_relu(x, 0.1)
         n_bins = self.gen_istft_n_fft // 2 + 1
-        x = nn.WeightNorm(nn.Conv(2 * n_bins, (7,), padding="SAME"))(x)
+        x = nn.WeightNorm(nn.Conv(2 * n_bins, (7,), padding="SAME"))(
+            x.astype(jnp.float32)
+        )
         mag = jnp.exp(jnp.clip(x[..., :n_bins], -10.0, 8.0))
         phase = jnp.pi * jnp.sin(x[..., n_bins:])
         real = mag * jnp.cos(phase)

@@ -70,6 +70,12 @@ class StyleTTS2Module(nn.Module):
     # header so inference rebuilds the same module structure.
     plbert_geometry: Optional[tuple] = None
     asr_geometry: Optional[tuple] = None
+    # Conv compute dtype for the waveform-scale hot path (decoder MRF stack,
+    # style encoders). Everything precision-sensitive stays float32
+    # regardless: LSTM text encoders, prosody predictor, diffusion denoiser,
+    # TMA aligner, PL-BERT, the harmonic source's phase accumulation, the
+    # iSTFT head, and all losses.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(
@@ -79,9 +85,11 @@ class StyleTTS2Module(nn.Module):
         n_langs: int = 1,
         plbert_geometry: Optional[dict] = None,
         asr_geometry: Optional[dict] = None,
+        compute_dtype: str = "float32",
     ) -> "StyleTTS2Module":
         m = config.model
         return cls(
+            compute_dtype=compute_dtype,
             plbert_geometry=(
                 tuple(sorted(plbert_geometry.items()))
                 if plbert_geometry else None
@@ -144,8 +152,12 @@ class StyleTTS2Module(nn.Module):
             # FastSpeech2 — no torch ASR checkpoint needed, and every DP is
             # a lax.scan.
             self.tma_aligner = AlignmentEncoder(dim=self.hidden_dim // 2)
-        self.acoustic_style_encoder = StyleEncoder(self.style_dim)
-        self.prosodic_style_encoder = StyleEncoder(self.style_dim)
+        self.acoustic_style_encoder = StyleEncoder(
+            self.style_dim, dtype=self.compute_dtype
+        )
+        self.prosodic_style_encoder = StyleEncoder(
+            self.style_dim, dtype=self.compute_dtype
+        )
         self.predictor = ProsodyPredictor(
             self.style_dim, self.hidden_dim, self.max_dur
         )
@@ -157,6 +169,7 @@ class StyleTTS2Module(nn.Module):
             style_dim=self.style_dim,
             sample_rate=self.sample_rate,
             hop=self.hop,
+            compute_dtype=self.compute_dtype,
         )
         self.denoiser = DiffusionDenoiser(
             self.style_dim * 2,  # joint acoustic+prosodic style

@@ -13,11 +13,16 @@ import jax
 import jax.numpy as jnp
 
 
-def load_styletts2_model(ckpt_path: Path | str):
+def load_styletts2_model(ckpt_path: Path | str, compute_dtype: str = "auto"):
     from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
     from everyvoice_tpu.models.styletts2.model import StyleTTS2Module
     from everyvoice_tpu.text import TextProcessor
     from everyvoice_tpu.train.checkpoint import load_checkpoint
+    from everyvoice_tpu.utils.precision import resolve_compute_dtype
+
+    # Serving precision: bf16 conv compute for the waveform-scale decoder on
+    # TPU (params stay float32), exact float32 on CPU.
+    compute_dtype = resolve_compute_dtype(compute_dtype)
 
     ckpt = load_checkpoint(ckpt_path)
     if ckpt["model_info"]["name"] != "StyleTTS2Module":
@@ -39,6 +44,7 @@ def load_styletts2_model(ckpt_path: Path | str):
         n_langs=max(len(hp.get("lang2id", {})), 1),
         plbert_geometry=components.get("plbert"),
         asr_geometry=components.get("asr"),
+        compute_dtype=compute_dtype,
     )
     params = ckpt["state_dict"].get("generator", ckpt["state_dict"])
     # Device-resident once at load (host numpy params would re-upload the

@@ -39,18 +39,28 @@ class StyleTTS2Trainer(TrainerBase):
 
     def __init__(self, config, dataset, val_dataset, lang2id=None,
                  mesh=None, run_dir=None, mode: str = "first",
-                 gradient_clip_val=None, fsdp=False):
+                 gradient_clip_val=None, fsdp=False, compute_dtype="auto"):
         super().__init__(config, mesh=mesh, run_dir=run_dir, fsdp=fsdp)
         from everyvoice_tpu.models.hifigan.model import (
             MultiPeriodDiscriminator,
             MultiScaleDiscriminator,
         )
         from everyvoice_tpu.models.styletts2.model import StyleTTS2Module
+        from everyvoice_tpu.utils.precision import (
+            mesh_device,
+            resolve_compute_dtype,
+        )
 
         self.mode = mode
         self.dataset = dataset
         self.val_dataset = val_dataset
         self.lang2id = lang2id or {}
+        # bf16 conv compute on TPU for the waveform-scale hot path (decoder
+        # MRF stack, style encoders, MPD/MSD discriminators); LSTMs,
+        # diffusion, aligners, PL-BERT, WavLM, and all losses stay float32.
+        self.compute_dtype = resolve_compute_dtype(
+            compute_dtype, mesh_device(self.mesh)
+        )
         (
             self.plbert_geometry,
             self.asr_geometry,
@@ -65,11 +75,16 @@ class StyleTTS2Trainer(TrainerBase):
             n_langs=max(len(self.lang2id), 1),
             plbert_geometry=self.plbert_geometry,
             asr_geometry=self.asr_geometry,
+            compute_dtype=self.compute_dtype,
         )
         self.mpd = MultiPeriodDiscriminator(
-            periods=tuple(config.model.decoder.mpd_layers)
+            periods=tuple(config.model.decoder.mpd_layers),
+            compute_dtype=self.compute_dtype,
         )
-        self.msd = MultiScaleDiscriminator(n_scales=config.model.decoder.msd_layers)
+        self.msd = MultiScaleDiscriminator(
+            n_scales=config.model.decoder.msd_layers,
+            compute_dtype=self.compute_dtype,
+        )
         # SLM-adversarial training (stage 2, reference styletts2 slmadv):
         # activates when model.slm.model points at locally available WavLM
         # weights (a HF directory staged via `everyvoice fetch-pretrained`).

@@ -70,35 +70,11 @@ from everyvoice_tpu.train.optim import build_optimizer
 
 
 
-def resolve_compute_dtype(requested: str = "auto", device=None) -> str:
-    """TPU-first mixed precision for training compute.
-
-    'auto' resolves to bfloat16 conv/matmul compute on TPU — parameters,
-    losses, reductions, and optimizer state stay float32, and bf16 shares
-    float32's exponent range so (unlike fp16) GAN training needs no loss
-    scaling — and to float32 everywhere else, so CPU runs keep exact
-    reference numerics. The reference trains in full 32-bit (its Lightning
-    trainers never set `precision`); on the MXU, float32 compute runs at
-    less than half the bf16 rate, so this is a pure-throughput knob with
-    parameters still accumulated in float32.
-
-    `device` should be a device the step will actually run on (a trainer
-    passes one from its mesh — the mesh may be CPU even when the process's
-    default backend is a TPU); defaults to the default backend's first
-    device.
-    """
-    if requested != "auto":
-        return requested
-    platform = (device or jax.devices()[0]).platform
-    return "bfloat16" if platform in ("tpu", "axon") else "float32"
-
-
-def _mesh_device(mesh):
-    """First device of a Mesh, or None."""
-    try:
-        return mesh.devices.flat[0] if mesh is not None else None
-    except Exception:
-        return None
+# Shared with the serving path; see utils/precision.py for the policy.
+from everyvoice_tpu.utils.precision import (  # noqa: E402
+    mesh_device as _mesh_device,
+    resolve_compute_dtype,
+)
 
 
 def training_rng(seed: int):

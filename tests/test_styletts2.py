@@ -113,6 +113,52 @@ class TestModule:
         assert not np.allclose(np.asarray(style), np.asarray(style2))
 
 
+class TestComputePrecision:
+    """bf16 conv compute for the waveform-scale hot path (decoder MRF
+    stack, style encoders) — params, losses, LSTMs, phase accumulation,
+    and the iSTFT head stay float32. No reference equivalent (its
+    Lightning trainers train full 32-bit)."""
+
+    def test_bf16_forward_tracks_f32_with_shared_params(self, tiny_setup):
+        m32, params, (tokens, tl, ref_mel, dur, f0, en) = tiny_setup
+        m16 = StyleTTS2Module(
+            n_symbols=50, hidden_dim=64, style_dim=32, max_frames=64,
+            upsample_rates=(8, 8), diff_layers=1, diff_heads=2,
+            diff_head_features=16, compute_dtype="bfloat16",
+        )
+        # compute dtype never changes the parameter structure or dtype
+        p16 = m16.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0),
+             "noise": jax.random.PRNGKey(0)},
+            tokens, tl, ref_mel, durations=dur, f0_frames=f0, energy_frames=en,
+        )
+        assert jax.tree.structure(p16) == jax.tree.structure(params)
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(p16))
+        kw = dict(durations=dur, f0_frames=f0, energy_frames=en)
+        out32 = m32.apply(params, tokens, tl, ref_mel, **kw)
+        out16 = m16.apply(params, tokens, tl, ref_mel, **kw)
+        wav32 = np.asarray(out32["wav"])
+        wav16 = np.asarray(out16["wav"])
+        assert wav16.dtype == np.float32  # iSTFT head stays f32
+        rms = np.sqrt(np.mean(wav32**2)) + 1e-9
+        # Same function, reduced mantissa: close but not bit-equal.
+        assert np.sqrt(np.mean((wav32 - wav16) ** 2)) / rms < 0.2
+        corr = np.corrcoef(wav32.ravel(), wav16.ravel())[0, 1]
+        assert corr > 0.98
+        # Style vectors (float32 heads) also track.
+        s32 = np.asarray(out32["acoustic_style"])
+        s16 = np.asarray(out16["acoustic_style"])
+        assert s16.dtype == np.float32
+        assert np.corrcoef(s32.ravel(), s16.ravel())[0, 1] > 0.98
+
+    def test_trainer_on_cpu_mesh_resolves_float32(self):
+        from everyvoice_tpu.utils.precision import resolve_compute_dtype
+
+        cpu = jax.devices("cpu")[0]
+        assert resolve_compute_dtype("auto", cpu) == "float32"
+        assert resolve_compute_dtype("bfloat16", cpu) == "bfloat16"
+
+
 @pytest.mark.slow
 class TestStage1Training:
     def test_one_training_step(self, lj_corpus, tmp_path):

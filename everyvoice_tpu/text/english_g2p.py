@@ -1,10 +1,20 @@
-"""Built-in rule-based English grapheme-to-phoneme engine.
+"""Built-in English grapheme-to-phoneme engine.
 
-The reference delegates English G2P to the `g2p` library's ARPABET mappings;
-that dependency is not available here, so we ship a self-contained
-lexicon + letter-to-sound engine. It is intentionally pluggable: users get
-better quality by registering a custom engine in
-``TextConfig.g2p_engines`` (see everyvoice_tpu.config.text_config).
+The reference delegates English G2P to the `g2p` library's trained
+CMUdict-derived `eng`→`eng-ipa` transducer (reference
+everyvoice/text/phonemizer.py:20-110); that dependency is not available
+here, so we ship a self-contained engine with the same output alphabet:
+
+1. an ARPABET exception lexicon (everyvoice_tpu.text.english_lexicon)
+   with morphological extension (plural/possessive/past/-ing/-ly),
+2. letter-to-sound rules for out-of-vocabulary words, emitting the same
+   phone inventory (ʌ for schwa, ɜ˞ for the r-colored vowel, r-controlled
+   vowel digraphs) so OOV words stay inside the declared symbol set.
+
+Accuracy against the reference-produced IPA in
+reference everyvoice/tests/data/metadata_phones.psv is pinned by
+tests/test_g2p_accuracy.py. The engine stays pluggable: users can
+register a better engine via ``TextConfig.g2p_engines``.
 
 Output is a list of IPA phone tokens as produced by
 everyvoice_tpu.text.ipa.tokenize_ipa (diphthongs split into components,
@@ -16,54 +26,22 @@ from __future__ import annotations
 import re
 from typing import List
 
-# A compact exception lexicon of very common English words (IPA, no stress).
-LEXICON = {
-    "a": "ə", "about": "əbaʊt", "after": "æftɚ", "again": "əɡɛn",
-    "all": "ɔl", "also": "ɔlsoʊ", "an": "æn", "and": "ænd", "any": "ɛni",
-    "are": "ɑɹ", "as": "æz", "at": "æt", "be": "bi", "because": "bɪkʌz",
-    "been": "bɪn", "before": "bɪfɔɹ", "but": "bʌt", "by": "baɪ",
-    "can": "kæn", "cheese": "t͡ʃiz", "come": "kʌm", "could": "kʊd",
-    "day": "deɪ", "do": "du",
-    "does": "dʌz", "done": "dʌn", "down": "daʊn", "each": "it͡ʃ",
-    "eight": "eɪt", "even": "ivən", "every": "ɛvɹi", "eye": "aɪ",
-    "first": "fɝst", "five": "faɪv", "for": "fɔɹ", "four": "fɔɹ",
-    "from": "fɹʌm", "get": "ɡɛt", "give": "ɡɪv", "go": "ɡoʊ",
-    "good": "ɡʊd", "great": "ɡɹeɪt", "had": "hæd", "has": "hæz",
-    "have": "hæv", "he": "hi", "hear": "hiɹ", "heart": "hɑɹt",
-    "hello": "hʌloʊ", "her": "hɝ", "here": "hiɹ", "him": "hɪm",
-    "his": "hɪz", "how": "haʊ", "i": "aɪ", "if": "ɪf", "in": "ɪn",
-    "into": "ɪntu", "is": "ɪz", "it": "ɪt", "its": "ɪts", "just": "d͡ʒʌst",
-    "know": "noʊ", "language": "læŋɡwɪd͡ʒ", "learn": "lɝn", "like": "laɪk",
-    "little": "lɪtəl", "live": "lɪv", "long": "lɔŋ", "look": "lʊk",
-    "love": "lʌv", "made": "meɪd", "make": "meɪk", "many": "mɛni",
-    "may": "meɪ", "me": "mi", "more": "mɔɹ", "most": "moʊst", "move": "muv",
-    "much": "mʌt͡ʃ", "my": "maɪ", "new": "nu", "no": "noʊ", "not": "nɑt",
-    "now": "naʊ", "of": "ʌv", "off": "ɔf", "old": "oʊld", "on": "ɑn",
-    "once": "wʌns", "one": "wʌn", "only": "oʊnli", "or": "ɔɹ",
-    "other": "ʌðɚ", "our": "aʊɚ", "out": "aʊt", "over": "oʊvɚ",
-    "people": "pipəl", "said": "sɛd", "say": "seɪ", "see": "si",
-    "she": "ʃi", "should": "ʃʊd", "so": "soʊ", "some": "sʌm",
-    "sound": "saʊnd", "speech": "spit͡ʃ", "synthesis": "sɪnθəsɪs",
-    "than": "ðæn", "that": "ðæt", "the": "ðə", "their": "ðɛɹ",
-    "them": "ðɛm", "then": "ðɛn", "there": "ðɛɹ", "these": "ðiz",
-    "they": "ðeɪ", "this": "ðɪs", "those": "ðoʊz", "three": "θɹi",
-    "through": "θɹu", "time": "taɪm", "to": "tu", "today": "tədeɪ",
-    "two": "tu", "use": "juz", "very": "vɛɹi", "voice": "vɔɪs",
-    "want": "wɑnt", "was": "wʌz", "water": "wɔtɚ", "way": "weɪ",
-    "we": "wi", "were": "wɝ", "what": "wʌt", "when": "wɛn",
-    "where": "wɛɹ", "which": "wɪt͡ʃ", "who": "hu", "why": "waɪ",
-    "will": "wɪl", "with": "wɪð", "word": "wɝd", "world": "wɝld",
-    "would": "wʊd", "year": "jiɹ", "you": "ju", "your": "jɔɹ",
-}
+from everyvoice_tpu.text.english_lexicon import lookup as _lexicon_lookup
 
-# Ordered letter-to-sound rules: (pattern, ipa). Longest-match first within
-# each starting letter; applied greedily left to right. "V" in a context
-# means a vowel letter. A final fallback maps single letters.
+# Ordered letter-to-sound rules: (pattern, ipa). Applied greedily left to
+# right, longest-pattern first at each position. The phone alphabet matches
+# the lexicon's (g2p-library conventions): schwa-like reductions → ʌ,
+# r-colored vowels → ɜ˞ / ɑɹ / ɔɹ / iɹ / ɛɹ / ʊɹ.
 MULTIGRAPH_RULES = [
-    ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "t͡ʃɚ"),
-    ("ought", "ɔt"), ("aught", "ɔt"), ("ight", "aɪt"), ("eigh", "eɪ"),
-    ("ough", "ʌf"), ("augh", "æf"),
-    ("tch", "t͡ʃ"), ("dge", "d͡ʒ"), ("sch", "sk"),
+    ("tions", "ʃʌnz"), ("sions", "ʒʌnz"),
+    ("tion", "ʃʌn"), ("sion", "ʒʌn"), ("cial", "ʃʌl"), ("tial", "ʃʌl"),
+    ("cious", "ʃʌs"), ("tious", "ʃʌs"), ("ture", "t͡ʃɜ˞"),
+    ("sure", "ʒɜ˞"), ("ought", "ɔt"), ("aught", "ɔt"), ("ight", "aɪt"),
+    ("eigh", "eɪ"), ("ough", "ʌf"), ("augh", "æf"), ("tch", "t͡ʃ"),
+    ("dge", "d͡ʒ"), ("sch", "sk"), ("ear", "iɹ"), ("eer", "iɹ"),
+    ("ier", "iɹ"), ("air", "ɛɹ"), ("are", "ɛɹ"), ("oor", "ɔɹ"),
+    ("our", "ɔɹ"), ("ure", "ʊɹ"),
+    ("ar", "ɑɹ"), ("or", "ɔɹ"), ("er", "ɜ˞"), ("ir", "ɜ˞"), ("ur", "ɜ˞"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔ"), ("aw", "ɔ"),
     ("ea", "i"), ("ee", "i"), ("ei", "eɪ"), ("eu", "ju"), ("ew", "ju"),
     ("ey", "eɪ"), ("ie", "i"), ("oa", "oʊ"), ("oe", "oʊ"), ("oi", "ɔɪ"),
@@ -91,10 +69,8 @@ _VOWELS = set("aeiouy")
 _LONG_VOWEL = {"a": "eɪ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "ju"}
 
 
-def _word_to_ipa(word: str) -> str:
-    word = word.lower()
-    if word in LEXICON:
-        return LEXICON[word]
+def _letters_to_sound(word: str) -> str:
+    """Rule-based fallback for words the lexicon cannot derive."""
     # Handle the magic-e pattern on the final syllable.
     m = re.search(r"([aeiou])([bcdfgklmnprstvz])e$", word)
     long_sub = None
@@ -122,6 +98,16 @@ def _word_to_ipa(word: str) -> str:
             out.append("i" if i == len(word) - 1 else "ɪ")
             i += 1
             continue
+        # final unstressed -e(d)/-es handled by morphology; a lone final e
+        # after a consonant cluster is usually silent (e.g. "ensemble").
+        if (
+            word[i] == "e"
+            and i == len(word) - 1
+            and i > 1
+            and word[i - 1] not in _VOWELS
+        ):
+            i += 1
+            continue
         for pattern, ipa in MULTIGRAPH_RULES:
             if word.startswith(pattern, i):
                 out.append(ipa)
@@ -133,6 +119,16 @@ def _word_to_ipa(word: str) -> str:
     return "".join(out)
 
 
+def _word_to_ipa(word: str) -> str:
+    word = word.lower()
+    hit = _lexicon_lookup(word)
+    if hit is not None:
+        return hit
+    if "-" in word:  # hyphenated compounds: derive each part
+        return "".join(_word_to_ipa(part) for part in word.split("-") if part)
+    return _letters_to_sound(word)
+
+
 def english_g2p(normalized_text: str) -> List[str]:
     """Convert normalized English text to a list of IPA phone tokens.
 
@@ -140,15 +136,17 @@ def english_g2p(normalized_text: str) -> List[str]:
     ['h', 'ʌ', 'l', 'o', 'ʊ']
     >>> english_g2p('cheese cake')[:3]
     ['t͡ʃ', 'i', 'z']
+    >>> ''.join(english_g2p('the future'))
+    'ðʌ fjut͡ʃɜ˞'
     """
     from everyvoice_tpu.text.ipa import tokenize_ipa
 
     tokens: List[str] = []
-    pieces = re.split(r"(\W+)", normalized_text)
+    pieces = re.split(r"([^\w'-]+)", normalized_text)
     for piece in pieces:
         if not piece:
             continue
-        if re.match(r"^\w+$", piece, re.UNICODE):
+        if re.match(r"^[\w'-]*\w[\w'-]*$", piece, re.UNICODE):
             tokens.extend(tokenize_ipa(_word_to_ipa(piece)))
         else:
             # Punctuation and whitespace pass through character by character;

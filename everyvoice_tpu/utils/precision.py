@@ -29,12 +29,23 @@ def resolve_compute_dtype(requested: str = "auto", device=None) -> str:
     suite pins it to CPU while the container's primary backend is the TPU).
     """
     if requested != "auto":
+        if requested not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Unsupported compute dtype {requested!r}: expected 'auto', "
+                "'float32', or 'bfloat16' (fp16 would need loss scaling, "
+                "which this framework deliberately does not implement)"
+            )
         return requested
     import jax
 
     if device is None:
         device = jax.config.jax_default_device
-    platform = (device or jax.devices()[0]).platform
+    if isinstance(device, str):
+        # jax.config.update('jax_default_device', 'cpu') / JAX_DEFAULT_DEVICE
+        # store a plain platform string rather than a Device object.
+        platform = device.split(":")[0]
+    else:
+        platform = (device or jax.devices()[0]).platform
     return "bfloat16" if platform in ("tpu", "axon") else "float32"
 
 

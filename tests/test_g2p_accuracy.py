@@ -1,0 +1,149 @@
+"""G2P accuracy against reference-produced goldens.
+
+The reference's English G2P is the `g2p` library's trained transducer
+(reference everyvoice/text/phonemizer.py:90); its outputs for five LJ
+sentences ship in the reference mount
+(everyvoice/tests/data/metadata_phones.psv / metadata.psv — 84 word
+tokens). These tests score the built-in `eng` engine against them:
+
+- full engine (lexicon + morphology + letter-to-sound): pinned at 100%
+  word-level agreement;
+- letter-to-sound rules alone (the true-OOV fallback): a floor is pinned
+  so rule regressions are caught (word agreement and phone error rate).
+"""
+
+import re
+import unicodedata
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path("/root/reference/everyvoice/tests/data/metadata_phones.psv")
+
+
+def _norm(s: str) -> str:
+    # NFC + strip tie bars: the framework writes affricates as t͡ʃ/d͡ʒ
+    # (matching its feature table), the g2p library writes tʃ/dʒ.
+    return unicodedata.normalize("NFC", s).replace("͡", "")
+
+
+def _golden_pairs():
+    rows = GOLDEN.read_text(encoding="utf-8").splitlines()
+    header = rows[0].split("|")
+    pairs = []
+    for line in rows[1:]:
+        d = dict(zip(header, line.split("|")))
+        words = [
+            re.sub(r"^[^\w]+|[^\w]+$", "", w) for w in d["clean_text"].split()
+        ]
+        gold = [re.sub(r"[^\w˞]+", "", w) for w in d["phones"].split()]
+        words = [w for w in words if w]
+        gold = [g for g in gold if g]
+        assert len(words) == len(gold), (words, gold)
+        pairs.extend(zip(words, gold))
+    return pairs
+
+
+def _levenshtein(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = np.zeros((m + 1, n + 1), int)
+    d[:, 0] = np.arange(m + 1)
+    d[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return int(d[m, n])
+
+
+@pytest.mark.skipif(not GOLDEN.exists(), reason="reference mount absent")
+class TestReferenceGoldenAgreement:
+    def test_full_engine_matches_reference_exactly(self):
+        """Lexicon + morphology + LTS reproduces every reference-produced
+        word pronunciation (84/84)."""
+        from everyvoice_tpu.text.english_g2p import english_g2p
+
+        misses = []
+        for word, gold in _golden_pairs():
+            ours = _norm(
+                "".join(
+                    t for t in english_g2p(word) if re.match(r"[\w˞]", t)
+                )
+            )
+            if ours != _norm(gold):
+                misses.append((word, _norm(gold), ours))
+        assert not misses, f"G2P disagreements vs reference goldens: {misses}"
+
+    def test_letter_to_sound_floor(self):
+        """The true-OOV fallback alone (no lexicon) must stay above the
+        measured round-4 floor: ≥20% exact-word, ≤40% phone error rate.
+        (Measured at introduction: 23.8% / 36.0%.)"""
+        from everyvoice_tpu.text.english_g2p import _letters_to_sound
+
+        total = match = dist = gold_len = 0
+        for word, gold in _golden_pairs():
+            ours = _norm(_letters_to_sound(word.lower().replace("-", "")))
+            gold = _norm(gold)
+            total += 1
+            match += ours == gold
+            dist += _levenshtein(ours, gold)
+            gold_len += len(gold)
+        assert match / total >= 0.20, f"LTS word agreement {match}/{total}"
+        assert dist / gold_len <= 0.40, f"LTS phone error rate {dist}/{gold_len}"
+
+
+class TestLexicon:
+    def test_arpabet_conversion_conventions(self):
+        """AH→ʌ, ER→ɜ˞, stress dropped — the g2p library's eng-ipa
+        alphabet (verified against the reference goldens)."""
+        from everyvoice_tpu.text.english_lexicon import arpabet_to_ipa
+
+        assert arpabet_to_ipa("DH AH0") == "ðʌ"
+        assert arpabet_to_ipa("T ER1 M Z") == "tɜ˞mz"
+        assert arpabet_to_ipa("F Y UW1 CH ER0") == "fjut͡ʃɜ˞"
+
+    def test_all_entries_are_valid_arpabet(self):
+        from everyvoice_tpu.text.english_lexicon import (
+            ARPABET_LEXICON,
+            G2P_ARPA_TO_IPA,
+        )
+
+        for word, pron in ARPABET_LEXICON.items():
+            for token in pron.split():
+                phone = token.rstrip("012")
+                assert phone in G2P_ARPA_TO_IPA, (word, token)
+                # every vowel must carry a stress digit, consonants none
+                if phone in ("AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER",
+                             "EY", "IH", "IY", "OW", "OY", "UH", "UW"):
+                    assert token[-1] in "012", (word, token)
+
+    def test_morphological_extension(self):
+        from everyvoice_tpu.text.english_lexicon import lookup
+
+        assert lookup("books") == "bʊks"          # voiceless + s
+        assert lookup("words") == "wɜ˞dz"          # voiced + z
+        assert lookup("places") == "pleɪsɪz"       # sibilant + ɪz
+        assert lookup("walked") == "wɔkt"          # voiceless + t
+        assert lookup("loved") == "lʌvd"           # voiced + d
+        assert lookup("wanted") == "wɑntɪd"        # t/d + ɪd
+        assert lookup("asking") == "æskɪŋ"         # -ing
+        assert lookup("making") == "meɪkɪŋ"        # e-drop -ing
+        assert lookup("quickly") == "kwɪkli"       # -ly
+        assert lookup("world's") == "wɜ˞ldz"       # possessive
+        assert lookup("zzzq") is None              # true OOV → LTS
+
+    def test_lexicon_scale(self):
+        """The round-3 verdict required the lexicon to stop being ~100
+        words; pin the floor so it never shrinks back."""
+        from everyvoice_tpu.text.english_lexicon import ARPABET_LEXICON
+
+        assert len(ARPABET_LEXICON) >= 1000
+
+    def test_hyphenated_compounds(self):
+        from everyvoice_tpu.text.english_g2p import english_g2p
+
+        assert "".join(english_g2p("deep-seated")) == "dipsitɪd"

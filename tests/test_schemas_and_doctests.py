@@ -48,6 +48,7 @@ DOCTEST_MODULES = [
     "everyvoice_tpu.text.utils",
     "everyvoice_tpu.text.arpabet",
     "everyvoice_tpu.text.english_g2p",
+    "everyvoice_tpu.text.english_lexicon",
     "everyvoice_tpu.text.textsplit",
     "everyvoice_tpu.text.text_processor",
     "everyvoice_tpu.text.features",

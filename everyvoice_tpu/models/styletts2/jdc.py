@@ -126,32 +126,38 @@ class _ResBlock(nn.Module):
 class JDCNet(nn.Module):
     """Mel (B, T, n_mels) -> per-frame F0 (B, T), classifier path only.
 
-    `n_mels` must be 80: the three res-block pools (80->40->20->10) and the
-    final (1,4) pool (10->2) produce exactly the 2*256=512 BiLSTM features
-    the pretrained weights expect."""
+    At the published geometry (the default), `n_mels` must be 80: the three
+    res-block pools (80->40->20->10) and the final (1,4) pool (10->2)
+    produce exactly the 2*256=512 BiLSTM features the pretrained weights
+    expect. The geometry knobs exist so a reduced-size mirror can be pinned
+    by a small committed golden fixture
+    (tests/data/golden_pretrained/jdc.npz)."""
 
     num_class: int = 1
     slope: float = 0.01
+    channels: Tuple[int, int, int, int] = (64, 128, 192, 256)
+    lstm_hidden: int = 256
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = mel.shape
+        c0, c1, c2, c3 = self.channels
         x = mel[..., None]  # (B, T, bins, 1)
-        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
+        x = nn.Conv(c0, (3, 3), padding="SAME", use_bias=False,
                     name="stem_conv1")(x)
-        x = _FrozenBN(64, name="stem_bn")(x)
+        x = _FrozenBN(c0, name="stem_bn")(x)
         x = nn.leaky_relu(x, self.slope)
-        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
+        x = nn.Conv(c0, (3, 3), padding="SAME", use_bias=False,
                     name="stem_conv2")(x)
-        x = _ResBlock(64, 128, name="res1")(x)
-        x = _ResBlock(128, 192, name="res2")(x)
-        x = _ResBlock(192, 256, name="res3")(x)
-        x = _FrozenBN(256, name="pool_bn")(x)
+        x = _ResBlock(c0, c1, name="res1")(x)
+        x = _ResBlock(c1, c2, name="res2")(x)
+        x = _ResBlock(c2, c3, name="res3")(x)
+        x = _FrozenBN(c3, name="pool_bn")(x)
         x = nn.leaky_relu(x, self.slope)
         x = nn.max_pool(x, (1, 4), strides=(1, 4))  # bins 10 -> 2
         # torch flattens (C, bins) channel-major: (B,T,bins,C)->(B,T,C,bins).
         x = x.transpose(0, 1, 3, 2).reshape(b, t, -1)  # (B, T, 512)
-        x = _BiLSTM(256, name="bilstm")(x)
+        x = _BiLSTM(self.lstm_hidden, name="bilstm")(x)
         x = nn.Dense(self.num_class, name="classifier")(x)
         return jnp.abs(x[..., 0])
 

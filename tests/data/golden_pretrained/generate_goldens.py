@@ -160,13 +160,14 @@ def gen_wav2vec2():
 
 
 class _TorchJDC(nn.Module):
-    def __init__(self):
+    def __init__(self, channels=(64, 128, 192, 256), lstm_hidden=256):
         super().__init__()
+        c0, c1, c2, c3 = channels
         lrelu = nn.LeakyReLU(0.01)
         self.conv_block = nn.Sequential(
-            nn.Conv2d(1, 64, 3, padding=1, bias=False),
-            nn.BatchNorm2d(64), lrelu,
-            nn.Conv2d(64, 64, 3, padding=1, bias=False),
+            nn.Conv2d(1, c0, 3, padding=1, bias=False),
+            nn.BatchNorm2d(c0), lrelu,
+            nn.Conv2d(c0, c0, 3, padding=1, bias=False),
         )
 
         def res(i, o):
@@ -182,15 +183,16 @@ class _TorchJDC(nn.Module):
             block.conv1by1 = nn.Conv2d(i, o, 1, bias=False)
             return block
 
-        self.res_block1 = res(64, 128)
-        self.res_block2 = res(128, 192)
-        self.res_block3 = res(192, 256)
+        self.res_block1 = res(c0, c1)
+        self.res_block2 = res(c1, c2)
+        self.res_block3 = res(c2, c3)
         self.pool_block = nn.Sequential(
-            nn.BatchNorm2d(256), lrelu, nn.MaxPool2d((1, 4)),
+            nn.BatchNorm2d(c3), lrelu, nn.MaxPool2d((1, 4)),
         )
-        self.bilstm_classifier = nn.LSTM(512, 256, batch_first=True,
+        self.bilstm_classifier = nn.LSTM(2 * c3, lstm_hidden,
+                                         batch_first=True,
                                          bidirectional=True)
-        self.classifier = nn.Linear(512, 1)
+        self.classifier = nn.Linear(2 * lstm_hidden, 1)
 
     def forward(self, mel):  # mel (B, T, bins)
         x = mel[:, None]  # (B, 1, T, bins)
@@ -208,7 +210,11 @@ class _TorchJDC(nn.Module):
 def gen_jdc():
     from everyvoice_tpu.models.styletts2.jdc import convert_torch_jdc_state
 
-    model = _TorchJDC().eval()
+    # Reduced geometry (the full published geometry — channels
+    # 64/128/192/256, BiLSTM 512x256 — would make a ~12 MB fixture); the
+    # converter layout and every op are identical, only the widths shrink.
+    geometry = dict(channels=[8, 12, 16, 24], lstm_hidden=16)
+    model = _TorchJDC(channels=(8, 12, 16, 24), lstm_hidden=16).eval()
     # non-trivial running stats so frozen-BN handling is actually exercised
     with torch.no_grad():
         for module in model.modules():
@@ -220,7 +226,7 @@ def gen_jdc():
     with torch.no_grad():
         expected = model(torch.from_numpy(mel)).numpy()
     params = convert_torch_jdc_state({"net": model.state_dict()})
-    save_fixture("jdc", params, {}, {"mel": mel}, {"f0": expected})
+    save_fixture("jdc", params, geometry, {"mel": mel}, {"f0": expected})
 
 
 # ---------------------------------------------------------------------------
@@ -393,8 +399,5 @@ if __name__ == "__main__":
     gen_wavlm()
     gen_wav2vec2()
     gen_asr()
-    # gen_jdc() is intentionally NOT committed: the JDC geometry is fixed by
-    # the published checkpoint (BiLSTM 512x256 etc.), making its fixture
-    # ~12 MB. tests/test_styletts2_goldens.py instead runs the live torch
-    # mirror (`_TorchJDC`) when torch is available.
+    gen_jdc()
     print("done")

@@ -7,9 +7,7 @@ tests ASSERT — not skip — in torch-less images, drift-gating the flax
 modules against real torch forward passes.
 
 Regenerate with: python tests/data/golden_pretrained/generate_goldens.py
-(needs torch + transformers). JDC has no committed fixture (its published
-geometry makes one ~12 MB); its parity test builds the torch mirror live
-and skips without torch.
+(needs torch + transformers).
 """
 
 import json
@@ -116,10 +114,28 @@ class TestASRGolden:
         )
 
 
+class TestJDCGolden:
+    def test_matches_torch_jdc_mirror_fixture(self):
+        """Committed reduced-geometry fixture (every op and the converter
+        layout are identical to the published geometry; only the channel
+        widths shrink, which keeps the fixture small) — asserts in
+        torch-less images like the other four components."""
+        from everyvoice_tpu.models.styletts2.jdc import JDCNet
+
+        variables, geometry, inputs, expected = load_fixture("jdc")
+        geometry["channels"] = tuple(geometry["channels"])
+        module = JDCNet(**geometry)
+        out = module.apply(variables, jnp.asarray(inputs["mel"]))
+        np.testing.assert_allclose(
+            np.asarray(out), expected["f0"], atol=5e-4, rtol=5e-3
+        )
+
+
 class TestJDCParity:
-    def test_matches_torch_jdc_mirror(self):
-        """Live parity vs the torch mirror of the published JDCNet (no
-        committed fixture — the fixed geometry would be ~12 MB)."""
+    def test_matches_torch_jdc_mirror_full_geometry(self):
+        """Live parity vs the torch mirror at the FULL published geometry
+        (BiLSTM 512x256) when torch is available — the committed fixture
+        above covers torch-less images at reduced widths."""
         pytest.importorskip("torch")
         import sys
 

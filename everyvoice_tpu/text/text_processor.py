@@ -151,14 +151,31 @@ class TextProcessor:
     def calculate_phonological_features(
         self, phone_tokens: list, apply_punctuation_rules: bool = True
     ) -> npt.NDArray[np.float32]:
-        if self.phonological_feature_calculator is None:
-            self.phonological_feature_calculator = PhonologicalFeatureCalculator(
+        calculator = self.phonological_feature_calculator
+        if calculator is None:
+            calculator = PhonologicalFeatureCalculator(
                 text_config=self.config,
                 punctuation_hash=self.punctuation_internal_hash,
             )
-        if apply_punctuation_rules:
-            phone_tokens = self.apply_punctuation_rules(phone_tokens)
-        return self.phonological_feature_calculator.get_features(phone_tokens)
+            self.phonological_feature_calculator = calculator
+        tokens = (
+            self.apply_punctuation_rules(phone_tokens)
+            if apply_punctuation_rules else phone_tokens
+        )
+        return calculator.get_features(tokens)
+
+    def _run_g2p(self, normalized_text: str, lang_id: str) -> list:
+        """Run the registered engine, insisting on a token-list result."""
+        tokens = None
+        try:
+            tokens = get_g2p_engine(lang_id)(normalized_text)
+        except Exception:
+            pass
+        assert isinstance(tokens, list), (
+            f"The g2p engine for {lang_id} produced {type(tokens)} but must "
+            "produce a list of tokenized phones."
+        )
+        return tokens
 
     def apply_g2p_and_tokenization(
         self,
@@ -174,28 +191,19 @@ class TextProcessor:
         >>> tp.apply_g2p_and_tokenization('hello', 'eng')
         ['h', 'ʌ', 'l', 'o', 'ʊ']
         """
-        g2p_engine = get_g2p_engine(lang_id)
-        try:
-            tokens = g2p_engine(normalized_text)
-        except Exception:
-            tokens = None
-        assert isinstance(tokens, list), (
-            f"The g2p engine for {lang_id} produced {type(tokens)} but must "
-            "produce a list of tokenized phones."
-        )
-        valid_tokens = []
-        punctuation_set = set(self.punctuation_characters)
-        for token in tokens:
-            if token in self._symbol_to_id or token in punctuation_set:
-                valid_tokens.append(token)
-            else:
-                if find_missing and not quiet:
-                    logger.warning(
-                        f"Dropping '{token}' from '{normalized_text}': it is "
-                        "missing from the symbol inventory in your text config."
-                    )
-                self.missing_symbols[token] += 1
-        return valid_tokens
+        known = self._symbol_to_id.keys() | set(self.punctuation_characters)
+        kept = []
+        for token in self._run_g2p(normalized_text, lang_id):
+            if token in known:
+                kept.append(token)
+                continue
+            self.missing_symbols[token] += 1
+            if find_missing and not quiet:
+                logger.warning(
+                    f"Dropping '{token}' from '{normalized_text}': it is "
+                    "missing from the symbol inventory in your text config."
+                )
+        return kept
 
     def apply_tokenization(
         self, normalized_text: str, quiet: bool = False, find_missing: bool = True
@@ -211,6 +219,37 @@ class TextProcessor:
         if find_missing:
             self.get_missing_symbols(normalized_text, quiet=quiet)
         return self._tokenizer.findall(normalized_text)
+
+    def tokens_for(
+        self,
+        text: str,
+        *,
+        lang_id: Optional[str] = None,
+        apply_g2p: bool = False,
+        normalize: bool = True,
+        normalize_punctuation: bool = False,
+        quiet: bool = False,
+        find_missing: bool = True,
+        dataset_label: Optional[str] = None,
+    ) -> list:
+        """Validated token sequence for `text`: normalization, then either
+        G2P (when an engine is requested) or inventory tokenization, then
+        optional punctuation-class internalization. This is the shared
+        front half of `encode_text`, also usable on its own when string
+        tokens (not IDs) are wanted."""
+        if normalize:
+            text = self.normalize_text(
+                text, dataset_label=dataset_label, lang_id=lang_id
+            )
+        if apply_g2p and lang_id is not None:
+            tokens = self.apply_g2p_and_tokenization(
+                text, lang_id, quiet=quiet, find_missing=find_missing
+            )
+        else:
+            tokens = self.apply_tokenization(
+                text, quiet=quiet, find_missing=find_missing
+            )
+        return self.apply_punctuation_rules(tokens) if normalize_punctuation else tokens
 
     def encode_text(
         self,
@@ -244,28 +283,21 @@ class TextProcessor:
                 "apply_g2p cannot run. Register one in your text config's "
                 "g2p_engines map or pick a supported language."
             )
-        if normalize_text:
-            text = self.normalize_text(
-                text, dataset_label=dataset_label, lang_id=lang_id
-            )
-        if apply_g2p and lang_id is not None:
-            tokens = self.apply_g2p_and_tokenization(
-                normalized_text=text,
-                lang_id=lang_id,
-                quiet=quiet,
-                find_missing=find_missing,
-            )
-        else:
-            tokens = self.apply_tokenization(
-                text, quiet=quiet, find_missing=find_missing
-            )
-        if normalize_punctuation:
-            tokens = self.apply_punctuation_rules(tokens)
+        tokens = self.tokens_for(
+            text,
+            lang_id=lang_id,
+            apply_g2p=apply_g2p,
+            normalize=normalize_text,
+            normalize_punctuation=normalize_punctuation,
+            quiet=quiet,
+            find_missing=find_missing,
+            dataset_label=dataset_label,
+        )
         if encode_as_phonological_features:
             return self.calculate_phonological_features(
                 tokens, apply_punctuation_rules=False
             )
-        return [self._symbol_to_id[symbol] for symbol in tokens]
+        return self.encode_string_tokens(tokens)
 
     # ------------------------------------------------------------------
     def token_sequence_to_text_sequence(self, sequence: list) -> list:
@@ -316,13 +348,12 @@ class TextProcessor:
     ) -> Union[str, list]:
         """Decode IDs back to a '/'-joined string (or a token list when
         join_character is None)."""
+        symbols = self.token_sequence_to_text_sequence(sequence)
         if join_character is None:
-            return self.token_sequence_to_text_sequence(sequence)
+            return symbols
         assert joiner_substitution is not None
-        return join_character.join(
-            x.replace(join_character, joiner_substitution)
-            for x in self.token_sequence_to_text_sequence(sequence)
-        )
+        escaped = (s.replace(join_character, joiner_substitution) for s in symbols)
+        return join_character.join(escaped)
 
     def split_tokens(
         self,
@@ -332,6 +363,6 @@ class TextProcessor:
     ) -> list:
         """Inverse of decode_tokens' joining."""
         return [
-            x.replace(joiner_substitution, join_character)
-            for x in joined_sequence.split(join_character)
+            piece.replace(joiner_substitution, join_character)
+            for piece in joined_sequence.split(join_character)
         ]

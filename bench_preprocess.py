@@ -131,6 +131,37 @@ def end_to_end(n_utts: int, cpus: int) -> None:
                 ),
             },
         }
+        transfers = getattr(preprocessor, "last_transfer_bytes", None)
+        if transfers:
+            # Production projection (BASELINE.md methodology): on this dev
+            # relay the feature step is transfer-bound at ~30 MB/s fetch; a
+            # production host owns the accelerator over a local PCIe-class
+            # link. Device compute, H2D, and D2H all overlap (the loop
+            # double-buffers and PCIe is full-duplex), so the projected
+            # feature-step wall is the max of the three. Compute time uses
+            # the device-resident throughput from the default mode of this
+            # bench (audio-sec/s on the same chip), passed via
+            # --device-audio-rate (default: the round-2 hardened 12800).
+            link_bw = 8e9  # bytes/s per direction, conservative PCIe gen3
+            device_rate = 12800.0
+            if "--device-audio-rate" in sys.argv:
+                device_rate = float(
+                    sys.argv[sys.argv.index("--device-audio-rate") + 1]
+                )
+            compute_s = total_seconds / device_rate
+            up_s = transfers["up"] / link_bw
+            down_s = transfers["down"] / link_bw
+            feature_wall = result["detail"]["step_seconds"].get("spec", 0.0)
+            result["detail"]["feature_transfer_accounting"] = {
+                "bytes_up": transfers["up"],
+                "bytes_down": transfers["down"],
+                "measured_feature_step_seconds": feature_wall,
+                "device_compute_seconds_at_measured_rate": round(compute_s, 2),
+                "projected_production_feature_seconds": round(
+                    max(compute_s, up_s, down_s), 2
+                ),
+                "assumed_production_link_bytes_per_s": link_bw,
+            }
         print(json.dumps(result))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -52,6 +52,13 @@ class StyleTTS2Trainer(TrainerBase):
         )
 
         self.mode = mode
+        # Stage-tagged "last" checkpoint, matching the reference layout the
+        # regression harness checks (stage-1-last.ckpt / stage-2-last.ckpt,
+        # reference tests/regression/regression-test.sh:99-105) and letting
+        # stage 2's default first_stage_path pickup find stage 1's output.
+        self.last_checkpoint_name = (
+            "stage-1-last.ckpt" if mode == "first" else "stage-2-last.ckpt"
+        )
         self.dataset = dataset
         self.val_dataset = val_dataset
         self.lang2id = lang2id or {}
@@ -938,6 +945,31 @@ class StyleTTS2Trainer(TrainerBase):
             },
         }
 
+    def _resolve_first_stage_path(self, configured) -> Optional[Path]:
+        """Locate the stage-1 checkpoint stage 2 grows from. The configured
+        path (default ``checkpoints/stage-1-last.ckpt``) is tried as given,
+        then relative to this run's directory, then — because each run gets
+        a fresh timestamped sub_dir — against every sibling run of the same
+        experiment (newest first), matching the reference's
+        "automatically picks up stage 1's checkpoint via
+        training.first_stage_path" contract
+        (reference tests/regression/regression-test.sh:102-104)."""
+        configured = Path(configured)
+        candidates = [configured]
+        if not configured.is_absolute():
+            candidates.append(self.run_dir / configured)
+            lc = self.training_config.logger
+            version_dir = Path(lc.save_dir) / lc.name / lc.version
+            siblings = [
+                p for p in version_dir.glob(f"*/{configured.as_posix()}")
+                if p.is_file()
+            ]
+            candidates.extend(
+                sorted(siblings, key=lambda p: p.stat().st_mtime,
+                       reverse=True)
+            )
+        return next((c for c in candidates if c.is_file()), None)
+
     def fit(self, max_steps: Optional[int] = None, log_every: int = 10,
             profile_steps: int = 0, steps_per_execution: int = 1):
         t = self.training_config
@@ -967,8 +999,8 @@ class StyleTTS2Trainer(TrainerBase):
         disc_params = state.get("discriminators", disc_params)
         resumed = t.finetune_checkpoint is not None
         if self.mode == "second" and not resumed:
-            first_stage = Path(t.first_stage_path)
-            if first_stage.exists():
+            first_stage = self._resolve_first_stage_path(t.first_stage_path)
+            if first_stage is not None:
                 from everyvoice_tpu.train.checkpoint import load_checkpoint
 
                 ckpt = load_checkpoint(first_stage)
@@ -979,7 +1011,7 @@ class StyleTTS2Trainer(TrainerBase):
                 logger.info(f"Loaded stage-1 checkpoint from {first_stage}")
             else:
                 logger.warning(
-                    f"Stage-1 checkpoint {first_stage} not found; "
+                    f"Stage-1 checkpoint {t.first_stage_path} not found; "
                     "training stage 2 from scratch."
                 )
         gen_opt_state = self.gen_opt.init(gen_params)

@@ -483,6 +483,10 @@ class Preprocessor:
         import jax
 
         program = self._feature_program()
+        # Host<->device transfer accounting (padded shapes as actually
+        # shipped), for benchmark reporting: relay-vs-production projections
+        # need the real byte counts.
+        self.last_transfer_bytes = {"up": 0, "down": 0}
 
         def write_outputs(chunk, outputs) -> None:
             # One fused transfer per batch (three sequential np.asarray
@@ -529,6 +533,11 @@ class Preprocessor:
                 else:
                     batch[j, : len(a)] = a
             outputs = program(batch)
+            self.last_transfer_bytes["up"] += batch.nbytes
+            for leaf in outputs:
+                self.last_transfer_bytes["down"] += (
+                    leaf.size * leaf.dtype.itemsize
+                )
             for leaf in outputs:
                 try:
                     leaf.copy_to_host_async()

@@ -92,6 +92,10 @@ def training_rng(seed: int):
 class TrainerBase:
     model_name = "Base"
     monitor = "validation/total"
+    # Filename of the always-current checkpoint; the StyleTTS2 trainer
+    # overrides it per stage ("stage-1-last.ckpt"/"stage-2-last.ckpt",
+    # reference tests/regression/regression-test.sh:99-105).
+    last_checkpoint_name = "last.ckpt"
 
     def __init__(self, config, mesh=None, run_dir: Optional[Path] = None,
                  fsdp: bool = False):
@@ -139,7 +143,7 @@ class TrainerBase:
 
     def maybe_checkpoint(self, metric_value: float, params, opt_state, extra=None):
         keep = self.training_config.save_top_k_ckpts
-        last_path = self.ckpt_dir / "last.ckpt"
+        last_path = self.ckpt_dir / self.last_checkpoint_name
         self._save(last_path, params, opt_state, extra)
         if keep <= 0:
             return

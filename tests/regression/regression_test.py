@@ -29,7 +29,7 @@ def log(stage: str) -> None:
     print(f"\n===== {stage} =====", flush=True)
 
 
-def run_cli(*args: str) -> str:
+def run_cli(*args: str, with_stderr: bool = False) -> str:
     import os
 
     env = dict(os.environ, EVERYVOICE_DEVICE="cpu")
@@ -41,7 +41,7 @@ def run_cli(*args: str) -> str:
         print(result.stdout)
         print(result.stderr)
         raise SystemExit(f"CLI failed: everyvoice-tpu {' '.join(args)}")
-    return result.stdout
+    return result.stdout + result.stderr if with_stderr else result.stdout
 
 
 def main() -> None:
@@ -177,22 +177,17 @@ def main() -> None:
     out = run_cli("checkpoint", "inspect", str(fs2_ckpt))
     assert "FastSpeech2" in out
 
-    # ---- stage 8: StyleTTS2 stage-1 smoke (in-process; CLI path covered by
-    # unit tests)
-    log("StyleTTS2 stage 1")
-    from everyvoice_tpu.dataloader import StyleTTS2Dataset
-    from everyvoice_tpu.models.fs2.config import FastSpeech2Config
-    from everyvoice_tpu.models.styletts2.config import StyleTTS2Config
-    from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
-    from everyvoice_tpu.parallel import make_mesh
-    from everyvoice_tpu.utils import generic_psv_filelist_reader
-
-    fs2_config = FastSpeech2Config.load_config_from_path(
-        config_dir / "everyvoice-text-to-spec.yaml"
-    )
-    st2 = StyleTTS2Config(
-        contact={"contact_name": "Regression", "contact_email": "r@t.org"},
-        model={
+    # ---- stage 8: StyleTTS2 two-stage training through the CLI with
+    # automatic stage-1 pickup, then e2e synthesis with a reference wav
+    # (reference regression-test.sh:87-110; fetch-pretrained is env-blocked
+    # here — zero egress — so the run trains without the HF components,
+    # which the trainer supports with a warning)
+    log("preprocess text-to-wav")
+    e2e_yaml = config_dir / "everyvoice-text-to-wav.yaml"
+    e2e_cfg = load_config_file(e2e_yaml)
+    e2e_cfg["model"] = dict(
+        e2e_cfg.get("model") or {},
+        **{
             "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
             "decoder": {"upsample_initial_channel": 32,
                         "resblock_kernel_sizes": [3],
@@ -201,22 +196,50 @@ def main() -> None:
             "diffusion": {"transformer": {"num_layers": 1, "num_heads": 2,
                                           "head_features": 16}},
         },
-        preprocessing=fs2_config.preprocessing.model_dump(),
-        text=fs2_config.text.model_dump(),
     )
-    st2.preprocessing.save_dir = preprocessed
-    st2.training.training_filelist = preprocessed / "training_filelist.psv"
-    st2.training.validation_filelist = preprocessed / "validation_filelist.psv"
-    st2.training.batch_size = 2
-    st2.training.max_len = 128
-    train_list = generic_psv_filelist_reader(st2.training.training_filelist)
-    ds = StyleTTS2Dataset(train_list, st2)
-    trainer = StyleTTS2Trainer(
-        st2, ds, ds, mesh=make_mesh(jax.devices("cpu")[:2]),
-        run_dir=workdir / "styletts2", mode="first",
+    e2e_cfg["training"].update({
+        "batch_size": 2, "max_len": 128, "max_steps": args.steps,
+        "epochs_1st": 1, "epochs_2nd": 1, "use_validation_as_ood": True,
+        "OOD_min_length": 1,
+    })
+    write_config_file(e2e_yaml, e2e_cfg)
+    run_cli("preprocess", "text-to-wav", str(e2e_yaml))
+
+    log("train text-to-wav --mode first")
+    run_cli("train", "text-to-wav", str(e2e_yaml), "--mode", "first",
+            "-a", "cpu")
+    stage1 = sorted(logs.glob("**/checkpoints/stage-1-last.ckpt"))
+    assert stage1, "no stage-1 checkpoint written"
+
+    log("train text-to-wav --mode second (automatic stage-1 pickup)")
+    out = run_cli("train", "text-to-wav", str(e2e_yaml), "--mode", "second",
+                  "-a", "cpu", with_stderr=True)
+    assert "Loaded stage-1 checkpoint" in out, (
+        "stage 2 did not pick up the stage-1 checkpoint via "
+        "training.first_stage_path"
     )
-    trainer.fit(max_steps=1, log_every=1)
-    assert (workdir / "styletts2" / "checkpoints" / "last.ckpt").exists()
+    stage2 = sorted(logs.glob("**/checkpoints/stage-2-last.ckpt"))
+    assert stage2, "no stage-2 checkpoint written"
+
+    log("synthesize text-to-wav (reference wav)")
+    ref_wav = sorted((LJ_DATA / "lj" / "wavs").glob("*.wav"))[0]
+    synth3 = workdir / "synth3"
+    run_cli(
+        "synthesize", "text-to-wav", str(stage2[0]),
+        "-t", "this is a regression test",
+        "--reference", str(ref_wav), "--diffusion-steps", "2",
+        "-o", str(synth3),
+    )
+    assert list((synth3 / "wav").glob("*.wav")), "no e2e wav synthesized"
+
+    # ---- stage 8b: objective evaluation of the synthesized outputs
+    # (reference `everyvoice evaluate`; SQUIM weights are env-blocked, the
+    # native SI-SDR/STOI-proxy metrics run everywhere)
+    log("evaluate")
+    eval_json = workdir / "evaluation.json"
+    run_cli("evaluate", "-d", str(synth3 / "wav"), "-o", str(eval_json))
+    assert eval_json.exists()
+    assert json.loads(eval_json.read_text())
 
     # ---- stage 9: demo server API
     log("demo server")

@@ -209,7 +209,7 @@ class TestStyleTTS2FSDP:
             cfg.model_copy(deep=True), ds, ds, mesh=mesh, run_dir=run1,
             mode="first",
         ).fit(max_steps=1, log_every=1)
-        ckpt = run1 / "checkpoints" / "last.ckpt"
+        ckpt = run1 / "checkpoints" / "stage-1-last.ckpt"
         assert ckpt.exists()
 
         resumed = {}
@@ -226,7 +226,7 @@ class TestStyleTTS2FSDP:
             resumed[label] = gen_params
         _assert_trees_close(resumed["dp"], resumed["fsdp"])
         header = load_checkpoint_header(
-            tmp_path / "resume_fsdp" / "checkpoints" / "last.ckpt"
+            tmp_path / "resume_fsdp" / "checkpoints" / "stage-1-last.ckpt"
         )
         assert header["global_step"] == 2
         assert header["stage"] == "first"

@@ -200,10 +200,10 @@ class TestStage1Training:
             config, ds, ds, mesh=mesh, run_dir=tmp_path, mode="first",
         )
         gen_params, disc_params = trainer.fit(max_steps=1, log_every=1)
-        assert (tmp_path / "checkpoints" / "last.ckpt").exists()
+        assert (tmp_path / "checkpoints" / "stage-1-last.ckpt").exists()
         from everyvoice_tpu.train import load_checkpoint_header
 
-        header = load_checkpoint_header(tmp_path / "checkpoints" / "last.ckpt")
+        header = load_checkpoint_header(tmp_path / "checkpoints" / "stage-1-last.ckpt")
         assert header["model_info"]["name"] == "StyleTTS2Module"
         assert header["stage"] == "first"
 
@@ -473,3 +473,70 @@ class TestRecipeSchedule:
         assert list(
             np.asarray(trainer.phase_weights(losses.joint_epoch))
         ) == [1.0, 1.0, 1.0]
+
+
+class TestFirstStagePickup:
+    """Stage 2's automatic stage-1 checkpoint pickup
+    (training.first_stage_path, reference regression-test.sh:102-104)."""
+
+    def test_resolves_across_timestamped_sibling_runs(self, tmp_path):
+        """The default relative path resolves against sibling runs of the
+        same experiment (each run gets a fresh timestamped sub_dir), newest
+        first."""
+        import os
+        import types
+
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+
+        config = StyleTTS2Config(contact=CONTACT)
+        config.training.logger.save_dir = tmp_path / "logs"
+        lc = config.training.logger
+        version_dir = tmp_path / "logs" / lc.name / lc.version
+        older = version_dir / "2020-01-01_00-00-00" / "checkpoints"
+        newer = version_dir / "2020-01-02_00-00-00" / "checkpoints"
+        for d in (older, newer):
+            d.mkdir(parents=True)
+            (d / "stage-1-last.ckpt").write_bytes(b"stub")
+        os.utime(older / "stage-1-last.ckpt", (1.0, 1.0))
+        shim = types.SimpleNamespace(
+            run_dir=version_dir / "2020-01-03_00-00-00",
+            training_config=config.training,
+        )
+        found = StyleTTS2Trainer._resolve_first_stage_path(
+            shim, config.training.first_stage_path
+        )
+        assert found == newer / "stage-1-last.ckpt"
+
+    def test_explicit_and_run_dir_paths_win(self, tmp_path):
+        import types
+
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+
+        config = StyleTTS2Config(contact=CONTACT)
+        config.training.logger.save_dir = tmp_path / "logs"
+        run_dir = tmp_path / "run"
+        (run_dir / "checkpoints").mkdir(parents=True)
+        local = run_dir / "checkpoints" / "stage-1-last.ckpt"
+        local.write_bytes(b"stub")
+        shim = types.SimpleNamespace(
+            run_dir=run_dir, training_config=config.training
+        )
+        found = StyleTTS2Trainer._resolve_first_stage_path(
+            shim, config.training.first_stage_path
+        )
+        assert found == local
+        # absolute path used verbatim
+        absolute = tmp_path / "elsewhere.ckpt"
+        absolute.write_bytes(b"stub")
+        assert (
+            StyleTTS2Trainer._resolve_first_stage_path(shim, absolute)
+            == absolute
+        )
+        # nothing anywhere -> None (stage 2 trains from scratch with a
+        # warning)
+        assert (
+            StyleTTS2Trainer._resolve_first_stage_path(
+                shim, tmp_path / "missing.ckpt"
+            )
+            is None
+        )

@@ -414,7 +414,7 @@ class TestPretrainedWiring:
         )
 
         gen_params, disc_params = trainer.fit(max_steps=1, log_every=1)
-        last = tmp_path / "checkpoints" / "last.ckpt"
+        last = tmp_path / "checkpoints" / "stage-1-last.ckpt"
         assert last.exists()
         from everyvoice_tpu.train import load_checkpoint_header
 
@@ -462,7 +462,7 @@ class TestPretrainedWiring:
 @pytest.mark.slow
 class TestStyleTTS2Resume:
     def test_mid_stage_resume(self, lj_corpus, tmp_path):
-        """Kill a stage-1 run after one epoch and resume from last.ckpt with
+        """Kill a stage-1 run after one epoch and resume from stage-1-last.ckpt with
         step/epoch intact (reference base_cli/helpers.py:278-375)."""
         from everyvoice_tpu.dataloader import StyleTTS2Dataset
         from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
@@ -480,7 +480,7 @@ class TestStyleTTS2Resume:
             config, ds, ds, mesh=mesh, run_dir=run1, mode="first",
         )
         trainer.fit(max_steps=1, log_every=1)
-        last = run1 / "checkpoints" / "last.ckpt"
+        last = run1 / "checkpoints" / "stage-1-last.ckpt"
         header = load_checkpoint_header(last)
         assert header["global_step"] == 1
         assert header["epoch"] == 1
@@ -496,5 +496,5 @@ class TestStyleTTS2Resume:
         # one more step only: counters resumed, not restarted
         assert resumed.global_step == 2
         assert resumed.epoch >= 1
-        header2 = load_checkpoint_header(run2 / "checkpoints" / "last.ckpt")
+        header2 = load_checkpoint_header(run2 / "checkpoints" / "stage-1-last.ckpt")
         assert header2["global_step"] == 2

@@ -206,14 +206,17 @@ def main() -> None:
     run_cli("preprocess", "text-to-wav", str(e2e_yaml))
 
     log("train text-to-wav --mode first")
+    # -d 2: a 2-device DP mesh (the geometry the unit tests prove). The
+    # full 8-virtual-device mesh on a 1-core host can starve XLA:CPU's
+    # 40-second collective-rendezvous watchdog on this heavy step.
     run_cli("train", "text-to-wav", str(e2e_yaml), "--mode", "first",
-            "-a", "cpu")
+            "-a", "cpu", "-d", "2")
     stage1 = sorted(logs.glob("**/checkpoints/stage-1-last.ckpt"))
     assert stage1, "no stage-1 checkpoint written"
 
     log("train text-to-wav --mode second (automatic stage-1 pickup)")
     out = run_cli("train", "text-to-wav", str(e2e_yaml), "--mode", "second",
-                  "-a", "cpu", with_stderr=True)
+                  "-a", "cpu", "-d", "2", with_stderr=True)
     assert "Loaded stage-1 checkpoint" in out, (
         "stage 2 did not pick up the stage-1 checkpoint via "
         "training.first_stage_path"

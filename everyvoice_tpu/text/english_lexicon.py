@@ -628,7 +628,17 @@ ARPABET_LEXICON: dict = {
     # today's → tʌdeɪɛs, kennedy's → kɛnʌdiɛs). Kept as explicit entries —
     # the general possessive fallback below uses the phonological z/s/ɪz.
     "today's": "T AH0 D EY1 EH0 S", "kennedy's": "K EH1 N AH0 D IY0 EH0 S",
+
+    # -ower words that are NOT stem+er agentives/comparatives (the -er
+    # morphology below would mis-derive them from flow/pow/tow/show).
+    "flower": "F L AW1 ER0", "power": "P AW1 ER0", "tower": "T AW1 ER0",
+    "shower": "SH AW1 ER0",
 }
+
+# Round-5 LJ-corpus growth (separate module to keep this one reviewable).
+from everyvoice_tpu.text.english_lexicon_ext import LEXICON_EXT  # noqa: E402
+
+ARPABET_LEXICON.update(LEXICON_EXT)
 
 # g2p-library parity: its eng→eng-ipa mapping is the ARPABET pronunciation
 # with stress digits dropped and these vowel conventions (verified against
@@ -674,9 +684,12 @@ def lookup(word: str):
     base = ARPABET_LEXICON.get(word)
     if base is not None:
         return arpabet_to_ipa(base)
-    if word.endswith("'s") or word.endswith("s'"):
+    if word.endswith("'s"):
         stem = lookup(word[:-2])
         return _add_s(stem) if stem else None
+    if word.endswith("'"):
+        # Plural possessive (ladies', debtors'): same IPA as the plural.
+        return lookup(word[:-1])
     if word.endswith("ies") and len(word) > 4:
         stem = lookup(word[:-3] + "y")
         if stem and stem.endswith("i"):
@@ -695,6 +708,8 @@ def lookup(word: str):
         stem = lookup(word[:-2]) or lookup(word[:-1])  # walked / loved
         if stem is None and word.endswith("ied"):
             stem = lookup(word[:-3] + "y")
+        if stem is None and len(word) > 4 and word[-3] == word[-4]:
+            stem = lookup(word[:-3])  # planned → plan, committed → commit
         if stem:
             if stem.endswith(("t", "d")):
                 return stem + "ɪd"
@@ -712,7 +727,39 @@ def lookup(word: str):
         stem = lookup(word[:-2])
         if stem:
             return stem + "li"
+    # Comparative/agentive -er and superlative -est (CMUdict renders the
+    # suffix vowel AH0 → ʌ in the g2p alphabet, the -est one likewise):
+    # greater, larger (e-drop), bigger (doubling); greatest/largest/biggest.
+    if word.endswith("er") and len(word) > 3:
+        stem = _stem_for_suffix(word, 2)
+        if stem:
+            return stem + "ɜ˞"
+    if word.endswith("est") and len(word) > 4:
+        stem = _stem_for_suffix(word, 3)
+        if stem:
+            return stem + "ʌst"
+    # Productive nominal/adjectival suffixes on known stems: kindness,
+    # hopeful, harmless, payment (CMUdict: N AH0 S / F AH0 L / L AH0 S /
+    # M AH0 N T → the g2p alphabet's ʌ).
+    for suffix, tail in (("ness", "nʌs"), ("ful", "fʌl"),
+                         ("less", "lʌs"), ("ment", "mʌnt")):
+        if word.endswith(suffix) and len(word) > len(suffix) + 2:
+            stem = lookup(word[: -len(suffix)])
+            if stem:
+                return stem + tail
     return None
+
+
+def _stem_for_suffix(word: str, n: int):
+    """Stem IPA for a vowel-initial suffix of length n: direct (great-er),
+    e-drop (larg-er ← large), consonant-doubling (bigg-er ← big)."""
+    stem = lookup(word[:-n])
+    if stem is None:
+        base = ARPABET_LEXICON.get(word[:-n] + "e")  # e-drop: larger
+        stem = arpabet_to_ipa(base) if base is not None else None
+    if stem is None and len(word) > n + 2 and word[-n - 1] == word[-n - 2]:
+        stem = lookup(word[: -n - 1])  # doubling: bigger → big
+    return stem
 
 
 def _add_s(stem_ipa: str) -> str:

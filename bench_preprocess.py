@@ -59,7 +59,13 @@ def build_corpus(root, n_utts: int, sr: int = 22050, seed: int = 0):
     return total_seconds
 
 
-def end_to_end(n_utts: int, cpus: int) -> None:
+#: Device-resident feature throughput (audio-sec/s) from this bench's
+#: default mode, round-2 hardened measurement (BASELINE.md).
+DEFAULT_DEVICE_AUDIO_RATE = 12800.0
+
+
+def end_to_end(n_utts: int, cpus: int,
+               device_audio_rate: float = DEFAULT_DEVICE_AUDIO_RATE) -> None:
     """Disk -> artifacts wall-clock over a real corpus via the public
     Preprocessor API (the BASELINE config #2 number)."""
     import shutil
@@ -143,12 +149,7 @@ def end_to_end(n_utts: int, cpus: int) -> None:
             # bench (audio-sec/s on the same chip), passed via
             # --device-audio-rate (default: the round-2 hardened 12800).
             link_bw = 8e9  # bytes/s per direction, conservative PCIe gen3
-            device_rate = 12800.0
-            if "--device-audio-rate" in sys.argv:
-                device_rate = float(
-                    sys.argv[sys.argv.index("--device-audio-rate") + 1]
-                )
-            compute_s = total_seconds / device_rate
+            compute_s = total_seconds / device_audio_rate
             up_s = transfers["up"] / link_bw
             down_s = transfers["down"] / link_bw
             feature_wall = result["detail"]["step_seconds"].get("spec", 0.0)
@@ -179,13 +180,23 @@ def main() -> None:
     from everyvoice_tpu.dsp.pitch import estimate_f0
     from everyvoice_tpu.ops.mel_pallas import fused_log_mel
 
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    n_utts = int(args[0]) if args else 1000
-    if "--end-to-end" in sys.argv:
-        cpus = 4
-        if "--cpus" in sys.argv:
-            cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-        end_to_end(n_utts, cpus)
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("n_utts", nargs="?", type=int, default=1000)
+    parser.add_argument("--end-to-end", action="store_true",
+                        help="run the disk->artifacts corpus benchmark "
+                        "instead of the device-resident feature chain")
+    parser.add_argument("--cpus", type=int, default=4)
+    parser.add_argument("--device-audio-rate", type=float,
+                        default=DEFAULT_DEVICE_AUDIO_RATE,
+                        help="device-resident feature throughput "
+                        "(audio-sec/s) used for the production projection")
+    opts = parser.parse_args()
+    n_utts = opts.n_utts
+    if opts.end_to_end:
+        end_to_end(n_utts, opts.cpus,
+                   device_audio_rate=opts.device_audio_rate)
         return
     sr, hop = 22050, 256
     batch = 16

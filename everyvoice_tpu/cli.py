@@ -334,8 +334,10 @@ def _common_train_options(fn):
     fn = click.option("-n", "--nodes", default=1)(fn)
     fn = click.option("-s", "--strategy", default="ddp",
                       help="'ddp' (default, data parallel — the reference "
-                      "behavior) or 'tp<k>'/'ddp_tp<k>' to add k-way tensor "
-                      "parallelism over the mesh's model axis.")(fn)
+                      "behavior), 'fsdp' (ZeRO-3 parameter + optimizer-state "
+                      "sharding over the data axis), or 'tp<k>'/'ddp_tp<k>' "
+                      "to add k-way tensor parallelism over the mesh's model "
+                      "axis.")(fn)
     fn = click.option("--gradient-clip-val", default=None, type=float)(fn)
     fn = click.option("--profile-steps", default=0, type=int,
                       help="Capture a jax profiler trace of the first N steps "

@@ -960,6 +960,15 @@ class StyleTTS2Trainer(TrainerBase):
             candidates.append(self.run_dir / configured)
             lc = self.training_config.logger
             version_dir = Path(lc.save_dir) / lc.name / lc.version
+            # Sibling-run scan root: when run_dir was placed explicitly
+            # outside the logger's save_dir/name/version layout, scanning
+            # that layout could silently pick up a stale checkpoint from an
+            # unrelated run of the same experiment name — scan the actual
+            # run_dir's parent instead.
+            try:
+                self.run_dir.resolve().relative_to(version_dir.resolve())
+            except (ValueError, OSError):
+                version_dir = self.run_dir.parent
             siblings = [
                 p for p in version_dir.glob(f"*/{configured.as_posix()}")
                 if p.is_file()

@@ -47,6 +47,14 @@ MULTIGRAPH_RULES = [
     ("ey", "eɪ"), ("ie", "i"), ("oa", "oʊ"), ("oe", "oʊ"), ("oi", "ɔɪ"),
     ("oo", "u"), ("ou", "aʊ"), ("ow", "aʊ"), ("oy", "ɔɪ"), ("ue", "u"),
     ("ui", "u"),
+    ("psych", "saɪk"), ("chr", "kɹ"), ("chl", "kl"), ("chn", "kn"),
+    ("old", "oʊld"),
+    # n+soft-g: change/strange/revenge/sponge (finger-type ŋɡ words keep
+    # the plain ng rule via their -inge-/-nger- spellings)
+    ("ange", "eɪnd͡ʒ"), ("enge", "ɛnd͡ʒ"), ("onge", "ʌnd͡ʒ"),
+    ("unge", "ʌnd͡ʒ"),
+    ("ique", "ik"), ("exa", "ɪɡzæ"), ("alt", "ɔlt"),
+    ("every", "ɛvɹi"), ("charac", "kɛɹʌk"),
     ("ch", "t͡ʃ"), ("ck", "k"), ("gh", "ɡ"), ("gn", "n"), ("kn", "n"),
     ("ng", "ŋ"), ("ph", "f"), ("qu", "kw"), ("sh", "ʃ"), ("th", "θ"),
     ("wh", "w"), ("wr", "ɹ"), ("mb", "m"), ("ps", "s"),
@@ -69,19 +77,85 @@ _VOWELS = set("aeiouy")
 _LONG_VOWEL = {"a": "eɪ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "ju"}
 
 
-def _letters_to_sound(word: str) -> str:
+# Productive suffixes peeled off before the letter loop, with their
+# CMUdict-conventional pronunciations (unstressed vowels → ʌ in the g2p
+# alphabet). (suffix, tail IPA, restore_e): when restore_e is True the
+# stem gets its silent e back before recursing (excite-ment).
+# Ordered longest-first; tuned on the held-IN lexicon slice only — the
+# held-out slice is reserved for tools/eval_g2p.py and the pinned floors
+# in tests/test_g2p_accuracy.py.
+SUFFIX_RULES = [
+    ("ological", "ʌlɑd͡ʒɪkʌl", False), ("ization", "ʌzeɪʃʌn", False),
+    ("isation", "ʌzeɪʃʌn", False), ("ability", "ʌbɪlʌti", False),
+    ("ibility", "ʌbɪlʌti", False), ("ological", "ʌlɑd͡ʒɪkʌl", False),
+    ("ology", "ɑlʌd͡ʒi", False), ("ation", "eɪʃʌn", False),
+    ("ition", "ɪʃʌn", False), ("ution", "uʃʌn", False),
+    ("ssion", "ʃʌn", False), ("cious", "ʃʌs", False),
+    ("tious", "ʃʌs", False), ("ious", "iʌs", False),
+    ("eous", "iʌs", False), ("cially", "ʃʌli", False),
+    ("tially", "ʃʌli", False), ("cial", "ʃʌl", False),
+    ("tial", "ʃʌl", False), ("cian", "ʃʌn", False),
+    ("cience", "ʃʌns", False), ("cient", "ʃʌnt", False),
+    ("able", "ʌbʌl", False), ("ible", "ʌbʌl", False),
+    ("ical", "ɪkʌl", False), ("ically", "ɪkli", False),
+    ("ement", "mʌnt", True), ("ment", "mʌnt", False),
+    ("ness", "nʌs", False), ("less", "lʌs", False),
+    ("ful", "fʌl", False), ("ity", "ʌti", False),
+    ("ety", "ʌti", False), ("ture", "t͡ʃɜ˞", False),
+    ("sure", "ʒɜ˞", False), ("ious", "iʌs", False),
+    ("ism", "ɪzʌm", False), ("ist", "ɪst", False),
+    ("ize", "aɪz", False), ("ise", "aɪz", False),
+    ("ify", "ʌfaɪ", False), ("age", "ɪd͡ʒ", False),
+    ("ive", "ɪv", False), ("ier", "iɜ˞", False),
+    ("iest", "iʌst", False), ("ance", "ʌns", False),
+    ("ence", "ʌns", False), ("ancy", "ʌnsi", False),
+    ("ency", "ʌnsi", False), ("ant", "ʌnt", False),
+    ("ent", "ʌnt", False), ("ery", "ɜ˞i", False),
+    ("ary", "ɛɹi", False), ("ory", "ɔɹi", False),
+    ("ous", "ʌs", False), ("stion", "st͡ʃʌn", False),
+    ("ction", "kʃʌn", False),
+    ("ion", "jʌn", False), ("asm", "æzʌm", False),
+    ("ator", "eɪtɜ˞", False), ("ior", "iɜ˞", False),
+    ("ely", "li", True), ("ly", "li", False), ("al", "ʌl", False),
+]
+
+# Magic-e must not fire on these endings — a dedicated suffix or
+# multigraph rule owns them (tu+re → t͡ʃɜ˞, not tjuɹ).
+_MAGIC_E_EXCLUDE = ("ture", "sure")
+
+
+def _letters_to_sound(word: str, _depth: int = 0) -> str:
     """Rule-based fallback for words the lexicon cannot derive."""
+    # Peel one productive suffix and recurse on the stem (bounded depth:
+    # nation-al-ity style stacks resolve in ≤2 peels).
+    if _depth < 2:
+        for suffix, tail, restore_e in SUFFIX_RULES:
+            stem = word[: -len(suffix)]
+            if word.endswith(suffix) and len(stem) >= 3:
+                if restore_e:
+                    stem += "e"
+                return _letters_to_sound(stem, _depth + 1) + tail
     # Handle the magic-e pattern on the final syllable.
     m = re.search(r"([aeiou])([bcdfgklmnprstvz])e$", word)
     long_sub = None
-    if m and len(word) > 3:
+    soft_final = None
+    if m and len(word) > 3 and not word.endswith(_MAGIC_E_EXCLUDE):
         long_sub = (m.start(1), _LONG_VOWEL[m.group(1)])
+        # The dropped silent e kept a preceding c/g soft (police, oblige).
+        if m.group(2) == "c":
+            soft_final = "s"
+        elif m.group(2) == "g":
+            soft_final = "d͡ʒ"
         word = word[: m.start(2) + 1]  # drop the silent e
     out = []
     i = 0
     while i < len(word):
         if long_sub is not None and i == long_sub[0]:
             out.append(long_sub[1])
+            i += 1
+            continue
+        if soft_final is not None and i == len(word) - 1:
+            out.append(soft_final)
             i += 1
             continue
         # soft c / soft g before e, i, y
@@ -107,6 +181,26 @@ def _letters_to_sound(word: str) -> str:
             and word[i - 1] not in _VOWELS
         ):
             i += 1
+            continue
+        # Word-final single vowels: radio → oʊ, extra → ʌ (the unstressed
+        # CMUdict finals), not the closed-syllable defaults.
+        if i == len(word) - 1 and word[i] == "o":
+            out.append("oʊ")
+            i += 1
+            continue
+        if i == len(word) - 1 and word[i] == "a" and len(word) > 2:
+            out.append("ʌ")
+            i += 1
+            continue
+        # "ear" + consonant → ɜ˞ (early, learn, search, heard); the
+        # ear/eer/ier → iɹ multigraphs keep the prevocalic/final cases.
+        if (
+            word.startswith("ear", i)
+            and i + 3 < len(word)
+            and word[i + 3] not in _VOWELS
+        ):
+            out.append("ɜ˞")
+            i += 3
             continue
         for pattern, ipa in MULTIGRAPH_RULES:
             if word.startswith(pattern, i):

@@ -214,7 +214,8 @@ def gen_jdc():
     # 64/128/192/256, BiLSTM 512x256 — would make a ~12 MB fixture); the
     # converter layout and every op are identical, only the widths shrink.
     geometry = dict(channels=[8, 12, 16, 24], lstm_hidden=16)
-    model = _TorchJDC(channels=(8, 12, 16, 24), lstm_hidden=16).eval()
+    model = _TorchJDC(channels=tuple(geometry["channels"]),
+                      lstm_hidden=geometry["lstm_hidden"]).eval()
     # non-trivial running stats so frozen-BN handling is actually exercised
     with torch.no_grad():
         for module in model.modules():

@@ -81,7 +81,7 @@ class TestReferenceGoldenAgreement:
     def test_letter_to_sound_floor(self):
         """The true-OOV fallback alone (no lexicon) must stay above the
         measured round-4 floor: ≥20% exact-word, ≤40% phone error rate.
-        (Measured at introduction: 23.8% / 36.0%.)"""
+        (Measured at introduction: 23.8% / 36.0%; round 5: higher.)"""
         from everyvoice_tpu.text.english_g2p import _letters_to_sound
 
         total = match = dist = gold_len = 0
@@ -94,6 +94,79 @@ class TestReferenceGoldenAgreement:
             gold_len += len(gold)
         assert match / total >= 0.20, f"LTS word agreement {match}/{total}"
         assert dist / gold_len <= 0.40, f"LTS phone error rate {dist}/{gold_len}"
+
+
+class TestHeldOutLTS:
+    """Round-5 floors on the hash-held-out lexicon slice (334 entries the
+    LTS rules were never tuned on — tools/eval_g2p.py methodology;
+    measured at pinning: 36.2% word accuracy, 21.1% PER)."""
+
+    def test_held_out_floors(self):
+        import hashlib
+
+        from everyvoice_tpu.text.english_g2p import _letters_to_sound
+        from everyvoice_tpu.text.english_lexicon import (
+            ARPABET_LEXICON,
+            arpabet_to_ipa,
+        )
+
+        items = [
+            (w, arpabet_to_ipa(p))
+            for w, p in ARPABET_LEXICON.items()
+            if int(hashlib.md5(w.encode()).hexdigest(), 16) % 10 == 0
+            and "'" not in w and " " not in w
+        ]
+        assert len(items) >= 300, "held-out slice shrank below 300 entries"
+        total = match = dist = gold_len = 0
+        for word, gold in items:
+            ours = _letters_to_sound(word.replace("-", ""))
+            total += 1
+            match += ours == gold
+            dist += _levenshtein(ours, gold)
+            gold_len += len(gold)
+        assert match / total >= 0.32, (
+            f"held-out LTS word accuracy regressed: {match}/{total}"
+        )
+        assert dist / gold_len <= 0.24, (
+            f"held-out LTS phone error rate regressed: {dist}/{gold_len}"
+        )
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/everyvoice/filelists/lj_full.psv").exists(),
+    reason="reference mount absent",
+)
+class TestCorpusCoverage:
+    """Lexicon+morphology coverage of the full 13,100-utterance LJ
+    transcript (round-5 growth; measured at pinning: 93.6% tokens)."""
+
+    def test_lj_token_coverage_floor(self):
+        import collections
+
+        from everyvoice_tpu.text.english_lexicon import lookup
+
+        def covered(w):
+            if lookup(w) is not None:
+                return True
+            if "-" in w:
+                parts = [p for p in w.split("-") if p]
+                return bool(parts) and all(
+                    lookup(p) is not None for p in parts
+                )
+            return False
+
+        vocab = collections.Counter()
+        lines = Path(
+            "/root/reference/everyvoice/filelists/lj_full.psv"
+        ).read_text(encoding="utf-8").splitlines()
+        for line in lines:
+            for w in re.findall(r"[A-Za-z][A-Za-z'-]*", line.split("|")[1]):
+                vocab[w.lower()] += 1
+        total = sum(vocab.values())
+        cov = sum(c for w, c in vocab.items() if covered(w))
+        assert cov / total >= 0.90, (
+            f"LJ token coverage regressed: {cov}/{total} = {cov/total:.1%}"
+        )
 
 
 class TestLexicon:
@@ -137,11 +210,12 @@ class TestLexicon:
         assert lookup("zzzq") is None              # true OOV → LTS
 
     def test_lexicon_scale(self):
-        """The round-3 verdict required the lexicon to stop being ~100
-        words; pin the floor so it never shrinks back."""
+        """Round 3 required the lexicon to stop being ~100 words; round 5
+        grew it to 3,172 LJ-targeted entries. Pin the floor so it never
+        shrinks back."""
         from everyvoice_tpu.text.english_lexicon import ARPABET_LEXICON
 
-        assert len(ARPABET_LEXICON) >= 1000
+        assert len(ARPABET_LEXICON) >= 3000
 
     def test_hyphenated_compounds(self):
         from everyvoice_tpu.text.english_g2p import english_g2p

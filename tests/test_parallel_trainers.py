@@ -22,21 +22,40 @@ from everyvoice_tpu.utils import generic_psv_filelist_reader
 CONTACT = {"contact_name": "Test Runner", "contact_email": "info@everyvoice.ca"}
 
 
-def _assert_trees_close(tree_a, tree_b, rtol=2e-4, atol=3e-4):
-    """atol covers 2 Adam update quanta (2 x lr=1e-4): FSDP changes the
-    cross-device gradient reduction ORDER, and for an element whose true
-    gradient is ~0 the f32 rounding difference can flip the gradient's
-    sign — Adam's normalized first step then moves that element by ~±lr
-    in opposite directions under DP vs FSDP. Observed: ~0.03% of elements
-    differ by up to 2e-4 (= 2 lr), the rest agree to <2e-5. That is
-    inherent to any resharding of the reduction, not a layout bug."""
+def _assert_trees_close(tree_a, tree_b, rtol=2e-4, atol=2e-5,
+                        outlier_atol=3e-4, outlier_frac=1e-3):
+    """Two-tier closeness: the bulk of elements must agree to atol=2e-5,
+    but up to outlier_frac of a leaf's elements may diverge by up to
+    outlier_atol (= 3 Adam update quanta at lr=1e-4). Rationale: FSDP
+    changes the cross-device gradient reduction ORDER, and for an element
+    whose true gradient is ~0 the f32 rounding difference can flip the
+    gradient's sign — Adam's normalized first step then moves that element
+    by ~±lr in opposite directions under DP vs FSDP. Observed: ~0.03% of
+    elements differ by up to 2e-4 (= 2 lr), the rest agree to <2e-5. The
+    tight bulk tolerance still catches real sharding/layout bugs (which
+    perturb far more than 0.1% of elements)."""
     leaves_a = jax.tree_util.tree_leaves_with_path(jax.device_get(tree_a))
     leaves_b = jax.tree_util.tree_leaves(jax.device_get(tree_b))
     assert len(leaves_a) == len(leaves_b)
     for (path, a), b in zip(leaves_a, leaves_b):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        assert a.shape == b.shape, jax.tree_util.keystr(path)
+        err = np.abs(a - b)
+        bound = atol + rtol * np.abs(b)
+        bad = err > bound
+        if not bad.any():
+            continue
+        # Every outlier must stay within the Adam-quantum envelope, and
+        # the outliers must be rare.
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            a[bad], b[bad], rtol=rtol, atol=outlier_atol,
             err_msg=jax.tree_util.keystr(path),
+        )
+        frac = bad.mean()
+        assert frac <= outlier_frac, (
+            f"{jax.tree_util.keystr(path)}: {frac:.2%} of elements exceed "
+            f"atol={atol} (allowed {outlier_frac:.2%} sign-flip outliers)"
         )
 
 

@@ -160,6 +160,16 @@ class StyleTTS2TrainingConfig(BaseTrainingConfig):
     epochs_1st: int = Field(200, description="Epochs for stage-1 training.")
     epochs_2nd: int = Field(100, description="Epochs for stage-2 training.")
     max_len: int = Field(800)
+    decoder_segment_frames: Optional[int] = Field(
+        320,
+        description="Train the waveform decoder + MPD/MSD discriminators + "
+        "mel/adversarial/SLM losses on a random mel-frame segment of this "
+        "length per utterance instead of the full padded utterance — the "
+        "published StyleTTS2 recipe trains its GAN losses on random clips, "
+        "and the waveform-scale work dominates the step "
+        "(tools/styletts2_component_times.py). Duration/F0/energy/TMA "
+        "losses always see the full utterance. None trains on full length.",
+    )
     first_stage_path: Path = Field(
         Path("checkpoints/stage-1-last.ckpt"),
         description="Stage-1 checkpoint picked up by stage 2.",

@@ -51,6 +51,11 @@ class StyleTTS2Module(nn.Module):
     style_dim: int = 128
     max_dur: int = 50
     max_frames: int = 800
+    # Training-time random-clip length for the waveform decoder (frames);
+    # active only when __call__ receives segment_starts. The published
+    # StyleTTS2 recipe trains its GAN losses on random clips — see
+    # StyleTTS2TrainingConfig.decoder_segment_frames.
+    segment_frames: Optional[int] = None
     n_mels: int = 80
     sample_rate: int = 22050
     hop: int = 256
@@ -103,6 +108,12 @@ class StyleTTS2Module(nn.Module):
             style_dim=m.style_dim,
             max_dur=m.max_dur,
             max_frames=config.training.max_len,
+            segment_frames=(
+                config.training.decoder_segment_frames
+                if (config.training.decoder_segment_frames or 0)
+                < config.training.max_len
+                else None
+            ),
             n_mels=config.preprocessing.audio.n_mels,
             sample_rate=config.preprocessing.audio.output_sampling_rate,
             hop=config.preprocessing.audio.fft_hop_size,
@@ -290,6 +301,7 @@ class StyleTTS2Module(nn.Module):
         language_id: Optional[jnp.ndarray] = None,
         mel_lengths: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        segment_starts: Optional[jnp.ndarray] = None,  # (B,) frame starts
     ) -> dict:
         """Training-style forward with teacher durations/F0 (stage 1)."""
         mask = lengths_to_mask(text_lengths, tokens.shape[1])
@@ -351,6 +363,21 @@ class StyleTTS2Module(nn.Module):
             energy_frames = e_frames[..., 0]
         frames = frames + self.f0_embed(f0_frames[..., None])
         noise_key = self.make_rng("noise") if not deterministic else None
+        if segment_starts is not None and self.segment_frames is not None:
+            # Decode only a random clip per utterance (training): the
+            # waveform-scale decoder + downstream discriminator work
+            # dominates the train step, and the published StyleTTS2 recipe
+            # trains its GAN losses on random clips, not padded full
+            # utterances. Prosody/duration/TMA outputs above remain
+            # full-length.
+            seg = self.segment_frames
+
+            def clip(x, start):
+                return jax.lax.dynamic_slice_in_dim(x, start, seg, axis=0)
+
+            frames = jax.vmap(clip)(frames, segment_starts)
+            f0_frames = jax.vmap(clip)(f0_frames, segment_starts)
+            energy_frames = jax.vmap(clip)(energy_frames, segment_starts)
         wav = self.decode(
             frames, f0_frames, energy_frames, acoustic_style, noise_key
         )

@@ -295,13 +295,34 @@ class StyleTTS2Trainer(TrainerBase):
         # jax.checkpoint recomputes them during the backward instead
         # (~1/3 more FLOPs), the standard TPU memory/compute trade.
         decode_rm = jax.checkpoint(
-            lambda p, text, tl, mel, ml, dur, f0f, enf, lid, kn, kd:
+            lambda p, text, tl, mel, ml, dur, f0f, enf, lid, kn, kd, starts:
             model.apply(
                 p, text, tl, mel, durations=dur, f0_frames=f0f,
                 energy_frames=enf, language_id=lid, mel_lengths=ml,
                 deterministic=False, rngs={"noise": kn, "dropout": kd},
+                segment_starts=starts,
             )
         )
+        # Random-clip GAN training (decoder_segment_frames): the decoder,
+        # MPD/MSD, and mel/adversarial/SLM losses see a per-utterance random
+        # clip; upstream StyleTTS2 trains the same way, and the clip bounds
+        # the waveform-scale work that dominates this step
+        # (tools/styletts2_component_times.py).
+        seg_frames = model.segment_frames
+        hop_samples = a.fft_hop_size * (
+            a.output_sampling_rate // a.input_sampling_rate
+        )
+
+        def clip_wav_real(audio, starts, n_samples):
+            if starts is None:
+                return audio[:, :n_samples]
+
+            def clip(x, s):
+                return jax.lax.dynamic_slice_in_dim(
+                    x, s * hop_samples, n_samples, axis=0
+                )
+
+            return jax.vmap(clip)(audio, starts)
         mpd_rm = jax.checkpoint(lambda p, w: mpd.apply(p, w))
         msd_rm = jax.checkpoint(lambda p, w: msd.apply(p, w))
         align_rm = jax.checkpoint(
@@ -348,12 +369,21 @@ class StyleTTS2Trainer(TrainerBase):
                     rng_pick, (batch["text"].shape[0],), 0,
                     ood_tokens.shape[0],
                 )
+                # Decode only the leading decoder_segment_frames clip when
+                # random-clip training is on: the SLM discriminator needs a
+                # few seconds of synthesized speech, not the full padded
+                # max_len decode (which dominated the stage-2 step).
+                starts = (
+                    jnp.zeros((batch["text"].shape[0],), jnp.int32)
+                    if model.segment_frames is not None else None
+                )
                 out = model.apply(
                     gen_params,
                     ood_tokens[idx], ood_lengths[idx], batch["mel"],
                     mel_lengths=batch["mel_lengths"],
                     deterministic=False,
                     rngs={"noise": rng_noise, "dropout": rng_drop},
+                    segment_starts=starts,
                 )
                 return out["wav"]
         else:
@@ -472,15 +502,18 @@ class StyleTTS2Trainer(TrainerBase):
                 losses["s2s"] = jnp.asarray(0.0)
                 losses["mono"] = jnp.asarray(0.0)
             dur_targets = targets["durations"]
+            seg_starts = targets.get("segment_starts")
             out = decode_rm(
                 gen_params,
                 batch["text"], batch["text_lengths"], batch["mel"],
                 batch["mel_lengths"], dur_targets,
                 targets["f0_frames"], batch["energy_frames"],
-                batch.get("language_id"), rng_noise, rng_drop,
+                batch.get("language_id"), rng_noise, rng_drop, seg_starts,
             )
             wav_fake = out["wav"]
-            wav_real = batch["audio"][:, : wav_fake.shape[1]]
+            wav_real = clip_wav_real(
+                batch["audio"], seg_starts, wav_fake.shape[1]
+            )
             mel_fake = dynamic_range_compression(mel_fn(wav_fake))
             mel_real = dynamic_range_compression(mel_fn(wav_real))
             losses["mel"] = jnp.mean(jnp.abs(mel_fake - mel_real))
@@ -584,9 +617,13 @@ class StyleTTS2Trainer(TrainerBase):
                 batch["mel_lengths"], dur_used,
                 targets["f0_frames"], batch["energy_frames"],
                 batch.get("language_id"), rng_noise, rng_drop,
+                targets.get("segment_starts"),
             )
             wav_fake = jax.lax.stop_gradient(out["wav"])
-            wav_real = batch["audio"][:, : wav_fake.shape[1]]
+            wav_real = clip_wav_real(
+                batch["audio"], targets.get("segment_starts"),
+                wav_fake.shape[1],
+            )
             mpd_r, _ = mpd_rm(disc_params["mpd"], wav_real)
             mpd_f, _ = mpd_rm(disc_params["mpd"], wav_fake)
             msd_r, _ = msd_rm(disc_params["msd"], wav_real)
@@ -628,8 +665,18 @@ class StyleTTS2Trainer(TrainerBase):
         # of each (the last ~134 MB that kept batch 8 from fitting on v5e).
         def step_body(gen_params, disc_params, gen_opt_state, disc_opt_state,
                       batch, rng, slm_params, phase, ood_active, tma_active):
-            rng, rng_d, rng_g = jax.random.split(rng, 3)
+            rng, rng_d, rng_g, rng_seg = jax.random.split(rng, 4)
             targets = alignment_targets(gen_params, batch, tma_active)
+            if seg_frames is not None:
+                # One random clip per utterance, shared by the disc and gen
+                # losses (upstream StyleTTS2 uses the same y_rec clip for
+                # both updates within a step).
+                max_start = jnp.maximum(
+                    batch["mel_lengths"] - seg_frames, 0
+                )
+                targets["segment_starts"] = jax.random.randint(
+                    rng_seg, (batch["mel"].shape[0],), 0, max_start + 1
+                )
             (d_loss, d_metrics), d_grads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
             )(disc_params, gen_params, batch, rng_d, slm_params, phase,
@@ -664,6 +711,14 @@ class StyleTTS2Trainer(TrainerBase):
             )
 
         self._train_step = train_step
+        # Unjitted internals for tools/styletts2_component_times.py —
+        # the per-component roofline attribution (docs/guides/tpu.md).
+        self._step_closures = {
+            "gen_loss_fn": gen_loss_fn,
+            "disc_loss_fn": disc_loss_fn,
+            "alignment_targets": alignment_targets,
+            "mel_fn": mel_fn,
+        }
 
         # Multi-step dispatch (--steps-per-execution): lax.scan over a
         # (steps, batch, ...) stacked super-batch — one host dispatch for N

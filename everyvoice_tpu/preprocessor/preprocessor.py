@@ -128,6 +128,7 @@ class Preprocessor:
         wav_path: Path,
         sox_effects: Optional[list] = None,
         update_counters: bool = True,
+        skip_loudness: bool = False,
     ):
         """Decode + validate + apply effects ONCE at the native rate
         (constraints per reference preprocessor.py:131-218). Returns
@@ -172,12 +173,15 @@ class Preprocessor:
                 self.counters.increment("audio_too_short")
             return None
 
-        lufs = integrated_loudness_host(audio, sr)
-        if np.isnan(lufs) or lufs < -36.0:
-            logger.warning(f"Audio empty (loudness {lufs:.1f}): {wav_path} — skipping")
-            if update_counters:
-                self.counters.increment("audio_empty")
-            return None
+        if not skip_loudness:
+            lufs = integrated_loudness_host(audio, sr)
+            if np.isnan(lufs) or lufs < -36.0:
+                logger.warning(
+                    f"Audio empty (loudness {lufs:.1f}): {wav_path} — skipping"
+                )
+                if update_counters:
+                    self.counters.increment("audio_empty")
+                return None
 
         x = np.asarray(audio)
         if sox_effects:
@@ -188,7 +192,9 @@ class Preprocessor:
                 if update_counters:
                     self.counters.increment("sox_error")
                 return None
-        if update_counters:
+        if update_counters and not skip_loudness:
+            # With skip_loudness the caller gates on device and counts
+            # duration only for files that survive the gate.
             self.counters.increment("duration", seconds)
         return x, sr
 
@@ -280,11 +286,22 @@ class Preprocessor:
         self.counters.increment("processed_files")
         return item
 
-    def process_all_audio(self, cpus: int = 1) -> list:
+    def process_all_audio(self, cpus: int = 1,
+                          device_audio: Optional[bool] = None) -> list:
         """Validate/condition every audio file. With cpus > 1, file decode +
         write run on a thread pool — the native WAV codec releases the GIL, so
         this is real parallelism (replacing the reference's joblib/loky
-        process pool, preprocessor.py:584-630)."""
+        process pool, preprocessor.py:584-630).
+
+        device_audio: move loudness gating, resampling, and peak
+        normalization onto the accelerator as bucket-padded batches
+        (round-5: the host audio pass dominated the end-to-end production
+        projection, BASELINE.md round-4). Decode, effects, and 16-bit saves
+        stay on the C-threaded host path. None = auto: batched device
+        conditioning on TPU, per-file host elsewhere (a CPU-jax device pass
+        would just add compiles). The two paths produce identical artifacts
+        (same sinc kernel — dsp/resample.py resample vs resample_host;
+        pinned by tests/test_preprocessing.py)."""
         (self.save_dir / "audio").mkdir(parents=True, exist_ok=True)
         # 'arpabet' must survive into the processed filelist: the text
         # stage converts it to IPA phones (reference: arpabet is "always
@@ -300,22 +317,222 @@ class Preprocessor:
                 jobs.append(
                     (item, dataset.data_dir, dataset.sox_effects, dataset.label)
                 )
+        if device_audio is None:
+            import jax
 
-        def one(job):
-            return self.process_one_audio(*job)
-
-        if cpus > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=cpus) as pool:
-                results = list(pool.map(one, jobs))
+            target_device = jax.config.jax_default_device or jax.devices()[0]
+            device_audio = getattr(target_device, "platform", "cpu") == "tpu"
+        if device_audio:
+            results = self._process_all_audio_device(jobs, cpus)
         else:
-            results = [one(job) for job in jobs]
+
+            def one(job):
+                return self.process_one_audio(*job)
+
+            if cpus > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=cpus) as pool:
+                    results = list(pool.map(one, jobs))
+            else:
+                results = [one(job) for job in jobs]
         return [
             {k: v for k, v in result.items() if k in keep}
             for result in results
             if result is not None
         ]
+
+    def _decode_for_device(self, item, data_dir, sox_effects, dataset_label):
+        """Phase A of the batched audio pass: per-file host work only —
+        decode, structural validation, effects, mixdown. The loudness gate
+        moves to the device for mono files (the common case); stereo files
+        are gated here pre-mixdown so the gate sees the same channel-summed
+        energy the reference's does."""
+        from everyvoice_tpu.dsp import integrated_loudness_host
+
+        extension = "" if item["basename"].endswith(".wav") else ".wav"
+        audio_path = Path(data_dir) / (item["basename"] + extension)
+        if not audio_path.exists():
+            logger.warning(f"File '{audio_path}' is missing; not processed.")
+            self.counters.increment("missing_files")
+            self.missing_files_list.append(str(audio_path))
+            return None
+        item = self.get_speaker_and_language(item)
+        item["label"] = dataset_label
+        input_path = self.create_path(
+            item, "audio", f"audio-{self.input_sampling_rate}.wav"
+        )
+        output_path = self.create_path(
+            item, "audio", f"audio-{self.output_sampling_rate}.wav"
+        )
+        if input_path.exists() and output_path.exists() and not self.overwrite:
+            self.counters.increment("previously_processed_files")
+            return ("done", item)
+        cond = self._load_conditioned_audio(
+            audio_path, sox_effects=sox_effects, skip_loudness=True,
+        )
+        if cond is None:
+            return None
+        x, native_sr = cond
+        x = np.asarray(x, dtype=np.float32)
+        pre_gated = False
+        if x.shape[0] > 1:
+            lufs = integrated_loudness_host(x, native_sr)
+            if np.isnan(lufs) or lufs < -36.0:
+                logger.warning(
+                    f"Audio empty (loudness {lufs:.1f}): {audio_path} — "
+                    "skipping"
+                )
+                self.counters.increment("audio_empty")
+                return None
+            pre_gated = True
+            x = np.mean(x, axis=0, keepdims=True)
+        need_input = not input_path.exists() or self.overwrite
+        need_output = (
+            self.input_sampling_rate != self.output_sampling_rate
+            and (not output_path.exists() or self.overwrite)
+        )
+        return ("todo", item, x[0], int(native_sr), pre_gated,
+                {"input": (need_input, input_path),
+                 "output": (need_output, output_path)},
+                str(audio_path))
+
+    def _audio_program(self, native_sr: int, targets: tuple):
+        """Jitted (B, T) program: BS.1770 loudness + polyphase resample to
+        each target rate + ×0.95 peak normalization. One program per
+        (native rate, target set); jax.jit specializes per bucket shape."""
+        import jax
+        import jax.numpy as jnp
+
+        from everyvoice_tpu.dsp import integrated_loudness
+        from everyvoice_tpu.dsp.resample import resample
+
+        @jax.jit
+        def program(batch):
+            # (B, T) → (B, 1, T): each row is an independent mono clip
+            # (2-D input would be read as one multi-channel clip).
+            lufs = integrated_loudness(batch[:, None, :], native_sr)
+            outs = []
+            for target in targets:
+                y = resample(batch, native_sr, target)
+                peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+                outs.append(y / jnp.maximum(peak, 1e-9) * 0.95)
+            return lufs, tuple(outs)
+
+        return program
+
+    def _process_all_audio_device(self, jobs, cpus: int) -> list:
+        """Phases B/C of the batched audio pass: bucket-padded device
+        conditioning + C-threaded 16-bit saves, double-buffered like
+        process_features_batched."""
+        from concurrent.futures import ThreadPoolExecutor
+        from math import gcd
+
+        import jax
+
+        from everyvoice_tpu.dsp import write_wav
+
+        workers = max(cpus, 1)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            decoded = list(pool.map(
+                lambda j: self._decode_for_device(*j), jobs
+            ))
+        results: list = [None] * len(decoded)
+        todo = []
+        for i, entry in enumerate(decoded):
+            if entry is None:
+                continue
+            if entry[0] == "done":
+                results[i] = entry[1]
+                continue
+            todo.append((i,) + entry[1:])
+        if not todo:
+            return [r for r in results]
+
+        targets = (self.input_sampling_rate,)
+        if self.output_sampling_rate != self.input_sampling_rate:
+            targets = (self.input_sampling_rate, self.output_sampling_rate)
+        hops = {self.input_sampling_rate: self.audio_config.fft_hop_size,
+                self.output_sampling_rate: self.output_hop_size}
+        self.last_audio_transfer_bytes = {"up": 0, "down": 0}
+        batch_size = 16
+        bucket_samples = BUCKET_FRAMES * self.audio_config.fft_hop_size
+
+        by_rate: dict = {}
+        for entry in todo:
+            by_rate.setdefault(entry[3], []).append(entry)
+
+        write_pool = ThreadPoolExecutor(max_workers=workers)
+        write_futures = []
+
+        def finish_chunk(chunk, fetched, native_sr):
+            lufs, outs = fetched
+            for row, entry in enumerate(chunk):
+                idx, item, x, _, pre_gated, needs, path_str = entry
+                if not pre_gated and (
+                    np.isnan(lufs[row]) or lufs[row] < -36.0
+                ):
+                    logger.warning(
+                        f"Audio empty (loudness {float(lufs[row]):.1f}): "
+                        f"{path_str} — skipping"
+                    )
+                    self.counters.increment("audio_empty")
+                    continue
+                self.counters.increment("duration", len(x) / native_sr)
+                for t_i, target in enumerate(targets):
+                    key = "input" if target == self.input_sampling_rate \
+                        else "output"
+                    need, path = needs[key]
+                    if not need:
+                        continue
+                    g = gcd(native_sr, target)
+                    out_len = -(-len(x) * (target // g) // (native_sr // g))
+                    y = np.asarray(outs[t_i][row][:out_len], dtype=np.float32)
+                    hop = hops[target]
+                    y = y[: (len(y) // hop) * hop]
+                    write_futures.append(write_pool.submit(
+                        write_wav, path, y, target,
+                        self.audio_config.target_bit_depth,
+                    ))
+                self.counters.increment("processed_files")
+                results[idx] = item
+
+        for native_sr, group in by_rate.items():
+            program = self._audio_program(native_sr, targets)
+            group.sort(key=lambda e: len(e[2]))
+            pending = None
+            i = 0
+            while i < len(group):
+                chunk = group[i: i + batch_size]
+                i += batch_size
+                max_len = max(len(e[2]) for e in chunk)
+                n_buckets = max(-(-max_len // bucket_samples), 1)
+                n_buckets = 1 << (n_buckets - 1).bit_length()
+                padded = n_buckets * bucket_samples
+                batch = np.zeros((batch_size, padded), np.float32)
+                for j, e in enumerate(chunk):
+                    batch[j, : len(e[2])] = e[2]
+                out = program(batch)
+                self.last_audio_transfer_bytes["up"] += batch.nbytes
+                for leaf in jax.tree_util.tree_leaves(out):
+                    self.last_audio_transfer_bytes["down"] += (
+                        leaf.size * leaf.dtype.itemsize
+                    )
+                    try:
+                        leaf.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                if pending is not None:
+                    finish_chunk(pending[0], jax.device_get(pending[1]),
+                                 native_sr)
+                pending = (chunk, out)
+            if pending is not None:
+                finish_chunk(pending[0], jax.device_get(pending[1]),
+                             native_sr)
+        for future in write_futures:
+            future.result()
+        write_pool.shutdown()
+        return results
 
     # ------------------------------------------------------------------
     # text

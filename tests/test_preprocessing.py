@@ -222,6 +222,61 @@ class TestRejections:
         assert abs(np.abs(saved).max() - 0.95) < 0.01  # peak normalized
 
 
+class TestDeviceAudioPath:
+    def test_device_path_matches_host_path(self, tmp_path):
+        """The batched device audio conditioning (loudness + resample +
+        peak-norm on the accelerator, round 5) must produce the same 16-bit
+        artifacts as the per-file host path, including a dual-rate config's
+        resampled output and the loudness reject gate."""
+        from everyvoice_tpu.dsp import read_wav
+
+        rng = np.random.default_rng(7)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        rows = ["basename|characters"]
+        t = np.arange(int(22050 * 1.7)) / 22050
+        clips = {
+            "tone": (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+            "noise": (0.2 * rng.standard_normal(len(t))).astype(np.float32),
+            "quiet": (0.0005 * np.sin(2 * np.pi * 440 * t)).astype(
+                np.float32
+            ),
+        }
+        for name, clip in clips.items():
+            write_wav(data_dir / f"{name}.wav", clip, 22050, 16)
+            rows.append(f"{name}|hello world")
+        filelist = tmp_path / "filelist.psv"
+        filelist.write_text("\n".join(rows) + "\n")
+
+        results = {}
+        for label, device_audio in (("host", False), ("device", True)):
+            config = make_config(tmp_path / label, filelist, data_dir)
+            # Dual-rate: exercise the resample path on device too.
+            config.preprocessing.audio.output_sampling_rate = 44100
+            pre = Preprocessor(config)
+            out = pre.process_all_audio(cpus=2, device_audio=device_audio)
+            results[label] = (pre, out)
+
+        host_pre, host_out = results["host"]
+        dev_pre, dev_out = results["device"]
+        # The quiet clip is rejected by the loudness gate on both paths.
+        assert len(host_out) == len(dev_out) == 2
+        assert host_pre.counters.value("audio_empty") == 1
+        assert dev_pre.counters.value("audio_empty") == 1
+        for name in ("tone", "noise"):
+            for sr in (22050, 44100):
+                fn = f"{name}--default--default--audio-{sr}.wav"
+                a, sr_a = read_wav(Path(host_pre.save_dir) / "audio" / fn)
+                b, sr_b = read_wav(Path(dev_pre.save_dir) / "audio" / fn)
+                assert sr_a == sr_b == sr
+                assert a.shape == b.shape, fn
+                # 16-bit artifacts: identical up to 1 LSB (f32 conv
+                # accumulation order differs between scipy and XLA).
+                np.testing.assert_allclose(
+                    a, b, atol=1.01 / 32768, err_msg=fn
+                )
+
+
 class TestSoxAndChannels:
     def _setup(self, tmp_path, wav_data, sr=22050, effects=None):
         data_dir = tmp_path / "data"

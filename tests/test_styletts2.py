@@ -207,6 +207,98 @@ class TestStage1Training:
         assert header["model_info"]["name"] == "StyleTTS2Module"
         assert header["stage"] == "first"
 
+    def test_segment_clip_training_step(self, lj_corpus, tmp_path):
+        """Random-clip GAN training (decoder_segment_frames < max_len):
+        the decoder/discriminator losses run on a per-utterance clip — the
+        published StyleTTS2 recipe's behavior and the round-5 step-time
+        optimization (tools/styletts2_component_times.py). The step must
+        run, produce finite losses, and actually decode clip-sized
+        waveforms."""
+        import numpy as np
+
+        from everyvoice_tpu.dataloader import StyleTTS2Dataset
+        from everyvoice_tpu.models.styletts2.train import StyleTTS2Trainer
+        from everyvoice_tpu.parallel import make_mesh
+        from everyvoice_tpu.train.loop import training_rng
+        from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+        fs2_config, save_dir = lj_corpus
+        config = StyleTTS2Config(
+            contact=CONTACT,
+            model={
+                "hidden_dim": 64, "style_dim": 32, "max_dur": 20,
+                "decoder": {
+                    "upsample_initial_channel": 32,
+                    "resblock_kernel_sizes": [3],
+                    "resblock_dilation_sizes": [[1, 3]],
+                    "mpd_layers": [2], "msd_layers": 1,
+                },
+                "diffusion": {"transformer": {"num_layers": 1,
+                                              "num_heads": 2,
+                                              "head_features": 16}},
+            },
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.preprocessing.save_dir = save_dir
+        config.training.training_filelist = save_dir / "training_filelist.psv"
+        config.training.validation_filelist = (
+            save_dir / "validation_filelist.psv"
+        )
+        config.training.batch_size = 2
+        config.training.max_len = 128
+        config.training.decoder_segment_frames = 32
+        train = generic_psv_filelist_reader(config.training.training_filelist)
+        ds = StyleTTS2Dataset(train, config)
+        mesh = make_mesh(jax.devices("cpu")[:2])
+        trainer = StyleTTS2Trainer(
+            config, ds, ds, mesh=mesh, run_dir=tmp_path, mode="first",
+        )
+        assert trainer.model.segment_frames == 32
+        trainer.build_steps()
+        batch = next(ds.batches(2, shuffle=False))
+        batch.pop("basenames", None)
+        gen_params, disc_params = trainer.init_params(batch)
+        gen_opt = trainer.gen_opt.init(gen_params)
+        disc_opt = trainer.disc_opt.init(disc_params)
+        (gen_params, disc_params, gen_opt, disc_opt, metrics,
+         _) = trainer._train_step(
+            gen_params, disc_params, gen_opt, disc_opt, batch,
+            training_rng(0), None, trainer.phase_weights(0),
+            ood_active=False, tma_active=False,
+        )
+        assert np.isfinite(float(metrics["gen/total"]))
+        assert np.isfinite(float(metrics["disc/total"]))
+        # The decoded waveform really is clip-sized: decode through the
+        # module with explicit starts.
+        hop = config.preprocessing.audio.fft_hop_size
+        out = trainer.model.apply(
+            gen_params,
+            jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
+            jnp.asarray(batch["mel"]),
+            durations=jnp.asarray(batch["durations"]),
+            f0_frames=jnp.asarray(batch["f0_frames"]),
+            energy_frames=jnp.asarray(batch["energy_frames"]),
+            mel_lengths=jnp.asarray(batch["mel_lengths"]),
+            segment_starts=jnp.zeros((2,), jnp.int32),
+        )
+        assert out["wav"].shape[1] == 32 * hop
+
+    def test_segments_disabled_when_max_len_too_small(self, lj_corpus):
+        """decoder_segment_frames >= max_len must fall back to full-length
+        decoding (the pre-round-5 behavior) rather than a zero-range clip."""
+        from everyvoice_tpu.models.styletts2.model import StyleTTS2Module
+
+        fs2_config, save_dir = lj_corpus
+        config = StyleTTS2Config(
+            contact=CONTACT,
+            preprocessing=fs2_config.preprocessing.model_dump(),
+            text=fs2_config.text.model_dump(),
+        )
+        config.training.max_len = 128  # < default segment of 320
+        module = StyleTTS2Module.from_config(config, n_symbols=10)
+        assert module.segment_frames is None
+
 
 def _tiny_torch_wavlm(tmp_path):
     """Random-init tiny HF WavLM saved locally (no network): exercises the

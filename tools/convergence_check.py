@@ -1,0 +1,225 @@
+"""Convergence gates: prove training actually TRAINS, not just compiles.
+
+Round-5 verdict item #1: the reference's regression harness trains every
+model for 1000 steps (reference tests/regression/regression-test.sh:43-44,
+MAX_STEPS=1000); nothing in this repo asserted a loss goes *down*. This
+tool trains on the bundled LJ micro-corpus for real steps on the chip and
+checks:
+
+- FastSpeech2 (production geometry, alignment learning): total loss falls
+  by a healthy factor over >= 2000 steps, and the learned soft attention
+  becomes near-diagonal (mass concentration along the monotonic path).
+- HiFiGAN (production geometry): the generator mel-L1 falls over
+  >= 1000 steps.
+
+Prints one JSON line per model with the loss curves (first/last window
+means + sampled series) and exits non-zero if a gate fails. The CI-tier
+analog with reduced geometry/steps is tests/test_convergence.py.
+
+Usage: python tools/convergence_check.py [--fs2-steps N] [--hifigan-steps N]
+       [--skip-fs2] [--skip-hifigan]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+LJ_DATA = Path("/root/reference/everyvoice/tests/data")
+CONTACT = {"contact_name": "bench", "contact_email": "b@e.ca"}
+
+
+def build_corpus(tmp: Path):
+    from everyvoice_tpu.config import PreprocessingConfig, TextConfig
+    from everyvoice_tpu.config.preprocessing_config import Dataset
+    from everyvoice_tpu.models.fs2 import FastSpeech2Config
+    from everyvoice_tpu.preprocessor import Preprocessor
+
+    config = FastSpeech2Config(
+        contact=CONTACT,
+        preprocessing=PreprocessingConfig(
+            save_dir=tmp / "preprocessed",
+            source_data=[Dataset(
+                label="LJ_TEST",
+                permissions_obtained=True,
+                data_dir=LJ_DATA / "lj" / "wavs",
+                filelist=LJ_DATA / "metadata.psv",
+            )],
+        ),
+        text=TextConfig(symbols={
+            "letters": list("abcdefghijklmnopqrstuvwxyz"),
+            "ipa": list("ðʌɛʃɜ˞æɑɔɹɪʊəɡʒŋθaeioubcdfghjklmnpqrstvwxyz"),
+        }),
+    )
+    # 5-utterance corpus, default 0.9 split (4 train / 1 val): the point is
+    # gradient correctness — the model should (over)fit the 4 training
+    # utterances measurably within a few thousand steps.
+    Preprocessor(config).preprocess(
+        to_process=("audio", "text", "spec", "attn", "energy", "pitch"),
+        overwrite=True,
+    )
+    save_dir = config.preprocessing.save_dir
+    config.training.training_filelist = save_dir / "training_filelist.psv"
+    config.training.validation_filelist = save_dir / "validation_filelist.psv"
+    return config, save_dir
+
+
+def loss_series(run_dir: Path, key: str):
+    records = [
+        json.loads(line)
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    return [(r["step"], r[key]) for r in records if key in r]
+
+
+def windows(series, n=5):
+    import numpy as np
+
+    first = float(np.mean([v for _, v in series[:n]]))
+    last = float(np.mean([v for _, v in series[-n:]]))
+    sampled = [series[i] for i in
+               sorted({0, len(series) // 4, len(series) // 2,
+                       3 * len(series) // 4, len(series) - 1})]
+    return {
+        "first_window": round(first, 4),
+        "last_window": round(last, 4),
+        "drop_factor": round(first / max(last, 1e-9), 3),
+        "sampled_steps": [[int(s), round(float(v), 4)] for s, v in sampled],
+    }
+
+
+def attention_diagonality(trainer, params, batch) -> float:
+    """Mass concentration of the learned soft attention along the Viterbi
+    monotonic path (1.0 = perfectly hard-monotonic)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from everyvoice_tpu.models.fs2.alignment import viterbi_alignment
+
+    out = trainer.model.apply(
+        params, jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
+        mel=jnp.asarray(batch["mel"]),
+        mel_lengths=jnp.asarray(batch["mel_lengths"]),
+        attn_prior=jnp.asarray(batch["attn_prior"]),
+        pitch=jnp.asarray(batch["pitch"]),
+        energy=jnp.asarray(batch["energy"]),
+        speaker_id=jnp.asarray(batch["speaker_id"]),
+        language_id=jnp.asarray(batch["language_id"]),
+    )
+    soft = np.asarray(out["attn_soft"])
+    hard = np.asarray(viterbi_alignment(
+        jnp.asarray(out["attn_logprob"]),
+        jnp.asarray(batch["text_lengths"]),
+        jnp.asarray(batch["mel_lengths"]),
+    ))
+    mass = 0.0
+    total = 0.0
+    for i in range(soft.shape[0]):
+        t_frames = int(batch["mel_lengths"][i])
+        mass += float((soft[i, :t_frames] * hard[i, :t_frames]).sum())
+        total += t_frames
+    return mass / max(total, 1)
+
+
+def run_fs2(config, steps: int) -> dict:
+    from everyvoice_tpu.dataloader import FastSpeech2Dataset
+    from everyvoice_tpu.text.lookups import lookuptables_from_data
+    from everyvoice_tpu.train.loop import FastSpeech2Trainer
+    from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+    config = config.model_copy(deep=True)
+    config.training.batch_size = 4
+    config.training.val_check_interval = max(steps // 4, 1)
+    config.training.max_epochs = 10 ** 9
+    run_dir = Path(tempfile.mkdtemp(prefix="convergence_fs2_"))
+    train = generic_psv_filelist_reader(config.training.training_filelist)
+    val = generic_psv_filelist_reader(config.training.validation_filelist)
+    lang2id, speaker2id = lookuptables_from_data((train, val))
+    ds = FastSpeech2Dataset(train, config, lang2id, speaker2id)
+    vds = FastSpeech2Dataset(val, config, lang2id, speaker2id,
+                             text_processor=ds.text_processor)
+    trainer = FastSpeech2Trainer(
+        config, ds, vds, lang2id, speaker2id, run_dir=run_dir,
+    )
+    params = trainer.fit(max_steps=steps, log_every=10)
+    total = windows(loss_series(run_dir, "training/total"))
+    mel = windows(loss_series(run_dir, "training/mel"))
+    ctc = windows(loss_series(run_dir, "training/attn_ctc"))
+    batch = next(ds.batches(4, shuffle=False))
+    batch.pop("basenames", None)
+    diag = attention_diagonality(trainer, params, batch)
+    result = {
+        "model": "FastSpeech2",
+        "steps": steps,
+        "total": total,
+        "mel": mel,
+        "attn_ctc": ctc,
+        "attention_diagonality": round(diag, 4),
+    }
+    ok = total["drop_factor"] >= 2.0 and diag >= 0.5
+    result["ok"] = bool(ok)
+    return result
+
+
+def run_hifigan(fs2_config, steps: int) -> dict:
+    from everyvoice_tpu.dataloader import HiFiGANDataset
+    from everyvoice_tpu.models.hifigan import HiFiGANConfig
+    from everyvoice_tpu.train.loop import HiFiGANTrainer
+    from everyvoice_tpu.utils import generic_psv_filelist_reader
+
+    config = HiFiGANConfig(
+        contact=CONTACT,
+        preprocessing=fs2_config.preprocessing.model_dump(),
+    )
+    config.preprocessing.save_dir = fs2_config.preprocessing.save_dir
+    config.training.training_filelist = fs2_config.training.training_filelist
+    config.training.validation_filelist = (
+        fs2_config.training.validation_filelist
+    )
+    config.training.batch_size = 4
+    config.training.val_check_interval = max(steps // 4, 1)
+    config.training.max_epochs = 10 ** 9
+    run_dir = Path(tempfile.mkdtemp(prefix="convergence_hifigan_"))
+    train = generic_psv_filelist_reader(config.training.training_filelist)
+    ds = HiFiGANDataset(train, config)
+    trainer = HiFiGANTrainer(config, ds, ds, run_dir=run_dir)
+    trainer.fit(max_steps=steps, log_every=10)
+    mel = windows(loss_series(run_dir, "training/gen/mel"))
+    result = {"model": "HiFiGAN", "steps": steps, "gen_mel_l1": mel}
+    result["ok"] = bool(mel["drop_factor"] >= 1.5)
+    return result
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fs2-steps", type=int, default=2000)
+    parser.add_argument("--hifigan-steps", type=int, default=1000)
+    parser.add_argument("--skip-fs2", action="store_true")
+    parser.add_argument("--skip-hifigan", action="store_true")
+    opts = parser.parse_args()
+
+    from everyvoice_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    tmp = Path(tempfile.mkdtemp(prefix="convergence_corpus_"))
+    config, _ = build_corpus(tmp)
+    failed = False
+    if not opts.skip_fs2:
+        fs2 = run_fs2(config, opts.fs2_steps)
+        print(json.dumps(fs2))
+        failed |= not fs2["ok"]
+    if not opts.skip_hifigan:
+        hifi = run_hifigan(config, opts.hifigan_steps)
+        print(json.dumps(hifi))
+        failed |= not hifi["ok"]
+    if failed:
+        raise SystemExit("convergence gate FAILED (see JSON above)")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,8 @@ DEFAULT_DEVICE_AUDIO_RATE = 12800.0
 
 
 def end_to_end(n_utts: int, cpus: int,
-               device_audio_rate: float = DEFAULT_DEVICE_AUDIO_RATE) -> None:
+               device_audio_rate: float = DEFAULT_DEVICE_AUDIO_RATE,
+               device_audio: bool = False) -> None:
     """Disk -> artifacts wall-clock over a real corpus via the public
     Preprocessor API (the BASELINE config #2 number)."""
     import shutil
@@ -114,7 +115,8 @@ def end_to_end(n_utts: int, cpus: int,
         steps = ("audio", "text", "spec", "attn", "energy", "pitch")
         t0 = time.perf_counter()
         preprocessor = Preprocessor(config)
-        preprocessor.preprocess(to_process=steps, overwrite=True, cpus=cpus)
+        preprocessor.preprocess(to_process=steps, overwrite=True, cpus=cpus,
+                                device_audio=device_audio)
         elapsed = time.perf_counter() - t0
         save_dir = root / "preprocessed"
         n_specs = len(list((save_dir / "spec").glob("*.npy")))
@@ -134,6 +136,10 @@ def end_to_end(n_utts: int, cpus: int,
                 "steps": list(steps) + ["stats", "split"],
                 "step_seconds": getattr(
                     preprocessor, "last_step_seconds", {}
+                ),
+                "device_audio": device_audio,
+                "audio_transfer_bytes": getattr(
+                    preprocessor, "last_audio_transfer_bytes", None
                 ),
             },
         }
@@ -188,6 +194,9 @@ def main() -> None:
                         help="run the disk->artifacts corpus benchmark "
                         "instead of the device-resident feature chain")
     parser.add_argument("--cpus", type=int, default=4)
+    parser.add_argument("--device-audio", action="store_true",
+                        help="condition audio (loudness/resample/peak-norm) "
+                        "on the accelerator instead of the host")
     parser.add_argument("--device-audio-rate", type=float,
                         default=DEFAULT_DEVICE_AUDIO_RATE,
                         help="device-resident feature throughput "
@@ -196,7 +205,8 @@ def main() -> None:
     n_utts = opts.n_utts
     if opts.end_to_end:
         end_to_end(n_utts, opts.cpus,
-                   device_audio_rate=opts.device_audio_rate)
+                   device_audio_rate=opts.device_audio_rate,
+                   device_audio=opts.device_audio)
         return
     sr, hop = 22050, 256
     batch = 16

@@ -166,10 +166,16 @@ def new_project(resume_from, trace, debug_state):
 @click.option("-C", "--cpus", default=1, show_default=True,
               help="Host workers for audio IO.")
 @click.option("-D", "--debug", is_flag=True, help="Enable debug logging.")
+@click.option("--device-audio", is_flag=True,
+              help="Run loudness/resample/peak-norm of the audio step as "
+              "batched int16 transfers on the accelerator (wins on "
+              "CPU-starved hosts with a local PCIe-class link; the default "
+              "threaded host path is faster on many-core hosts or remote "
+              "relays — see docs/guides/tpu.md).")
 @click.option("-c", "--config-args", multiple=True,
               help="key.path=value config overrides")
 def preprocess(model_kind, config_path, steps, overwrite, cpus, debug,
-               config_args):
+               device_audio, config_args):
     """Preprocess a dataset (batched, on-device DSP)."""
     from everyvoice_tpu.preprocessor import Preprocessor
 
@@ -191,7 +197,8 @@ def preprocess(model_kind, config_path, steps, overwrite, cpus, debug,
     steps = tuple(s for s in steps if s != "ood")
     pre = Preprocessor(config)
     if steps:
-        pre.preprocess(to_process=steps, overwrite=overwrite, cpus=cpus)
+        pre.preprocess(to_process=steps, overwrite=overwrite, cpus=cpus,
+                       device_audio=device_audio)
     if run_ood:
         ood_texts = _gather_ood_texts(config)
         if ood_texts:

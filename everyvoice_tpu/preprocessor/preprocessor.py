@@ -294,14 +294,17 @@ class Preprocessor:
         process pool, preprocessor.py:584-630).
 
         device_audio: move loudness gating, resampling, and peak
-        normalization onto the accelerator as bucket-padded batches
-        (round-5: the host audio pass dominated the end-to-end production
-        projection, BASELINE.md round-4). Decode, effects, and 16-bit saves
-        stay on the C-threaded host path. None = auto: batched device
-        conditioning on TPU, per-file host elsewhere (a CPU-jax device pass
-        would just add compiles). The two paths produce identical artifacts
-        (same sinc kernel — dsp/resample.py resample vs resample_host;
-        pinned by tests/test_preprocessing.py)."""
+        normalization onto the accelerator as bucket-padded int16 batches
+        (round-5 measurement in BASELINE.md). Decode, effects, and 16-bit
+        saves stay on the C-threaded host path. Default (None/False) is the
+        per-file host path: the measured trade is link-dependent — the
+        device pass wins only when host CPU is scarce relative to the
+        accelerator AND the link is local (PCIe-class); on this repo's dev
+        relay the transfer dominates, and on many-core hosts the threaded
+        host path already outruns it. The two paths produce identical
+        artifacts to 1 int16 LSB (same sinc kernel — dsp/resample.py
+        resample vs resample_host; pinned by tests/test_preprocessing.py
+        ::TestDeviceAudioPath)."""
         (self.save_dir / "audio").mkdir(parents=True, exist_ok=True)
         # 'arpabet' must survive into the processed filelist: the text
         # stage converts it to IPA phones (reference: arpabet is "always
@@ -317,11 +320,6 @@ class Preprocessor:
                 jobs.append(
                     (item, dataset.data_dir, dataset.sox_effects, dataset.label)
                 )
-        if device_audio is None:
-            import jax
-
-            target_device = jax.config.jax_default_device or jax.devices()[0]
-            device_audio = getattr(target_device, "platform", "cpu") == "tpu"
         if device_audio:
             results = self._process_all_audio_device(jobs, cpus)
         else:
@@ -397,10 +395,14 @@ class Preprocessor:
                  "output": (need_output, output_path)},
                 str(audio_path))
 
-    def _audio_program(self, native_sr: int, targets: tuple):
+    def _audio_program(self, native_sr: int, targets: tuple,
+                       pcm16: bool = False):
         """Jitted (B, T) program: BS.1770 loudness + polyphase resample to
         each target rate + ×0.95 peak normalization. One program per
-        (native rate, target set); jax.jit specializes per bucket shape."""
+        (native rate, target set); jax.jit specializes per bucket shape.
+        With pcm16, input arrives as int16 PCM (exact for decoded 16-bit
+        wavs) and outputs return quantized to the artifact's own int16 grid
+        — 4× fewer link bytes, identical written artifacts."""
         import jax
         import jax.numpy as jnp
 
@@ -409,6 +411,8 @@ class Preprocessor:
 
         @jax.jit
         def program(batch):
+            if pcm16:
+                batch = batch.astype(jnp.float32) / 32768.0
             # (B, T) → (B, 1, T): each row is an independent mono clip
             # (2-D input would be read as one multi-channel clip).
             lufs = integrated_loudness(batch[:, None, :], native_sr)
@@ -416,7 +420,12 @@ class Preprocessor:
             for target in targets:
                 y = resample(batch, native_sr, target)
                 peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
-                outs.append(y / jnp.maximum(peak, 1e-9) * 0.95)
+                y = y / jnp.maximum(peak, 1e-9) * 0.95
+                if pcm16:
+                    y = jnp.clip(
+                        jnp.round(y * 32768.0), -32768, 32767
+                    ).astype(jnp.int16)
+                outs.append(y)
             return lufs, tuple(outs)
 
         return program
@@ -457,6 +466,22 @@ class Preprocessor:
         self.last_audio_transfer_bytes = {"up": 0, "down": 0}
         batch_size = 16
         bucket_samples = BUCKET_FRAMES * self.audio_config.fft_hop_size
+        # int16 both ways when sources decode on the 16-bit grid (decoded
+        # values are exactly i/32768) and artifacts are 16-bit: exact, and
+        # 4× fewer link bytes than f32. The default channel-mixdown effect
+        # is value-preserving for mono sources (and a stereo mixdown's
+        # ±0.5-LSB quantization stays inside the artifact's own grid).
+        def _grid_safe(effects) -> bool:
+            if not effects:
+                return True
+            return [
+                [str(part) for part in effect] for effect in effects
+            ] == [["channels", "1"]]
+
+        pcm16 = (
+            self.audio_config.target_bit_depth == 16
+            and all(_grid_safe(j[2]) for j in jobs)  # j[2] = sox_effects
+        )
 
         by_rate: dict = {}
         for entry in todo:
@@ -487,7 +512,11 @@ class Preprocessor:
                         continue
                     g = gcd(native_sr, target)
                     out_len = -(-len(x) * (target // g) // (native_sr // g))
-                    y = np.asarray(outs[t_i][row][:out_len], dtype=np.float32)
+                    y = np.asarray(outs[t_i][row][:out_len])
+                    if y.dtype == np.int16:
+                        # Device-quantized to the artifact's own grid;
+                        # write_wav's round(y*32768) reproduces it exactly.
+                        y = y.astype(np.float32) / 32768.0
                     hop = hops[target]
                     y = y[: (len(y) // hop) * hop]
                     write_futures.append(write_pool.submit(
@@ -498,7 +527,7 @@ class Preprocessor:
                 results[idx] = item
 
         for native_sr, group in by_rate.items():
-            program = self._audio_program(native_sr, targets)
+            program = self._audio_program(native_sr, targets, pcm16=pcm16)
             group.sort(key=lambda e: len(e[2]))
             pending = None
             i = 0
@@ -509,9 +538,15 @@ class Preprocessor:
                 n_buckets = max(-(-max_len // bucket_samples), 1)
                 n_buckets = 1 << (n_buckets - 1).bit_length()
                 padded = n_buckets * bucket_samples
-                batch = np.zeros((batch_size, padded), np.float32)
+                dtype = np.int16 if pcm16 else np.float32
+                batch = np.zeros((batch_size, padded), dtype)
                 for j, e in enumerate(chunk):
-                    batch[j, : len(e[2])] = e[2]
+                    if pcm16:
+                        batch[j, : len(e[2])] = np.clip(
+                            np.round(e[2] * 32768.0), -32768, 32767
+                        ).astype(np.int16)
+                    else:
+                        batch[j, : len(e[2])] = e[2]
                 out = program(batch)
                 self.last_audio_transfer_bytes["up"] += batch.nbytes
                 for leaf in jax.tree_util.tree_leaves(out):
@@ -860,6 +895,7 @@ class Preprocessor:
         to_process: Sequence[str] = (),
         overwrite: bool = False,
         debug: bool = False,
+        device_audio: bool = False,
     ) -> None:
         self.overwrite = overwrite
         self._features_written = {"energy": [], "pitch": []}
@@ -882,7 +918,9 @@ class Preprocessor:
             if process != "text":
                 (self.save_dir / process).mkdir(parents=True, exist_ok=True)
             if process == "audio":
-                filelist = self.process_all_audio(cpus=max(cpus, 1))
+                filelist = self.process_all_audio(
+                    cpus=max(cpus, 1), device_audio=device_audio
+                )
                 # Reports are written even when every file was filtered out,
                 # so a failed run still leaves its diagnostics behind.
                 with open(self.save_dir / "summary.txt", "w", encoding="utf8") as f:

@@ -37,6 +37,7 @@ def _assert_trees_close(tree_a, tree_b, rtol=2e-4, atol=2e-5,
     leaves_a = jax.tree_util.tree_leaves_with_path(jax.device_get(tree_a))
     leaves_b = jax.tree_util.tree_leaves(jax.device_get(tree_b))
     assert len(leaves_a) == len(leaves_b)
+    n_bad = n_total = 0
     for (path, a), b in zip(leaves_a, leaves_b):
         a = np.asarray(a, dtype=np.float64)
         b = np.asarray(b, dtype=np.float64)
@@ -44,19 +45,21 @@ def _assert_trees_close(tree_a, tree_b, rtol=2e-4, atol=2e-5,
         err = np.abs(a - b)
         bound = atol + rtol * np.abs(b)
         bad = err > bound
+        n_bad += int(bad.sum())
+        n_total += bad.size
         if not bad.any():
             continue
-        # Every outlier must stay within the Adam-quantum envelope, and
-        # the outliers must be rare.
+        # Every outlier must stay within the Adam-quantum envelope.
         np.testing.assert_allclose(
             a[bad], b[bad], rtol=rtol, atol=outlier_atol,
             err_msg=jax.tree_util.keystr(path),
         )
-        frac = bad.mean()
-        assert frac <= outlier_frac, (
-            f"{jax.tree_util.keystr(path)}: {frac:.2%} of elements exceed "
-            f"atol={atol} (allowed {outlier_frac:.2%} sign-flip outliers)"
-        )
+    # ... and outliers must be rare ACROSS THE TREE (a per-leaf fraction
+    # would flag a single sign-flip in a small bias vector).
+    assert n_total == 0 or n_bad / n_total <= outlier_frac, (
+        f"{n_bad}/{n_total} = {n_bad / n_total:.3%} of elements exceed "
+        f"atol={atol} (allowed {outlier_frac:.2%} sign-flip outliers)"
+    )
 
 
 def _count_sharded_leaves(tree) -> int:

@@ -1,10 +1,12 @@
 """Full-pipeline regression harness
 (parity: reference everyvoice/tests/regression/regression-test.sh — wizard →
 preprocess → train text-to-spec → train spec-to-wav → multi-format synthesis
-→ two-step synthesis → StyleTTS2 stage 1 → demo API — shrunk from a 180-min
-Slurm job to a few minutes).
+→ two-step synthesis → StyleTTS2 stage 1+2 → demo API — the reference's
+180-min Slurm job, runnable on one CPU: ~15 min at --steps 2, ~45 min at
+the 50-step default (which also asserts the FS2 loss moves down).
 
 Run: python tests/regression/regression_test.py [--workdir DIR] [--steps N]
+     [--gan-steps M]
 """
 
 from __future__ import annotations
@@ -52,6 +54,12 @@ def main() -> None:
     # 1000 steps in its Slurm harness, regression-test.sh:43-44; pass
     # --steps 2 for the quickest smoke run).
     parser.add_argument("--steps", type=int, default=50)
+    # The GAN stages (HiFiGAN, StyleTTS2) have no movement assertion here —
+    # their convergence is chip-gated by tools/convergence_check.py — and a
+    # full GAN step costs ~70 s on a 1-CPU host, so they run at a capped
+    # step count to keep the default harness under ~1 h (reference budget:
+    # 180 min on a V100-class Slurm node).
+    parser.add_argument("--gan-steps", type=int, default=None)
     args = parser.parse_args()
     workdir = args.workdir or Path(tempfile.mkdtemp(prefix="evtpu-regression-"))
     workdir.mkdir(parents=True, exist_ok=True)
@@ -103,8 +111,11 @@ def main() -> None:
         "resblock_dilation_sizes": [[1, 3]],
         "mpd_layers": [2], "msd_layers": 1,
     }
-    hfg_cfg["training"].update({"batch_size": 2, "val_check_interval": args.steps,
-                                "max_steps": args.steps})
+    gan_steps = (args.gan_steps if args.gan_steps is not None
+                 else min(args.steps, 10))
+    hfg_cfg["training"].update({"batch_size": 2,
+                                "val_check_interval": gan_steps,
+                                "max_steps": gan_steps})
     write_config_file(config_dir / "everyvoice-spec-to-wav.yaml", hfg_cfg)
 
     # ---- stage 1: preprocess
@@ -220,7 +231,7 @@ def main() -> None:
         },
     )
     e2e_cfg["training"].update({
-        "batch_size": 2, "max_len": 128, "max_steps": args.steps,
+        "batch_size": 2, "max_len": 128, "max_steps": gan_steps,
         "epochs_1st": 1, "epochs_2nd": 1, "use_validation_as_ood": True,
         "OOD_min_length": 1,
     })

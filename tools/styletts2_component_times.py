@@ -125,6 +125,11 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--frames", type=int, default=None,
                         help="override training.max_len (default 800)")
+    parser.add_argument("--skip-full-step", action="store_true",
+                        help="skip the production-step re-measurement "
+                        "(bench_train.py already reports it; compiling it "
+                        "on top of this process's components can OOM the "
+                        "relay compile helper)")
     opts = parser.parse_args()
 
     import jax
@@ -242,13 +247,12 @@ def main() -> None:
         out_sr = config.preprocessing.audio.output_sampling_rate
         slm_sr = config.model.slm.sr
 
-        def slm_fwd(w):
+        def slm_fwd(w, sp):
             w16 = resample(w, out_sr, slm_sr)
-            return stack_hidden_states(
-                trainer.slm_module.apply(trainer.slm_params, w16)
-            )
+            return stack_hidden_states(trainer.slm_module.apply(sp, w16))
 
-        record("slm_fwd", *chain_time(slm_fwd, batch["audio"]))
+        record("slm_fwd", *chain_time(slm_fwd, batch["audio"],
+                                      trainer.slm_params))
 
     targets = closures["alignment_targets"](gen_params, batch, True)
     seg = trainer.model.segment_frames
@@ -259,29 +263,48 @@ def main() -> None:
             rng, (opts.batch,), 0, max_start + 1
         )
 
-    def disc_grads(mel, gp, dp):
-        b = dict(batch, mel=mel)
+    # Batch/targets travel as jit ARGUMENTS, not closure constants: constant
+    # -embedded activations inflate the HLO proto past the relay's
+    # remote-compile request limit (HTTP 413) on the stage-2 programs.
+    rest = {k: v for k, v in batch.items() if k != "mel"}
+
+    slm_params = trainer.slm_params  # argument, NOT closure: 376 MB of
+    # WavLM weights as HLO constants also exceeds the compile limit
+
+    def disc_grads(mel, rest, targets, gp, dp, sp):
+        b = dict(rest, mel=mel)
         (_, m), g = jax.value_and_grad(
             closures["disc_loss_fn"], has_aux=True
-        )(dp, gp, b, rng, trainer.slm_params, phase, targets,
-          flags["ood_active"])
+        )(dp, gp, b, rng, sp, phase, targets, flags["ood_active"])
         return m["disc/total"], g
 
-    record("disc_grads", *chain_time(disc_grads, batch["mel"], gen_params,
-                                     disc_params))
+    record("disc_grads", *chain_time(disc_grads, batch["mel"], rest,
+                                     targets, gen_params, disc_params,
+                                     slm_params))
 
-    def gen_grads(mel, gp, dp):
-        b = dict(batch, mel=mel)
+    def gen_grads(mel, rest, targets, gp, dp, sp):
+        b = dict(rest, mel=mel)
         (_, m), g = jax.value_and_grad(
             closures["gen_loss_fn"], has_aux=True
-        )(gp, dp, b, rng, trainer.slm_params, phase, targets,
-          flags["ood_active"], True)
+        )(gp, dp, b, rng, sp, phase, targets, flags["ood_active"], True)
         return m["total"], g
 
-    record("gen_grads", *chain_time(gen_grads, batch["mel"], gen_params,
-                                    disc_params))
+    record("gen_grads", *chain_time(gen_grads, batch["mel"], rest,
+                                    targets, gen_params, disc_params,
+                                    slm_params))
 
     # Full production step (donates state; thread it through).
+    if opts.skip_full_step:
+        print(json.dumps({
+            "metric": "StyleTTS2 train-step component times (chained, marginal)",
+            "stage": opts.stage,
+            "batch": opts.batch,
+            "frames": int(batch["mel"].shape[1]),
+            "slm_staged": slm_staged,
+            "device": str(jax.devices()[0]),
+            "components": results,
+        }))
+        return
     step = trainer._train_step
     state = (gen_params, disc_params, gen_opt_state, disc_opt_state)
     srng = training_rng(1)

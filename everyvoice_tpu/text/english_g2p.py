@@ -36,7 +36,8 @@ MULTIGRAPH_RULES = [
     ("tions", "ʃʌnz"), ("sions", "ʒʌnz"),
     ("tion", "ʃʌn"), ("sion", "ʒʌn"), ("cial", "ʃʌl"), ("tial", "ʃʌl"),
     ("cious", "ʃʌs"), ("tious", "ʃʌs"), ("ture", "t͡ʃɜ˞"),
-    ("sure", "ʒɜ˞"), ("ought", "ɔt"), ("aught", "ɔt"), ("ight", "aɪt"),
+    ("sure", "ʒɜ˞"), ("ould", "ʊd"), ("ause", "ɔz"), ("alk", "ɔk"),
+    ("ought", "ɔt"), ("aught", "ɔt"), ("ight", "aɪt"),
     ("eigh", "eɪ"), ("ough", "ʌf"), ("augh", "æf"), ("tch", "t͡ʃ"),
     ("dge", "d͡ʒ"), ("sch", "sk"), ("ear", "iɹ"), ("eer", "iɹ"),
     ("ier", "iɹ"), ("air", "ɛɹ"), ("are", "ɛɹ"), ("oor", "ɔɹ"),
@@ -112,9 +113,12 @@ SUFFIX_RULES = [
     ("ency", "ʌnsi", False), ("ant", "ʌnt", False),
     ("ent", "ʌnt", False), ("ery", "ɜ˞i", False),
     ("ary", "ɛɹi", False), ("ory", "ɔɹi", False),
+    ("erous", "ɜ˞ʌs", False),
     ("ous", "ʌs", False), ("stion", "st͡ʃʌn", False),
     ("ction", "kʃʌn", False),
     ("ion", "jʌn", False), ("asm", "æzʌm", False),
+    ("ted", "tɪd", False), ("ded", "dɪd", False),
+    ("ies", "iz", False),
     ("ator", "eɪtɜ˞", False), ("ior", "iɜ˞", False),
     ("ely", "li", True), ("ly", "li", False), ("al", "ʌl", False),
 ]
@@ -122,6 +126,30 @@ SUFFIX_RULES = [
 # Magic-e must not fire on these endings — a dedicated suffix or
 # multigraph rule owns them (tu+re → t͡ʃɜ˞, not tjuɹ).
 _MAGIC_E_EXCLUDE = ("ture", "sure")
+
+# Unstressed Latinate prefixes: re-/de-/be-/pre- before a consonant
+# onset reduce to ɪ (report ɹɪpɔɹt, depend dɪpɛnd, become bɪkʌm,
+# prevent pɹɪvɛnt — CMUdict IH0 → the g2p alphabet keeps ɪ), and ex-
+# before a consonant is ɪks (expect ɪkspɛkt). Applied only when the
+# remainder still contains a vowel (so "red", "desk", "bed", "next"
+# fall through to the letter loop). Tuned on the held-IN slice only.
+PREFIX_RULES = [
+    ("ex", "ɪks"), ("pre", "pɹɪ"), ("re", "ɹɪ"), ("de", "dɪ"),
+    ("be", "bɪ"),
+]
+
+
+def _split_prefix(word: str):
+    for prefix, ipa in PREFIX_RULES:
+        if not word.startswith(prefix) or len(word) < len(prefix) + 3:
+            continue
+        rest = word[len(prefix):]
+        # consonant onset + a later vowel → an unstressed open prefix
+        # syllable (re-port); vowel-initial rests (read, death) keep the
+        # prefix letters inside the normal letter loop.
+        if rest[0] not in _VOWELS and any(c in _VOWELS for c in rest[1:]):
+            return ipa, rest
+    return None
 
 
 def _letters_to_sound(word: str, _depth: int = 0) -> str:
@@ -132,9 +160,17 @@ def _letters_to_sound(word: str, _depth: int = 0) -> str:
         for suffix, tail, restore_e in SUFFIX_RULES:
             stem = word[: -len(suffix)]
             if word.endswith(suffix) and len(stem) >= 3:
+                # -tion/-sion belong to the ʃʌn multigraphs, not to the
+                # bare "ion" peel (action → æk-ʃʌn, not act-jʌn).
+                if suffix == "ion" and stem[-1] in "ts":
+                    continue
                 if restore_e:
                     stem += "e"
                 return _letters_to_sound(stem, _depth + 1) + tail
+    # Peel an unstressed Latinate prefix (re-port → ɹɪ + port).
+    pref = _split_prefix(word)
+    if pref is not None:
+        return pref[0] + _letters_to_sound(pref[1], _depth)
     # Handle the magic-e pattern on the final syllable.
     m = re.search(r"([aeiou])([bcdfgklmnprstvz])e$", word)
     long_sub = None
@@ -202,8 +238,77 @@ def _letters_to_sound(word: str, _depth: int = 0) -> str:
             out.append("ɜ˞")
             i += 3
             continue
+        # Non-initial "ther" closing a syllable voices the th (mother,
+        # northern, otherwise); therapy-type onsets (vowel follows) and
+        # word-initial th keep the default θ.
+        if (
+            word.startswith("ther", i)
+            and i > 0
+            and (i + 4 == len(word) or word[i + 4] not in _VOWELS)
+        ):
+            out.append("ðɜ˞")
+            i += 4
+            continue
+        # Initial w rounds a following a (want wɑnt, wash wɑʃ, watch
+        # wɑt͡ʃ); war- is handled by the ar→ɑɹ... no: wɔɹ via "ar"? keep
+        # to the t/s/n contexts where CMUdict is uniform.
+        if (
+            i == 0
+            and word.startswith("wa")
+            and len(word) > 2
+            and word[2] in "tsn"
+        ):
+            out.append("wɑ")
+            i += 2
+            continue
+        # Word-final "-ind" is the long-vowel family (find, kind, behind);
+        # window-type medial "ind" stays short.
+        if i + 3 == len(word) and word.startswith("ind", i) and i > 0:
+            out.append("aɪnd")
+            i += 3
+            continue
+        # Unstressed word-final -en / -el after a consonant in longer
+        # words reduce to ʌ (hidden hɪdʌn, model mɑdʌl).
+        if (
+            i + 2 == len(word)
+            and len(word) >= 5
+            and word[i] == "e"
+            and word[i + 1] in "nl"
+            and i > 0
+            and word[i - 1] not in _VOWELS
+        ):
+            out.append("ʌ" + ("n" if word[i + 1] == "n" else "l"))
+            i += 2
+            continue
+        # Unstressed final syllables -son / -man (person, reason, workman,
+        # human — CMUdict S AH0 N / M AH0 N).
+        if i > 1 and i + 3 == len(word) and word.startswith("son", i):
+            out.append("sʌn")
+            i += 3
+            continue
+        if i > 1 and i + 3 == len(word) and word.startswith("man", i):
+            out.append("mʌn")
+            i += 3
+            continue
+        # Final plural/genitive-looking single s after a voiced consonant
+        # sounds z (others, colors, news); monosyllables and vowel-final
+        # stems (gas, tennis) keep s.
+        if (
+            i + 1 == len(word)
+            and len(word) >= 4
+            and word[i] == "s"
+            and word[i - 1] in "bdgvmnlrwy"
+        ):
+            out.append("z")
+            i += 1
+            continue
         for pattern, ipa in MULTIGRAPH_RULES:
-            if word.startswith(pattern, i):
+            if word.startswith(pattern, i) and not (
+                # never swallow the magic-e long vowel into a digraph
+                # (cre|ate: "ea" must not consume the long a of a-t-e)
+                long_sub is not None
+                and i < long_sub[0] < i + len(pattern)
+            ):
                 out.append(ipa)
                 i += len(pattern)
                 break

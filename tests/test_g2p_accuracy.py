@@ -99,7 +99,8 @@ class TestReferenceGoldenAgreement:
 class TestHeldOutLTS:
     """Round-5 floors on the hash-held-out lexicon slice (399 entries at
     batch 7; the LTS rules were never tuned on them — tools/eval_g2p.py
-    methodology; measured at batch 7: 33.3% word accuracy, 21.5% PER)."""
+    methodology; measured after the prefix/context rule batch: 37.3% word
+    accuracy, 20.9% PER)."""
 
     def test_held_out_floors(self):
         import hashlib
@@ -124,10 +125,10 @@ class TestHeldOutLTS:
             match += ours == gold
             dist += _levenshtein(ours, gold)
             gold_len += len(gold)
-        assert match / total >= 0.32, (
+        assert match / total >= 0.35, (
             f"held-out LTS word accuracy regressed: {match}/{total}"
         )
-        assert dist / gold_len <= 0.24, (
+        assert dist / gold_len <= 0.23, (
             f"held-out LTS phone error rate regressed: {dist}/{gold_len}"
         )
 

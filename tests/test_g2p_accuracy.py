@@ -97,10 +97,9 @@ class TestReferenceGoldenAgreement:
 
 
 class TestHeldOutLTS:
-    """Round-5 floors on the hash-held-out lexicon slice (399 entries at
-    batch 7; the LTS rules were never tuned on them — tools/eval_g2p.py
-    methodology; measured after the prefix/context rule batch: 37.3% word
-    accuracy, 20.9% PER)."""
+    """Round-5 floors on the hash-held-out lexicon slice (435 entries at
+    batch 8; the LTS rules were never tuned on them — tools/eval_g2p.py
+    methodology; measured at batch 8: 36.1% word accuracy, 21.5% PER)."""
 
     def test_held_out_floors(self):
         import hashlib
@@ -139,7 +138,7 @@ class TestHeldOutLTS:
 )
 class TestCorpusCoverage:
     """Lexicon+morphology coverage of the full 13,100-utterance LJ
-    transcript (round-5 growth; measured at batch 7: 95.3% tokens)."""
+    transcript (round-5 growth; measured at batch 8: 96.0% tokens)."""
 
     def test_lj_token_coverage_floor(self):
         import collections
@@ -165,7 +164,7 @@ class TestCorpusCoverage:
                 vocab[w.lower()] += 1
         total = sum(vocab.values())
         cov = sum(c for w, c in vocab.items() if covered(w))
-        assert cov / total >= 0.93, (
+        assert cov / total >= 0.95, (
             f"LJ token coverage regressed: {cov}/{total} = {cov/total:.1%}"
         )
 
@@ -212,11 +211,11 @@ class TestLexicon:
 
     def test_lexicon_scale(self):
         """Round 3 required the lexicon to stop being ~100 words; round 5
-        grew it to 3,860 LJ-targeted entries (batch 7). Pin the floor so it
+        grew it to 4,270 LJ-targeted entries (batch 8). Pin the floor so it
         never shrinks back."""
         from everyvoice_tpu.text.english_lexicon import ARPABET_LEXICON
 
-        assert len(ARPABET_LEXICON) >= 3800
+        assert len(ARPABET_LEXICON) >= 4200
 
     def test_hyphenated_compounds(self):
         from everyvoice_tpu.text.english_g2p import english_g2p

@@ -97,9 +97,9 @@ class TestReferenceGoldenAgreement:
 
 
 class TestHeldOutLTS:
-    """Round-5 floors on the hash-held-out lexicon slice (435 entries at
-    batch 8; the LTS rules were never tuned on them — tools/eval_g2p.py
-    methodology; measured at batch 8: 36.1% word accuracy, 21.5% PER)."""
+    """Round-5 floors on the hash-held-out lexicon slice (474 entries at
+    batch 9; the LTS rules were never tuned on them — tools/eval_g2p.py
+    methodology; measured at batch 9: 35.4% word accuracy, 21.3% PER)."""
 
     def test_held_out_floors(self):
         import hashlib
@@ -124,7 +124,7 @@ class TestHeldOutLTS:
             match += ours == gold
             dist += _levenshtein(ours, gold)
             gold_len += len(gold)
-        assert match / total >= 0.35, (
+        assert match / total >= 0.34, (
             f"held-out LTS word accuracy regressed: {match}/{total}"
         )
         assert dist / gold_len <= 0.23, (
@@ -138,7 +138,7 @@ class TestHeldOutLTS:
 )
 class TestCorpusCoverage:
     """Lexicon+morphology coverage of the full 13,100-utterance LJ
-    transcript (round-5 growth; measured at batch 8: 96.0% tokens)."""
+    transcript (round-5 growth; measured at batch 9: 96.6% tokens)."""
 
     def test_lj_token_coverage_floor(self):
         import collections
@@ -211,11 +211,11 @@ class TestLexicon:
 
     def test_lexicon_scale(self):
         """Round 3 required the lexicon to stop being ~100 words; round 5
-        grew it to 4,270 LJ-targeted entries (batch 8). Pin the floor so it
+        grew it to 4,661 LJ-targeted entries (batch 9). Pin the floor so it
         never shrinks back."""
         from everyvoice_tpu.text.english_lexicon import ARPABET_LEXICON
 
-        assert len(ARPABET_LEXICON) >= 4200
+        assert len(ARPABET_LEXICON) >= 4600
 
     def test_hyphenated_compounds(self):
         from everyvoice_tpu.text.english_g2p import english_g2p

@@ -97,9 +97,9 @@ class TestReferenceGoldenAgreement:
 
 
 class TestHeldOutLTS:
-    """Round-5 floors on the hash-held-out lexicon slice (474 entries at
-    batch 9; the LTS rules were never tuned on them — tools/eval_g2p.py
-    methodology; measured at batch 9: 35.4% word accuracy, 21.3% PER)."""
+    """Round-5 floors on the hash-held-out lexicon slice (501 entries at
+    batch 10; the LTS rules were never tuned on them — tools/eval_g2p.py
+    methodology; measured at batch 10: 34.5% word accuracy, 21.1% PER)."""
 
     def test_held_out_floors(self):
         import hashlib
@@ -138,7 +138,7 @@ class TestHeldOutLTS:
 )
 class TestCorpusCoverage:
     """Lexicon+morphology coverage of the full 13,100-utterance LJ
-    transcript (round-5 growth; measured at batch 9: 96.6% tokens)."""
+    transcript (round-5 growth; measured at batch 10: 97.1% tokens)."""
 
     def test_lj_token_coverage_floor(self):
         import collections
@@ -211,11 +211,11 @@ class TestLexicon:
 
     def test_lexicon_scale(self):
         """Round 3 required the lexicon to stop being ~100 words; round 5
-        grew it to 4,661 LJ-targeted entries (batch 9). Pin the floor so it
+        grew it to 5,018 LJ-targeted entries (batch 10). Pin the floor so it
         never shrinks back."""
         from everyvoice_tpu.text.english_lexicon import ARPABET_LEXICON
 
-        assert len(ARPABET_LEXICON) >= 4600
+        assert len(ARPABET_LEXICON) >= 5000
 
     def test_hyphenated_compounds(self):
         from everyvoice_tpu.text.english_g2p import english_g2p

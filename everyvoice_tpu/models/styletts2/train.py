@@ -63,8 +63,9 @@ class StyleTTS2Trainer(TrainerBase):
         self.val_dataset = val_dataset
         self.lang2id = lang2id or {}
         # bf16 conv compute on TPU for the waveform-scale hot path (decoder
-        # MRF stack, style encoders, MPD/MSD discriminators); LSTMs,
-        # diffusion, aligners, PL-BERT, WavLM, and all losses stay float32.
+        # MRF stack, style encoders, MPD/MSD discriminators) and the FROZEN
+        # WavLM SLM tower (params cast in-step, features returned f32);
+        # LSTMs, diffusion, aligners, PL-BERT, and all losses stay float32.
         self.compute_dtype = resolve_compute_dtype(
             compute_dtype, mesh_device(self.mesh)
         )
@@ -347,9 +348,32 @@ class StyleTTS2Trainer(TrainerBase):
             slm_module, slm_head = self.slm_module, self.slm_head
             slm_sr = self.config.model.slm.sr
             out_sr = a.output_sampling_rate
+            # The WavLM encoder is FROZEN (only the SLM head trains), so its
+            # forward/backward can run in the trainer's bf16 compute dtype on
+            # TPU: params+input cast to bf16, stacked features returned as
+            # f32 for the head and the LSGAN losses. The generator gradient
+            # flows through the bf16 tower; adversarial losses tolerate the
+            # reduced mantissa (measured: see docs/guides/tpu.md). Pass
+            # compute_dtype="float32" to the trainer (or set
+            # EVERYVOICE_SLM_DTYPE=float32) to restore f32 SLM.
+            import os as _os
+
+            slm_dt = jnp.dtype(
+                _os.environ.get("EVERYVOICE_SLM_DTYPE", self.compute_dtype)
+            )
 
             def slm_feats(slm_params, wav):
                 wav16 = resample(wav, out_sr, slm_sr)
+                if slm_dt == jnp.bfloat16:
+                    p16 = jax.tree.map(
+                        lambda t: t.astype(slm_dt)
+                        if jnp.issubdtype(t.dtype, jnp.floating) else t,
+                        slm_params,
+                    )
+                    feats = stack_hidden_states(
+                        slm_module.apply(p16, wav16.astype(slm_dt))
+                    )
+                    return feats.astype(jnp.float32)
                 return stack_hidden_states(slm_module.apply(slm_params, wav16))
         sigma_data = self.config.model.diffusion.dist.sigma_data
 

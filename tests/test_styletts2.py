@@ -360,6 +360,38 @@ class TestWavLM:
                 err_msg=f"hidden state {i}",
             )
 
+    def test_bf16_features_close_to_f32(self):
+        """The frozen WavLM tower runs in bf16 inside the stage-2 train step
+        on TPU (train.py slm_feats); its stacked features must stay close to
+        the f32 reference — adversarial losses tolerate this error band."""
+        from everyvoice_tpu.models.styletts2.slm import (
+            WavLM,
+            stack_hidden_states,
+        )
+
+        model = WavLM(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            conv_dim=(16,) * 7, num_buckets=32, max_distance=80,
+            num_conv_pos_embeddings=15, num_conv_pos_embedding_groups=4,
+        )
+        wav = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 3200)),
+            jnp.float32,
+        )
+        params = model.init(jax.random.PRNGKey(0), wav)
+        f32 = stack_hidden_states(model.apply(params, wav))
+        p16 = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16)
+            if jnp.issubdtype(t.dtype, jnp.floating) else t,
+            params,
+        )
+        b16 = stack_hidden_states(
+            model.apply(p16, wav.astype(jnp.bfloat16))
+        ).astype(jnp.float32)
+        denom = float(jnp.mean(jnp.abs(f32))) + 1e-8
+        rel = float(jnp.mean(jnp.abs(f32 - b16))) / denom
+        assert rel < 0.05, f"bf16 WavLM feature drift too large: {rel:.4f}"
+
     def test_discriminator_head(self):
         from everyvoice_tpu.models.styletts2.slm import (
             SLMDiscriminator,
